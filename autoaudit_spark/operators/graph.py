@@ -1,0 +1,167 @@
+"""Graph operators — the joins-in-disguise at the heart of AA-Smurf.
+
+The reference does sparse matrix algebra on a dense adjacency
+(`AA-Smurf.py:102-111` — A·A two-hop product, nonzero iteration, threshold,
+sort). Spark-first, every one of these is an equi-join + hash aggregate over
+the sparse edge relation: only existing edges shuffle, Catalyst picks
+broadcast vs sort-merge, AQE rebalances skew. Nothing materializes N×N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import EDGES_SQL, adjacency
+
+#: candidate pruning constant c — pairs need >= 3 two-hop paths
+#: (`AA-Smurf.py:107-109`).
+MIN_PATHS = 3
+
+_ADJ_CTE = f"WITH edges AS ({EDGES_SQL}), adj AS (SELECT DISTINCT src, dst FROM edges)"
+
+
+def two_hop_counts(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFrame:
+    """Smurf-candidate generation: for every (i, j), the number of directed
+    length-2 paths i→m→j, thresholded and sorted desc.
+
+    Spark form of `sparse.csr_matrix(ajm) * sparse.csr_matrix(ajm)` +
+    nonzero/threshold/sort (`AA-Smurf.py:105-110`): self equi-join on the
+    middle key + hash aggregate. One shuffle; scales as O(paths), not O(N²).
+    """
+    a, b = adj.alias("a"), adj.alias("b")
+    return (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .agg(F.count("*").alias("path_cnt"))
+        .filter(F.col("path_cnt") >= min_paths)
+        .orderBy(F.col("path_cnt").desc(), "src", "dst")
+    )
+
+
+def two_hop_intermediaries(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFrame:
+    """Intermediary extraction (`AA-Smurf.py:103,109`): the middle nodes m
+    of each candidate pair, exploded to (src, dst, mid) rows so the DuckDB
+    oracle can value-hash it (array results are only rows-checkable)."""
+    a, b = adj.alias("a"), adj.alias("b")
+    paths = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"),
+        F.col("b.dst").alias("dst"),
+        F.col("a.dst").alias("mid"),
+    )
+    cnt = (
+        paths.groupBy("src", "dst")
+        .agg(F.count("*").alias("path_cnt"))
+        .filter(F.col("path_cnt") >= min_paths)
+    )
+    return (
+        paths.join(cnt, ["src", "dst"])
+        .select("src", "dst", "mid")
+        .distinct()
+        .orderBy("src", "dst", "mid")
+    )
+
+
+def node_universe(edges_df: DataFrame) -> DataFrame:
+    """Account universe = distinct over the union of both endpoint columns
+    (`AA-AR.py:40,98`; `AA-Smurf.py:38`) — A8/U2."""
+    return (
+        edges_df.select(F.col("src").alias("node"))
+        .union(edges_df.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def relabel(edges_df: DataFrame, rank_map: DataFrame) -> DataFrame:
+    """Matrix reorder `ajm[np.ix_(order, order)]` (`AA-Smurf.py:59,165`) as
+    two broadcast joins against the small (node, rank) permutation table —
+    J5. The rank map is per-definition tiny (≤ #nodes) → broadcast."""
+    rm = F.broadcast(rank_map)
+    return (
+        edges_df.join(rm.withColumnRenamed("node", "src").withColumnRenamed("rank", "src_rank"), "src")
+        .join(rm.withColumnRenamed("node", "dst").withColumnRenamed("rank", "dst_rank"), "dst")
+        .select(F.col("src_rank").alias("src"), F.col("dst_rank").alias("dst"))
+    )
+
+
+@query(
+    "two_hop_candidates",
+    oracle=f"""
+    {_ADJ_CTE}
+    SELECT a.src AS src, b.dst AS dst, COUNT(*) AS path_cnt
+    FROM adj a JOIN adj b ON a.dst = b.src
+    GROUP BY a.src, b.dst
+    HAVING COUNT(*) >= {MIN_PATHS}
+    ORDER BY path_cnt DESC, src, dst
+    """,
+)
+def q_two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: J1+P6+O1 (`AA-Smurf.py:102-111`)."""
+    return two_hop_counts(adjacency(spark, sf_dir))
+
+
+@query(
+    "two_hop_intermediaries",
+    oracle=f"""
+    {_ADJ_CTE},
+    paths AS (
+        SELECT a.src AS src, b.dst AS dst, a.dst AS mid
+        FROM adj a JOIN adj b ON a.dst = b.src
+    ),
+    cand AS (
+        SELECT src, dst FROM paths GROUP BY src, dst HAVING COUNT(*) >= {MIN_PATHS}
+    )
+    SELECT DISTINCT p.src, p.dst, p.mid
+    FROM paths p JOIN cand c ON p.src = c.src AND p.dst = c.dst
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_two_hop_intermediaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 exploded to rows (`AA-Smurf.py:103,109`)."""
+    return two_hop_intermediaries(adjacency(spark, sf_dir))
+
+
+@query(
+    "node_universe",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL})
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+    ) ORDER BY node
+    """,
+)
+def q_node_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/U2: id universe over both endpoint columns."""
+    from ..sources import edges as edges_src
+
+    return node_universe(edges_src(spark, sf_dir)).orderBy("node")
+
+
+@query(
+    "relabel_reorder",
+    oracle=f"""
+    {_ADJ_CTE},
+    nodes AS (
+        SELECT DISTINCT node FROM (SELECT src AS node FROM adj UNION ALL SELECT dst FROM adj)
+    ),
+    rank_map AS (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS rank FROM nodes
+    )
+    SELECT r1.rank AS src, r2.rank AS dst
+    FROM adj e JOIN rank_map r1 ON e.src = r1.node JOIN rank_map r2 ON e.dst = r2.node
+    ORDER BY src, dst
+    """,
+)
+def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: permutation relabeling via broadcast rank-map joins
+    (`AA-Smurf.py:59,165`). Rank here = sorted-node order (deterministic
+    stand-in for the MDL-derived order, which is tested separately)."""
+    from pyspark.sql.window import Window
+
+    adj = adjacency(spark, sf_dir)
+    nodes = node_universe(adj)
+    rank_map = nodes.withColumn(
+        "rank", F.row_number().over(Window.orderBy("node")) - 1
+    )
+    return relabel(adj, rank_map).orderBy("src", "dst")

@@ -1,0 +1,88 @@
+"""Parquet table loaders + the canonical graph derivation.
+
+The driver testdata (TESTDATA.md) is a TPC-H-ish star schema plus `events`,
+`documents`, `embeddings`. The reference's primary input is a weighted
+temporal multigraph with columns (Source, Destination, Weight, Timestamp)
+— `AA-AR.py:286-287` in /root/reference. We derive the equivalent edge
+relation from `events` deterministically and SQL-expressibly, so every
+graph operator has a DuckDB-oracle twin:
+
+    src    = user_id
+    dst    = event_id % DST_MOD        (deterministic pseudo-counterparty)
+    weight = value
+    ts     = ts
+
+Duplicate (src, dst) pairs are distinct transactions (multigraph — never
+pre-dedup); the binary adjacency used by AA-Smurf's matrix algebra
+(`AA-Smurf.py:190`) is the DISTINCT projection of (src, dst).
+
+Scale note: loaders are plain `spark.read.parquet` — Catalyst handles
+column pruning + predicate pushdown; nothing is collected or cached here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: modulus for the derived counterparty id — chosen to match the sf0.01
+#: user-id universe (150 users) so 2-hop paths exist at every sf.
+DST_MOD = 150
+
+#: DuckDB CTE equivalent of :func:`edges` — prepend to oracle SQL.
+EDGES_SQL = (
+    "SELECT user_id AS src, CAST(event_id % 150 AS BIGINT) AS dst, "
+    "value AS weight, ts FROM events"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
+        # nanosAsLong it arrives as LONG nanoseconds. Truncate to micros —
+        # identical to DuckDB's ns→us TIMESTAMP coercion.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted temporal multigraph (src, dst, weight, ts) from `events`.
+
+    Mirrors the reference's edge DataFrame (`AA-AR.py:286-287`): one row
+    per transaction, parallel edges preserved.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % F.lit(DST_MOD)).cast("long").alias("dst"),
+        F.col("value").alias("weight"),
+        F.col("ts"),
+    )
+
+
+def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static binary directed graph: DISTINCT (src, dst) — the sparse COO
+    form of the reference's dense adjacency matrix (`AA-Smurf.py:190`).
+    Never materializes N×N; at 100 TB the dense form is impossible.
+    """
+    return edges(spark, sf_dir).select("src", "dst").distinct()

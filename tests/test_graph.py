@@ -1,0 +1,61 @@
+"""Graph operator unit tests on hand-built graphs (known answers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autoaudit_spark.operators.graph import (
+    node_universe,
+    relabel,
+    two_hop_counts,
+    two_hop_intermediaries,
+)
+
+
+def _adj(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_hop_counts_star(spark):
+    # smurf star: 0 -> {10,11,12} -> 5  (3 intermediaries)
+    pairs = [(0, 10), (0, 11), (0, 12), (10, 5), (11, 5), (12, 5)]
+    out = two_hop_counts(_adj(spark, pairs), min_paths=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src, r.dst, r.path_cnt) == (0, 5, 3)
+
+
+def test_two_hop_counts_threshold(spark):
+    # only 2 paths 0->5: below the c=3 threshold (AA-Smurf.py:108)
+    pairs = [(0, 10), (0, 11), (10, 5), (11, 5)]
+    assert two_hop_counts(_adj(spark, pairs), min_paths=3).count() == 0
+    out = two_hop_counts(_adj(spark, pairs), min_paths=2).collect()
+    assert [(r.src, r.dst, r.path_cnt) for r in out] == [(0, 5, 2)]
+
+
+def test_two_hop_intermediaries(spark):
+    pairs = [(0, 10), (0, 11), (0, 12), (10, 5), (11, 5), (12, 5)]
+    out = two_hop_intermediaries(_adj(spark, pairs), min_paths=3).collect()
+    assert sorted((r.src, r.dst, r.mid) for r in out) == [
+        (0, 5, 10),
+        (0, 5, 11),
+        (0, 5, 12),
+    ]
+
+
+def test_node_universe(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    nodes = sorted(r.node for r in node_universe(e).collect())
+    assert nodes == [1, 2, 3]
+
+
+def test_relabel_preserves_edge_count(spark):
+    adj = _adj(spark, [(5, 7), (7, 9), (9, 5)])
+    rank_map = spark.createDataFrame(
+        [(5, 0), (7, 1), (9, 2)], "node long, rank long"
+    )
+    out = relabel(adj, rank_map)
+    assert out.count() == 3
+    assert sorted((r.src, r.dst) for r in out.collect()) == [(0, 1), (1, 2), (2, 0)]
