@@ -1,0 +1,540 @@
+"""Relational core — projections/filters (P1–P9), aggregations (A1–A12),
+sorts/top-k (O1–O3), set ops (U1–U3), scalar functions (F1–F8) from
+SURVEY.md §2, each as an oracle-checked query over the driver testdata.
+
+Everything here is pure DataFrame API (JVM-side, whole-stage codegen) —
+no UDFs. Catalyst owns predicate pushdown, column pruning, and join
+strategy; `.explain` on any of these shows PushedFilters reaching the
+parquet scan.
+
+Exact-semantics notes (the traps SURVEY §5.2 lists):
+- population variance `var_pop`, NOT `variance`/`var_samp` (`AA-AR.py:33`
+  uses NumPy default ddof=0);
+- exact interpolated `median` (both Spark ≥3.4 and DuckDB interpolate);
+- zero-fill of empty groups via full-outer join + `coalesce(..., 0)`
+  (`AA-AR.py:32-35`), not null propagation;
+- half-open time intervals `[s, s+w)` (`AA-AR.py:70`);
+- `floor`/`ceil` cast to BIGINT on both sides (Spark returns LONG,
+  DuckDB DOUBLE — the value hash is type-sensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import EDGES_SQL, edges, load_table
+
+_E = f"WITH edges AS ({EDGES_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# P1–P5: projection + predicate stack (pushdown-friendly single scan)
+# ---------------------------------------------------------------------------
+@query(
+    "filter_project",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+      AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+      AND value IS NOT NULL AND value > 50.0
+    ORDER BY event_id
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection + P2 equality → IN (P4) + P3 half-open time range +
+    P5 null-drop, one scan; all predicates push to the parquet reader
+    (reference: `AA-AR.py:40,44-45,70`, `smurf_generator.py:45-46`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .filter((F.col("ts") >= F.lit("2024-01-08")) & (F.col("ts") < F.lit("2024-01-22")))
+        .filter(F.col("value").isNotNull() & (F.col("value") > 50.0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: distinct vs multi degree (the in/out-degree feature pair)
+# ---------------------------------------------------------------------------
+@query(
+    "degree_counts",
+    oracle=f"""
+    {_E}
+    SELECT dst AS account,
+           COUNT(DISTINCT src) AS uniq_in_deg,
+           COUNT(*) AS multi_in_deg
+    FROM edges GROUP BY dst ORDER BY account
+    """,
+)
+def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 countDistinct + A2 count — unique vs multi in-degree
+    (`AA-AR.py:47-50`); multigraph semantics: parallel edges counted."""
+    return (
+        edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("account"))
+        .agg(
+            F.countDistinct("src").alias("uniq_in_deg"),
+            F.count("*").alias("multi_in_deg"),
+        )
+        .orderBy("account")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3–A6, A10: the weight-statistics block (sum/mean/median/var_pop, min/max)
+# ---------------------------------------------------------------------------
+@query(
+    "weight_stats",
+    oracle=f"""
+    {_E}
+    SELECT src AS account,
+           ROUND(SUM(weight), 4) AS tot_out_w,
+           ROUND(AVG(weight), 4) AS mean_out_w,
+           ROUND(MEDIAN(weight), 4) AS med_out_w,
+           ROUND(VAR_POP(weight), 4) AS var_out_w,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM edges GROUP BY src ORDER BY account
+    """,
+)
+def q_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sum, A4 mean, A5 exact median, A6 POPULATION variance
+    (`AA-AR.py:31-35` — np.var ddof=0), A10 min/max (`AA-AR.py:103-104`).
+
+    Double aggregates are rounded to 4 decimals on BOTH sides: Spark and
+    DuckDB reduce floats in different orders, so the last ulp differs and
+    an exact value-hash would flake. 4 decimals >> the 1e-8 summation
+    noise, << the data's signal."""
+    return (
+        edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("account"))
+        .agg(
+            F.round(F.sum("weight"), 4).alias("tot_out_w"),
+            F.round(F.avg("weight"), 4).alias("mean_out_w"),
+            F.round(F.median("weight"), 4).alias("med_out_w"),
+            F.round(F.var_pop("weight"), 4).alias("var_out_w"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("account")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: zero-fill via full outer join + coalesce (the empty-group contract)
+# ---------------------------------------------------------------------------
+@query(
+    "inout_zero_fill",
+    oracle=f"""
+    {_E},
+    outs AS (SELECT src AS account, SUM(weight) AS tot_out_w, COUNT(*) AS out_deg
+             FROM edges GROUP BY src),
+    ins AS (SELECT dst AS account, SUM(weight) AS tot_in_w, COUNT(*) AS in_deg
+            FROM edges GROUP BY dst)
+    SELECT COALESCE(o.account, i.account) AS account,
+           ROUND(COALESCE(o.tot_out_w, 0.0), 4) AS tot_out_w,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           ROUND(COALESCE(i.tot_in_w, 0.0), 4) AS tot_in_w,
+           COALESCE(i.in_deg, 0) AS in_deg
+    FROM outs o FULL OUTER JOIN ins i ON o.account = i.account
+    ORDER BY account
+    """,
+)
+def q_inout_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: accounts missing one side get 0, not null (`AA-AR.py:32-35`).
+    Full outer join of the two grouped passes + coalesce — this is the
+    skeleton of the 12-feature block (A9, operators/features.py)."""
+    e = edges(spark, sf_dir)
+    outs = e.groupBy(F.col("src").alias("account")).agg(
+        F.sum("weight").alias("tot_out_w"), F.count("*").alias("out_deg")
+    )
+    ins = e.groupBy(F.col("dst").alias("account")).agg(
+        F.sum("weight").alias("tot_in_w"), F.count("*").alias("in_deg")
+    )
+    return (
+        outs.join(ins, "account", "full_outer")
+        .select(
+            "account",
+            F.round(F.coalesce("tot_out_w", F.lit(0.0)), 4).alias("tot_out_w"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.round(F.coalesce("tot_in_w", F.lit(0.0)), 4).alias("tot_in_w"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .orderBy("account")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (A2/A3/A4 at bench scale; headline query)
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, map-side partial agg, tiny shuffle —
+    the canonical Catalyst-friendly aggregate (bench headline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star join: fact ⋈ broadcast dims (Catalyst broadcast at every scale)
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: dims are broadcast (explicit hint — at 100 TB the
+    fact side never shuffles for dim joins), then grouped aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/P8/U3: anti-join (membership exclusion)
+# ---------------------------------------------------------------------------
+@query(
+    "sink_accounts",
+    oracle=f"""
+    {_E}
+    SELECT DISTINCT dst AS account FROM edges
+    WHERE dst NOT IN (SELECT src FROM edges)
+    ORDER BY account
+    """,
+)
+def q_sink_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3: left_anti join — accounts that only ever receive
+    (`AA-Smurf.py:117-122` membership exclusion, `:58,164` residual set)."""
+    e = edges(spark, sf_dir)
+    dsts = e.select(F.col("dst").alias("account")).distinct()
+    srcs = e.select(F.col("src").alias("account")).distinct()
+    return dsts.join(srcs, "account", "left_anti").orderBy("account")
+
+
+# ---------------------------------------------------------------------------
+# U1: union + dedup
+# ---------------------------------------------------------------------------
+@query(
+    "union_dedup",
+    oracle=f"""
+    {_E}
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges WHERE weight > 100.0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges WHERE weight <= 10.0
+    ) ORDER BY src, dst
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: merge two edge sets, duplicates collapse
+    (`smurf_generator.py:50-60` set-union semantics)."""
+    e = edges(spark, sf_dir)
+    a = e.filter(F.col("weight") > 100.0).select("src", "dst")
+    b = e.filter(F.col("weight") <= 10.0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return a.union(b).distinct().orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# O1–O3: sort / argmax / top-k per group
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    oracle=f"""
+    {_E},
+    totals AS (
+        SELECT src, dst, ROUND(SUM(weight), 4) AS tot_w FROM edges GROUP BY src, dst
+    ),
+    ranked AS (
+        SELECT src, dst, tot_w,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY tot_w DESC, dst) AS rk
+        FROM totals
+    )
+    SELECT src, dst, tot_w, rk FROM ranked WHERE rk <= 3 ORDER BY src, rk
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/W3: top-k per partition via row_number (`AA-AR.py:258-260`).
+    Deterministic tie-break on dst so the oracle hash-matches."""
+    totals = (
+        edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.round(F.sum("weight"), 4).alias("tot_w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("tot_w").desc(), F.col("dst"))
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("src", "rk")
+    )
+
+
+@query(
+    "global_argmax",
+    oracle=f"""
+    {_E},
+    totals AS (SELECT dst, ROUND(SUM(weight), 4) AS tot_w FROM edges GROUP BY dst)
+    SELECT dst, tot_w FROM totals ORDER BY tot_w DESC, dst LIMIT 1
+    """,
+)
+def q_global_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global argmax as orderBy-desc-limit-1 (`AA-Smurf.py:153`,
+    `AA-AR.py:241,252`); tie-broken for determinism."""
+    return (
+        edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.round(F.sum("weight"), 4).alias("tot_w"))
+        .orderBy(F.col("tot_w").desc(), "dst")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 + O1: HAVING threshold + sort desc (candidate pruning shape)
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_pairs",
+    oracle=f"""
+    {_E}
+    SELECT src, dst, COUNT(*) AS n_tx
+    FROM edges GROUP BY src, dst HAVING COUNT(*) >= 3
+    ORDER BY n_tx DESC, src, dst
+    """,
+)
+def q_heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 threshold-on-aggregate + O1 desc sort (`AA-Smurf.py:107-110`)."""
+    return (
+        edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_tx"))
+        .filter(F.col("n_tx") >= 3)
+        .orderBy(F.col("n_tx").desc(), "src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1–F5, F7, F8: scalar math stack (pure column expressions, codegen'd)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT event_id,
+           CAST(CEIL(LOG2(value + 1)) AS BIGINT) AS ceil_log2,
+           ROUND(2 * LOG2(value + 1) + 1, 8) AS log_star,
+           ROUND(LOG10(value + 1), 8) AS log10_v,
+           ROUND(LN(value + 1), 8) AS ln_v,
+           ROUND(EXP(LN(value + 1)) - 1, 8) AS roundtrip,
+           CAST(FLOOR(LOG2(value + 1)) AS BIGINT) AS log_bin,
+           ROUND(POW(2, CAST(FLOOR(LOG2(value + 1)) AS BIGINT)), 8) AS bin_lo,
+           CAST(TRUNC(value) AS BIGINT) AS value_int
+    FROM events WHERE value > 0 ORDER BY event_id
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 log2 + universal code length log_star(x)=2·log2(x)+1
+    (`AA-Smurf.py:16-26`), F2 ceil, F3 log10(x+1) (`AA-AR.py:81-82`),
+    F4 ln/exp (`AA-AR.py:188-212`), F5 power-of-2 bins (`AA-AR.py:182`),
+    F7 int cast. All JVM column expressions — zero UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = F.col("value") + 1
+    log_bin = F.floor(F.log2(v1)).cast("long")
+    return (
+        ev.filter(F.col("value") > 0)
+        .select(
+            "event_id",
+            F.ceil(F.log2(v1)).cast("long").alias("ceil_log2"),
+            F.round(2 * F.log2(v1) + 1, 8).alias("log_star"),
+            F.round(F.log10(v1), 8).alias("log10_v"),
+            F.round(F.log(v1), 8).alias("ln_v"),
+            F.round(F.exp(F.log(v1)) - 1, 8).alias("roundtrip"),
+            log_bin.alias("log_bin"),
+            F.round(F.pow(F.lit(2), log_bin), 8).alias("bin_lo"),
+            F.col("value").cast("long").alias("value_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 + F5: grouped mean by log2 bin (power-law plot substrate)
+# ---------------------------------------------------------------------------
+@query(
+    "log_bin_means",
+    oracle=f"""
+    {_E},
+    totals AS (SELECT src, SUM(weight) AS x, COUNT(*) AS y FROM edges GROUP BY src)
+    SELECT CAST(FLOOR(LOG2(x + 1)) AS BIGINT) AS bin,
+           ROUND(AVG(y), 6) AS mean_y, COUNT(*) AS n
+    FROM totals GROUP BY 1 ORDER BY bin
+    """,
+)
+def q_log_bin_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: power-law binning — mean of y per power-of-2 bin of x
+    (`AA-AR.py:182-186`, +1 shift at `:179`)."""
+    totals = (
+        edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.sum("weight").alias("x"), F.count("*").alias("y"))
+    )
+    return (
+        totals.groupBy(F.floor(F.log2(F.col("x") + 1)).cast("long").alias("bin"))
+        .agg(F.round(F.avg("y"), 6).alias("mean_y"), F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6: conditional direction mapping (when/otherwise)
+# ---------------------------------------------------------------------------
+@query(
+    "direction_mapped_edges",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN CAST(event_id % 150 AS BIGINT)
+                ELSE user_id END AS src,
+           CASE WHEN event_type = 'purchase' THEN user_id
+                ELSE CAST(event_id % 150 AS BIGINT) END AS dst,
+           value AS weight
+    FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ORDER BY event_id
+    """,
+)
+def q_direction_mapped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: operation-code dispatch flips edge direction
+    (`smurf_generator.py:52-55` 'PREVOD Z UCTU' → reversed edge);
+    event_type='purchase' plays the reversed-direction code."""
+    ev = load_table(spark, sf_dir, "events")
+    counterparty = (F.col("event_id") % 150).cast("long")
+    is_rev = F.col("event_type") == "purchase"
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "event_id",
+            F.when(is_rev, counterparty).otherwise(F.col("user_id")).alias("src"),
+            F.when(is_rev, F.col("user_id")).otherwise(counterparty).alias("dst"),
+            F.col("value").alias("weight"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON + date scalar surface (X8; reference has none — engine capability)
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour
+    FROM events ORDER BY event_id
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: JSON property access + date functions on the events stream
+    (engine capability beyond the reference, SURVEY §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# P9: seeded Bernoulli sample — rows-only (Spark and DuckDB RNGs differ)
+# ---------------------------------------------------------------------------
+@query("bernoulli_sample")
+def q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: seeded random filter (`AA-AR.py:131-134`, `smurf_generator.py:59`).
+    `F.rand(seed)` is per-partition deterministic — partitioning is fixed
+    by the parquet layout, so the sample is reproducible across runs; no
+    SQL oracle because DuckDB's RNG stream differs (driver rows-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.rand(seed=42) > 0.5).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (engine capability: rollup — not in reference)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup/grouping-sets capability (SURVEY §2.4 'not present' list —
+    provided as engine surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -57,7 +57,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
         # nanosAsLong it arrives as LONG nanoseconds. Truncate to micros —
         # identical to DuckDB's ns→us TIMESTAMP coercion.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
+        # 2^53 integer range, so float division corrupts the low microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
