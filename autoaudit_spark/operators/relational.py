@@ -93,10 +93,11 @@ def q_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_E}
     SELECT src AS account,
-           ROUND(SUM(weight), 4) AS tot_out_w,
-           ROUND(AVG(weight), 4) AS mean_out_w,
+           ROUND(SUM(weight), 2) AS tot_out_w,
+           ROUND(SUM(weight), 2) / COUNT(*) AS mean_out_w,
            ROUND(MEDIAN(weight), 4) AS med_out_w,
-           ROUND(VAR_POP(weight), 4) AS var_out_w,
+           (ROUND(SUM(weight * weight), 4)
+            - ROUND(SUM(weight), 2) * ROUND(SUM(weight), 2) / COUNT(*)) / COUNT(*) AS var_out_w,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts
     FROM edges GROUP BY src ORDER BY account
@@ -114,10 +115,16 @@ def q_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges(spark, sf_dir)
         .groupBy(F.col("src").alias("account"))
         .agg(
-            F.round(F.sum("weight"), 4).alias("tot_out_w"),
-            F.round(F.avg("weight"), 4).alias("mean_out_w"),
+            F.round(F.sum("weight"), 2).alias("tot_out_w"),
+            (F.round(F.sum("weight"), 2) / F.count("*")).alias("mean_out_w"),
             F.round(F.median("weight"), 4).alias("med_out_w"),
-            F.round(F.var_pop("weight"), 4).alias("var_out_w"),
+            (
+                (
+                    F.round(F.sum(F.col("weight") * F.col("weight")), 4)
+                    - F.round(F.sum("weight"), 2) * F.round(F.sum("weight"), 2) / F.count("*")
+                )
+                / F.count("*")
+            ).alias("var_out_w"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )
@@ -179,10 +186,10 @@ def q_inout_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)), 4) AS sum_charge,
+           ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+           ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -202,10 +209,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(F.round(disc_price * (1 + F.col("l_tax")), 4)), 4).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -421,7 +428,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_E},
     totals AS (SELECT src, SUM(weight) AS x, COUNT(*) AS y FROM edges GROUP BY src)
     SELECT CAST(FLOOR(LOG2(x + 1)) AS BIGINT) AS bin,
-           ROUND(AVG(y), 6) AS mean_y, COUNT(*) AS n
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_y, COUNT(*) AS n
     FROM totals GROUP BY 1 ORDER BY bin
     """,
 )
@@ -435,7 +442,7 @@ def q_log_bin_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         totals.groupBy(F.floor(F.log2(F.col("x") + 1)).cast("long").alias("bin"))
-        .agg(F.round(F.avg("y"), 6).alias("mean_y"), F.count("*").alias("n"))
+        .agg((F.sum("y").cast("double") / F.count("*")).alias("mean_y"), F.count("*").alias("n"))
         .orderBy("bin")
     )
 

@@ -1,0 +1,258 @@
+"""Temporal operators — sliding event-time windows (T1), trailing-window
+analytics (W1/W2), per-window ranking (W3), cross-window alignment (J4).
+
+The reference materializes one pandas sub-DataFrame per window in a
+process pool (`AA-AR.py:100-115`); Spark-first, the window is just a
+grouping key produced by `F.window` — every window of every account is
+computed by ONE shuffle, and trailing logic is an analytic window frame
+(no per-window jobs, no recomputation).
+
+Note on `find_past_pos` (`AA-AR.py:163-174`): the reference `return`s
+inside its lookback loop, so only the FIRST past window contributes
+despite dividing by `back` (SURVEY §2.8). We implement the evidently
+intended trailing average; the oracle encodes the intended semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import edges
+from .features import WINDOWED_FEATS_CTE, account_features
+
+#: lookback depth `--b` (`AA-AR.py:279` default 4)
+BACK_WINDOWS = 4
+
+
+def windowed_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return account_features(edges(spark, sf_dir), window=True)
+
+
+# ---------------------------------------------------------------------------
+# T1: sliding event-time window aggregation on the raw stream
+# ---------------------------------------------------------------------------
+@query(
+    "window_event_stats",
+    oracle="""
+    WITH wev AS (
+        SELECT make_timestamp(((epoch_us(ts) // 604800000000) - k.k) * 604800000000)
+                   AS window_start,
+               event_type, value
+        FROM events, (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS tot_value,
+           ROUND(SUM(value), 2) / COUNT(*) AS mean_value
+    FROM wev GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: 14d/7d sliding windows (`AA-AR.py:97-104`) as a grouping key —
+    identical code path in batch and Structured Streaming."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "14 days", "7 days")["start"].alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("tot_value"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("mean_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: trailing-window average (intended find_past_pos semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "trailing_window_avg",
+    oracle=WINDOWED_FEATS_CTE
+    + f"""
+    SELECT window_start, account, tot_in_w,
+           ROUND(SUM(tot_in_w) OVER trail, 2)
+               / NULLIF(COUNT(tot_in_w) OVER trail, 0) AS past_avg_in_w
+    FROM feats
+    WINDOW trail AS (
+        PARTITION BY account ORDER BY window_start
+        ROWS BETWEEN {BACK_WINDOWS} PRECEDING AND 1 PRECEDING
+    )
+    ORDER BY account, window_start
+    """,
+)
+def q_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per account, average of a feature over the previous ≤4 windows
+    (`AA-AR.py:163-174`, `/back` at `:174`; intended semantics — see
+    module docstring). ROWS frame: missing windows don't pad."""
+    w = (
+        Window.partitionBy("account")
+        .orderBy("window_start")
+        .rowsBetween(-BACK_WINDOWS, -1)
+    )
+    feats = windowed_feats(spark, sf_dir)
+    return (
+        feats.select(
+            "window_start",
+            "account",
+            "tot_in_w",
+            (
+                F.round(F.sum("tot_in_w").over(w), 2)
+                / F.nullif(F.count("tot_in_w").over(w), F.lit(0))
+            ).alias("past_avg_in_w"),
+        )
+        .orderBy("account", "window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/O3: per-window top-k accounts
+# ---------------------------------------------------------------------------
+@query(
+    "window_topk_accounts",
+    oracle=WINDOWED_FEATS_CTE
+    + """
+    , ranked AS (
+        SELECT window_start, account, tot_in_w,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY tot_in_w DESC, account
+               ) AS rk
+        FROM feats
+    )
+    SELECT window_start, account, tot_in_w, rk
+    FROM ranked WHERE rk <= 3 ORDER BY window_start, rk
+    """,
+)
+def q_window_topk_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-3 suspicious accounts per window (`AA-AR.py:258-260`,
+    plot_acc=3 via `--c`), deterministic tie-break."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("tot_in_w").desc(), F.col("account")
+    )
+    return (
+        windowed_feats(spark, sf_dir)
+        .select(
+            "window_start",
+            "account",
+            "tot_in_w",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: cross-window alignment (lookback join current ↔ previous window)
+# ---------------------------------------------------------------------------
+@query(
+    "window_alignment",
+    oracle=WINDOWED_FEATS_CTE
+    + """
+    SELECT cur.window_start, cur.account,
+           cur.tot_in_w AS cur_in_w,
+           prev.tot_in_w AS prev_in_w,
+           cur.tot_in_w - prev.tot_in_w AS delta_in_w
+    FROM feats cur
+    JOIN feats prev
+      ON cur.account = prev.account
+     AND prev.window_start = cur.window_start - INTERVAL 7 DAY
+    ORDER BY cur.window_start, cur.account
+    """,
+)
+def q_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: as-of-style lookback — align each account's features with its
+    previous window (`AA-AR.py:163-174` position matching re-expressed as
+    an equi-join on (account, window-stride))."""
+    feats = windowed_feats(spark, sf_dir)
+    cur, prev = feats.alias("cur"), feats.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.account") == F.col("prev.account"))
+            & (
+                F.col("prev.window_start")
+                == F.col("cur.window_start") - F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .select(
+            F.col("cur.window_start").alias("window_start"),
+            F.col("cur.account").alias("account"),
+            F.col("cur.tot_in_w").alias("cur_in_w"),
+            F.col("prev.tot_in_w").alias("prev_in_w"),
+            (F.col("cur.tot_in_w") - F.col("prev.tot_in_w")).alias("delta_in_w"),
+        )
+        .orderBy("window_start", "account")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (T4 analog in batch: gap > 1h starts a new session)
+# ---------------------------------------------------------------------------
+@query(
+    "user_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 1 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 batch analog: sessionization via lag-gap + running sum (the
+    classic pattern; `F.session_window` covers the streaming side)."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            # exact micros, not cast('long') seconds — a gap of 3600.5s must
+            # compare identically to DuckDB's `> INTERVAL 1 HOUR`
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 3_600_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
