@@ -1,0 +1,113 @@
+"""M5 — MDL (minimum description length) encoding cost of a reordered
+adjacency matrix under a smurf-block layout.
+
+Semantics re-derived from the reference (`AA-Smurf.py:44-84,133`), but the
+computation is SPARSE: every term is a count of edges whose (row-rank,
+col-rank) falls in a block of the permuted matrix — O(E) per evaluation
+over the edge list, never an N×N materialization (at Enron scale dense is
+2.2 GB; at 100 TB node counts it is impossible).
+
+Block geometry for a pattern occupying ranks [s, e] (s = start[idx-1],
+e = start[idx]-1, k = e-s+1, n nodes), replicated EXACTLY including the
+reference's half-open slicing quirks (`ajm[s+1:e, s:e-1]` etc. — the last
+matrix row/column is excluded from cross/D terms; we reproduce this for
+golden-fixture parity rather than "fixing" it):
+
+    e1 (inner):  rows [s+1, e-1] × cols [s, e-2]   weight 2·⌈log2(k-1)⌉
+    e2 (in):     rows [e+1, n-2] × cols [s, e-1]   weight ⌈log2 n⌉+⌈log2(n-k)⌉
+    e3 (out):    rows [s, e-1] × cols [e+1, n-2]   weight ⌈log2 n⌉+⌈log2(n-k)⌉
+    A  (purity): rows [s, e-1] × cols [s, e-1]
+    purity_blk = (k-2)·2 / (sum A + sum e2-region + sum e3-region)
+
+    D (residual): zeros in rows/cols [start[-1], n-2] weighted 2·⌈log2 n⌉
+    headers: ⌈log*(count0)⌉ + ⌈log*(count1)⌉ + (Σcount)·⌈log2 n⌉
+             + ⌈log*(len(start)-1)⌉,  log*(x) = 2·log2(x)+1
+
+Initial (no pattern) cost: (n² − E? no — ⌈Σ(1−A)⌉) · 2⌈log2 n⌉ computed
+on the FULL matrix (`AA-Smurf.py:133`), i.e. (n²−E)·2⌈log2 n⌉.
+"""
+
+from __future__ import annotations
+
+from math import ceil, log2
+
+import numpy as np
+
+
+def log_star(x: float) -> float:
+    """Universal code length for a positive integer (`AA-Smurf.py:16-26`)."""
+    return 2 * log2(x) + 1
+
+
+def initial_mdl(n: int, n_edges: int) -> float:
+    """Cost of encoding the graph with no detected pattern
+    (`AA-Smurf.py:133`): every zero cell costs 2⌈log2 n⌉ bits."""
+    return ceil(n * n - n_edges) * (2 * ceil(log2(n)))
+
+
+def _box_count(ru: np.ndarray, rv: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> int:
+    """#edges with row-rank in [r0, r1] and col-rank in [c0, c1] (inclusive);
+    empty boxes (r1 < r0 etc.) count 0 — mirrors empty numpy slices."""
+    if r1 < r0 or c1 < c0:
+        return 0
+    return int(np.count_nonzero((ru >= r0) & (ru <= r1) & (rv >= c0) & (rv <= c1)))
+
+
+def compute_mdl(
+    ru: np.ndarray,
+    rv: np.ndarray,
+    n: int,
+    start: list[int],
+    count: list[int],
+) -> tuple[float, float]:
+    """Description length + mean purity of the layout.
+
+    ru/rv: row/col RANKS of every edge under the candidate order (nodes
+    not in the explicit order get the residual ranks in ascending node
+    sequence — the caller produces a full permutation, mirroring
+    `order.extend(...)` at `AA-Smurf.py:57-58`).
+    start: cumulative block boundaries, start[0] == 0.
+    count: [n_patterns, n_intermediaries, n_receivers].
+    """
+    mdl = 0.0
+    purity: list[float] = []
+    for idx in range(1, len(start)):
+        s, e = start[idx - 1], start[idx] - 1
+        k = e - s + 1
+        e1 = _box_count(ru, rv, s + 1, e - 1, s, e - 2) * (2 * ceil(log2(k - 1)))
+        cross_w = ceil(log2(n)) + ceil(log2(n - k))
+        in_cnt = _box_count(ru, rv, e + 1, n - 2, s, e - 1)
+        out_cnt = _box_count(ru, rv, s, e - 1, e + 1, n - 2)
+        mdl += e1 + (in_cnt + out_cnt) * cross_w
+        a_cnt = _box_count(ru, rv, s, e - 1, s, e - 1)
+        sum_abc = a_cnt + in_cnt + out_cnt
+        purity.append((k - 2) * 2 / sum_abc if sum_abc else float("inf"))
+
+    # residual block D: zeros in [start[-1], n-2]² cost 2⌈log2 n⌉ each
+    p = start[-1]
+    side = (n - 1) - p
+    if side > 0:
+        d_edges = _box_count(ru, rv, p, n - 2, p, n - 2)
+        mdl += (side * side - d_edges) * (2 * ceil(log2(n)))
+
+    # headers: pattern/intermediary counts, member indices, block starts
+    mdl += ceil(log_star(count[0])) + ceil(log_star(count[1]))
+    mdl += sum(count) * ceil(log2(n))
+    mdl += ceil(log_star(len(start) - 1))
+
+    return mdl, float(np.mean(purity)) if purity else float("nan")
+
+
+def ranks_for_order(order: list[int], n: int) -> np.ndarray:
+    """Full permutation: explicit order first, then residual node ids
+    ascending (`AA-Smurf.py:57-58`). Returns pos[node] = rank."""
+    pos = np.empty(n, dtype=np.int64)
+    seen = np.zeros(n, dtype=bool)
+    for r, node in enumerate(order):
+        pos[node] = r
+        seen[node] = True
+    r = len(order)
+    for node in np.flatnonzero(~seen):
+        pos[node] = r
+        r += 1
+    return pos
