@@ -1,0 +1,129 @@
+"""M7 — seeded synthetic smurf injection for labeled evaluation
+(`smurf_generator.py:12-40,62-64`).
+
+Per (middle_num ∈ {10..50}, fold ∈ 0..9): pick 2 client accounts (src,
+dst) and `middle_num` bank intermediaries; add the star-through edges
+src→m→dst; then 1–5 noise patterns with middle_num+(5−r) intermediaries
+and inter-intermediary edges added when d10 > r/2.5 + 6. RNG draw order
+replicates the reference exactly (np.random re-seeded per middle_num —
+`generate_eval_df(..., seed=seed)` at `:63` — so every middle_num uses
+the same stream).
+
+Output is the DELTA representation (SURVEY §1.1 A4): `injected_edges
+(fold, middle_num, src, dst)` + `labels(fold, middle_num, src, dst)` —
+the base graph is NOT duplicated per fold (at 100 TB the base is huge and
+immutable; evaluation unions the delta with the base and dedups, U1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import edges as edges_src
+
+MIDDLE_NUMS = (10, 20, 30, 40, 50)
+FOLDS = 10
+
+
+def generate_fold_edges(
+    bank_acc: np.ndarray,
+    client_acc: np.ndarray,
+    middle_num: int,
+    folds: int = FOLDS,
+    seed: int = 0,
+) -> list[tuple[set[tuple[int, int]], tuple[int, int]]]:
+    """[(injected edge set, (label_src, label_dst))] per fold — reference
+    draw order (`smurf_generator.py:12-40`)."""
+    rng = np.random
+    rng.seed(seed)
+    out = []
+    for _ in range(folds):
+        src, dst = rng.choice(client_acc, 2)
+        middle_acc = rng.choice(bank_acc, middle_num)
+        injected: set[tuple[int, int]] = set()
+        for mcc in middle_acc:
+            injected.add((int(src), int(mcc)))
+            injected.add((int(mcc), int(dst)))
+        noise_num = rng.randint(1, 6)
+        for _ in range(noise_num):
+            r = rng.randint(11)
+            mn = middle_num + (5 - r)
+            others = [ca for ca in client_acc if ca != src and ca != dst]
+            n_src, n_dst = rng.choice(others, 2)
+            n_middle = rng.choice(bank_acc, mn)
+            for mcc in n_middle:
+                injected.add((int(n_src), int(mcc)))
+                injected.add((int(mcc), int(n_dst)))
+                for c in n_middle:
+                    if c != mcc and rng.randint(1, 11) > r / 2.5 + 6:
+                        injected.add((int(mcc), int(c)))
+        out.append((injected, (int(src), int(dst))))
+    return out
+
+
+def generate_eval_tables(
+    spark: SparkSession,
+    bank_acc: np.ndarray,
+    client_acc: np.ndarray,
+    middle_nums=MIDDLE_NUMS,
+    folds: int = FOLDS,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(injected_edges, labels) DataFrames over the parameter grid."""
+    edge_rows, label_rows = [], []
+    for mn in middle_nums:
+        for fold, (inj, (ls, ld)) in enumerate(
+            generate_fold_edges(bank_acc, client_acc, mn, folds=folds, seed=seed)
+        ):
+            edge_rows.extend((fold, mn, s, d) for s, d in sorted(inj))
+            label_rows.append((fold, mn, ls, ld))
+    inj_df = spark.createDataFrame(
+        edge_rows, "fold int, middle_num int, src long, dst long"
+    )
+    lab_df = spark.createDataFrame(
+        label_rows, "fold int, middle_num int, src long, dst long"
+    )
+    return inj_df, lab_df
+
+
+def union_with_base(base_adj: DataFrame, injected: DataFrame, fold: int, middle_num: int) -> DataFrame:
+    """U1: base ∪ injected-delta for one fold, duplicates collapsed
+    (`smurf_generator.py` set semantics)."""
+    delta = injected.filter(
+        (F.col("fold") == fold) & (F.col("middle_num") == middle_num)
+    ).select("src", "dst")
+    return base_adj.select("src", "dst").union(delta).distinct()
+
+
+def _universes(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """client = src universe (user ids), bank = dst universe of the
+    derived graph — both sorted ascending like pandas `.unique()` on the
+    sorted source (determinism for the seeded choice)."""
+    e = edges_src(spark, sf_dir)
+    clients = np.array(
+        sorted(r["src"] for r in e.select("src").distinct().collect()), dtype=np.int64
+    )
+    banks = np.array(
+        sorted(r["dst"] for r in e.select("dst").distinct().collect()), dtype=np.int64
+    )
+    return banks, clients
+
+
+@query("smurf_injection_edges")
+def q_smurf_injection_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 delta edges over the full (middle_num × fold) grid. Rows-only
+    (seeded RNG; determinism pinned by unit tests)."""
+    banks, clients = _universes(spark, sf_dir)
+    inj, _ = generate_eval_tables(spark, banks, clients)
+    return inj.orderBy("middle_num", "fold", "src", "dst")
+
+
+@query("smurf_injection_labels")
+def q_smurf_injection_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 planted (src, dst) labels per fold (rows-only)."""
+    banks, clients = _universes(spark, sf_dir)
+    _, lab = generate_eval_tables(spark, banks, clients)
+    return lab.orderBy("middle_num", "fold")

@@ -1,0 +1,300 @@
+"""M1 — per-(window, feature-pair) anomaly scoring of the log-scaled
+2-D feature points (`AA-AR.py:69-94`).
+
+The reference fits sklearn `IsolationForest(n_estimators=100)` per
+(window, pair) and uses `-decision_function + 0.5` — which is exactly the
+canonical iForest anomaly score s(x) = 2^(−E[h(x)]/c(ψ)) (Liu, Ting, Zhou,
+ICDM 2008). sklearn is not in this environment, so the forest is a
+self-contained seeded NumPy implementation of that public algorithm,
+executed as `applyInPandas` over (window_start, pair_id) groups — each
+group is ≤ #accounts rows, embarrassingly parallel across 66 pairs × W
+windows, Arrow-batched (no per-row Python).
+
+The reference leaves the forest UNSEEDED (nondeterministic —
+SURVEY §7.4); we seed per (window, pair) for reproducibility.
+
+A deterministic alternate scorer with identical operator shape —
+2-D Mahalanobis distance — is exposed for the DuckDB oracle
+(SQL-expressible; the forest itself is rows-only checkable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import edges
+from ..operators.features import WINDOWED_FEATS_CTE, account_features, iforest_points
+
+N_ESTIMATORS = 100
+MAX_SAMPLES = 256
+EULER_GAMMA = 0.5772156649015329
+
+
+def _avg_path(n: float) -> float:
+    """c(n): average unsuccessful-search path length of a BST of n nodes."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (np.log(n - 1) + EULER_GAMMA) - 2.0 * (n - 1) / n
+
+
+def _avg_path_vec(n: np.ndarray) -> np.ndarray:
+    """Vectorized c(n) (0 for n ≤ 1)."""
+    n = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n)
+    m = n > 1
+    nm = n[m]
+    out[m] = 2.0 * (np.log(nm - 1) + EULER_GAMMA) - 2.0 * (nm - 1) / nm
+    return out
+
+
+def _tree_paths(X: np.ndarray, sample_idx: np.ndarray, rng: np.random.RandomState,
+                depth_limit: int) -> np.ndarray:
+    """Expected path length of EVERY row of X under one random tree built
+    on X[sample_idx].
+
+    Level-synchronous construction: the whole level's nodes split in a
+    handful of vectorized ops (bincount sizes, ufunc.at min/max extents,
+    batched dim/threshold draws, one comparison routing every point) —
+    Python-loop cost is O(depth), not O(nodes), which is what makes 100
+    trees × 66 pairs × W windows tractable inside a pandas UDF."""
+    n, d = X.shape
+    depths_out = np.zeros(n)
+    Xs = X[sample_idx]
+    pa_s = np.zeros(len(Xs), dtype=np.int64)   # sample row -> node id
+    pa_e = np.zeros(n, dtype=np.int64)         # eval row -> node id
+    alive = np.ones(n, dtype=bool)
+    n_nodes = 1
+    for depth in range(depth_limit + 1):
+        if n_nodes == 0 or not alive.any():
+            break
+        sizes = np.bincount(pa_s, minlength=n_nodes)
+        lo = np.full((n_nodes, d), np.inf)
+        hi = np.full((n_nodes, d), -np.inf)
+        for k in range(d):
+            np.minimum.at(lo[:, k], pa_s, Xs[:, k])
+            np.maximum.at(hi[:, k], pa_s, Xs[:, k])
+        splittable = (hi > lo).any(axis=1)
+        is_leaf = (sizes <= 1) | (depth == depth_limit) | ~splittable
+
+        # index via the alive subset only — finalized points hold stale
+        # node ids from earlier levels
+        alive_idx = np.flatnonzero(alive)
+        leaf_sub = is_leaf[pa_e[alive_idx]]
+        if leaf_sub.any():
+            done = alive_idx[leaf_sub]
+            depths_out[done] = depth + _avg_path_vec(sizes[pa_e[done]])
+            alive[done] = False
+
+        active = ~is_leaf
+        n_active = int(active.sum())
+        if n_active == 0:
+            break
+        # split dim: uniform among non-degenerate dims of each node
+        valid = hi > lo
+        nvalid = valid.sum(axis=1)
+        r = rng.random_sample(n_nodes)
+        k_idx = np.minimum((r * np.maximum(nvalid, 1)).astype(np.int64), np.maximum(nvalid - 1, 0))
+        cum = np.cumsum(valid, axis=1) - 1
+        q = np.argmax(cum == k_idx[:, None], axis=1)
+        ar = np.arange(n_nodes)
+        u = rng.random_sample(n_nodes)
+        p = lo[ar, q] + u * (hi[ar, q] - lo[ar, q])
+
+        # renumber: children of the i-th active node get ids 2i / 2i+1
+        rank = np.cumsum(active) - 1
+        keep_s = active[pa_s]
+        Xs = Xs[keep_s]
+        node_s = pa_s[keep_s]
+        right_s = Xs[np.arange(len(Xs)), q[node_s]] >= p[node_s]
+        pa_s = 2 * rank[node_s] + right_s
+
+        node_e = pa_e[alive]
+        Xe = X[alive]
+        right_e = Xe[np.arange(len(Xe)), q[node_e]] >= p[node_e]
+        pa_e[alive] = 2 * rank[node_e] + right_e
+        n_nodes = 2 * n_active
+    # safety: anything still alive (cannot happen) closes at depth_limit
+    if alive.any():
+        depths_out[alive] = depth_limit
+    return depths_out
+
+
+def iforest_scores(X: np.ndarray, n_estimators: int = N_ESTIMATORS,
+                   max_samples: int = MAX_SAMPLES, seed: int = 0) -> np.ndarray:
+    """Anomaly scores in (0, 1): 2^(−E[h]/c(ψ)). Equals sklearn's
+    `-decision_function + 0.5` under contamination='auto'."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    psi = min(max_samples, n)
+    if psi <= 1:
+        # degenerate group: c(1)=0 → the score formula is undefined;
+        # a lone point is neither in- nor outlier → neutral 0.5
+        return np.full(n, 0.5)
+    depth_limit = int(np.ceil(np.log2(max(psi, 2))))
+    depths = np.zeros(n)
+    for _ in range(n_estimators):
+        sample = rng.choice(n, psi, replace=False)
+        depths += _tree_paths(X, sample, rng, depth_limit)
+    return 2.0 ** (-(depths / n_estimators) / _avg_path(psi))
+
+
+def anomaly_scores(points: DataFrame, n_estimators: int = N_ESTIMATORS) -> DataFrame:
+    """applyInPandas per (window_start, pair_id): fit+score the group's
+    2-D points. Output (window_start, account, pair_id, score)."""
+
+    def fit_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        # stable per-group seed → reproducible across retries/partitionings
+        seed = (hash((int(key[1]), pdf["window_start"].iloc[0].value)) & 0x7FFFFFFF)
+        s = iforest_scores(X, n_estimators=n_estimators, seed=seed)
+        return pd.DataFrame(
+            {
+                "window_start": pdf["window_start"],
+                "account": pdf["account"],
+                "pair_id": pdf["pair_id"],
+                "score": s,
+            }
+        )
+
+    return (
+        points.repartition("window_start", "pair_id")
+        .groupBy("window_start", "pair_id")
+        .applyInPandas(
+            fit_score,
+            "window_start timestamp, account long, pair_id int, score double",
+        )
+    )
+
+
+def mahalanobis_scores(points: DataFrame) -> DataFrame:
+    """Deterministic alternate scorer, same operator shape: squared 2-D
+    Mahalanobis distance of each point from its (window, pair) group —
+    pure column expressions over grouped moments (oracle-checkable).
+    Groups with a singular covariance (σ=0 or |ρ|=1) are dropped."""
+    g = points.groupBy("window_start", "pair_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cxy = F.col("sxy") / n - mx * my
+    det = vx * vy - cxy * cxy
+    stats = g.select(
+        "window_start", "pair_id", mx.alias("mx"), my.alias("my"),
+        vx.alias("vx"), vy.alias("vy"), cxy.alias("cxy"), det.alias("det"),
+    ).filter(F.col("det") > 0)
+    j = points.join(stats, ["window_start", "pair_id"])
+    dx, dy = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    d2 = (F.col("vy") * dx * dx - 2 * F.col("cxy") * dx * dy + F.col("vx") * dy * dy) / F.col("det")
+    return j.select(
+        "window_start", "account", "pair_id", F.round(d2, 6).alias("score")
+    )
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iforest_points(account_features(edges(spark, sf_dir), window=True))
+
+
+@query("anomaly_scores_iforest")
+def q_anomaly_scores_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: seeded NumPy Isolation Forest per (window, pair) — rows-only
+    check (nondeterministic-by-algorithm; semantics pinned by unit tests)."""
+    return anomaly_scores(_points(spark, sf_dir)).orderBy(
+        "window_start", "pair_id", "account"
+    )
+
+
+_MAHA_SQL = (
+    WINDOWED_FEATS_CTE
+    + """,
+    pairs AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.fid, b.fid) - 1 AS INTEGER) AS pair_id,
+               a.fid AS f1, b.fid AS f2
+        FROM (SELECT UNNEST(range(12)) AS fid) a
+        JOIN (SELECT UNNEST(range(12)) AS fid) b ON a.fid < b.fid
+    ),
+    pts AS (
+        SELECT f.window_start, f.account, p.pair_id, {v1} AS v1, {v2} AS v2
+        FROM feats f CROSS JOIN pairs p
+    ),
+    lpts AS (
+        SELECT window_start, account, pair_id,
+               ROUND(LOG10(v1 + 1), 8) AS x, ROUND(LOG10(v2 + 1), 8) AS y
+        FROM pts WHERE v1 <> 0 AND v2 <> 0
+    ),
+    g AS (
+        SELECT window_start, pair_id, COUNT(*) AS n,
+               ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
+               ROUND(SUM(x * x), 6) AS sxx, ROUND(SUM(y * y), 6) AS syy,
+               ROUND(SUM(x * y), 6) AS sxy
+        FROM lpts GROUP BY window_start, pair_id
+    ),
+    stats AS (
+        SELECT window_start, pair_id,
+               sx / n AS mx, sy / n AS my,
+               sxx / n - (sx / n) * (sx / n) AS vx,
+               syy / n - (sy / n) * (sy / n) AS vy,
+               sxy / n - (sx / n) * (sy / n) AS cxy,
+               (sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))
+                   - (sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n)) AS det
+        FROM g
+    )
+    SELECT l.window_start, l.account, l.pair_id,
+           ROUND((s.vy * (l.x - s.mx) * (l.x - s.mx)
+                  - 2 * s.cxy * (l.x - s.mx) * (l.y - s.my)
+                  + s.vx * (l.y - s.my) * (l.y - s.my)) / s.det, 6) AS score
+    FROM lpts l JOIN stats s
+      ON l.window_start = s.window_start AND l.pair_id = s.pair_id
+    WHERE s.det > 0
+    ORDER BY l.window_start, l.pair_id, l.account
+    """
+)
+
+# reuse the CASE-pick fragments from features.py to select v1/v2 by fid
+from ..operators.features import _case_pick  # noqa: E402
+
+_MAHA_SQL = _MAHA_SQL.format(
+    v1=_case_pick("v1", "p.f1").replace(" AS v1", ""),
+    v2=_case_pick("v2", "p.f2").replace(" AS v2", ""),
+)
+
+
+@query("anomaly_scores_mahalanobis", oracle=_MAHA_SQL)
+def q_anomaly_scores_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 alternate: deterministic Mahalanobis scorer, full value-hash
+    oracle — pins the whole feature→pair→filter→log pipeline upstream of
+    the forest."""
+    return mahalanobis_scores(_points(spark, sf_dir)).orderBy(
+        "window_start", "pair_id", "account"
+    )
+
+
+@query(
+    "focus_plot_sum",
+    oracle="WITH scored AS (" + _MAHA_SQL.replace("ORDER BY l.window_start, l.pair_id, l.account", "") + """)
+    SELECT account, pair_id, ROUND(SUM(score), 6) AS tot_score
+    FROM scored GROUP BY account, pair_id
+    ORDER BY account, pair_id
+    """,
+)
+def q_focus_plot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: element-wise sum of focus plots across windows
+    (`AA-AR.py:129` sum_graph), over the deterministic scorer."""
+    scored = mahalanobis_scores(_points(spark, sf_dir))
+    return (
+        scored.groupBy("account", "pair_id")
+        # addends are 6dp-exact (rounded upstream) → a 6dp round of their
+        # sum cannot sit on a boundary
+        .agg(F.round(F.sum("score"), 6).alias("tot_score"))
+        .orderBy("account", "pair_id")
+    )

@@ -31,7 +31,13 @@ def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None 
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing merges small shuffle partitions by BYTE size; our
+        # pandas-UDF stages (iforest, sketches) are CPU-bound per row, so
+        # at test scale (~MBs) it collapses them to 1 partition and
+        # serializes the forest (measured 35s -> 5.5s at sf0.01 off).
+        # On a real cluster partitions exceed the advisory size and
+        # re-enabling is free; locally the extra empty tasks cost ~ms.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
