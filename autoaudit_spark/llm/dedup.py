@@ -1,0 +1,297 @@
+"""X5/X6 — deduplication for large-scale training-data pipelines: exact
+(content hash), MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+
+Reference surface: the reference's only dedup is edge-set semantics
+(`smurf_generator.py:50` — U1); these operators are the north-star
+extensions (BASELINE.json) designed Spark-first for 100 TB:
+
+- exact dedup: one hash-shuffle on the 256-bit content hash; no text
+  comparison ever crosses the wire (hash first, group after).
+- MinHash+LSH: shingle → 64 permuted min-hashes (pure JVM column
+  expressions over `xxhash64` — no UDF) → band buckets → candidates join
+  only within buckets (the quadratic blowup is confined to collisions)
+  → exact-Jaccard verification of candidates only.
+- SimHash: 64-bit signature via per-bit majority vote of token hashes,
+  computed by explode + bit arithmetic + grouped sums; near-dups found by
+  band-equality join + popcount(xor) ≤ k verification.
+- n-gram Jaccard: exact pairwise set overlap via shingle explode +
+  self-join + group count — the oracle-checkable ground truth the
+  probabilistic variants approximate.
+
+All tokenization is `split(trim(text), '\\s+')` — byte-identical in
+DuckDB (`regexp_split_to_array`), so the Jaccard oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+JACCARD_THRESHOLD = 0.2
+SHINGLE_K = 3
+MINHASH_PERMS = 64
+LSH_BANDS = 16            # 16 bands × 4 rows
+SIMHASH_HAMMING_MAX = 3
+
+# fixed affine permutation constants for MinHash (public textbook scheme:
+# h_i(x) = (a_i * x + b_i) mod p). p = 2^31−1 keeps a_i·h < 2^62 — inside
+# signed-64 range, so the expression survives Spark's ANSI overflow check.
+_P = (1 << 31) - 1
+_A = [((2 * i + 1) * 2654435761) % _P or 1 for i in range(MINHASH_PERMS)]
+_B = [(i * 40503 + 2654435769) % _P for i in range(MINHASH_PERMS)]
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle): word k-grams as space-joined strings; per-doc
+    DISTINCT (set semantics)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return (
+        toks.filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice("t", i + 1, k))
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY content_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: content-hash dedup — hash each doc (sha2-256), group on the
+    hash, keep the smallest doc_id. At 100 TB only 32-byte hashes
+    shuffle; the text column is pruned before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 exact n-gram Jaccard (ground truth for the probabilistic variants)
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+        WHERE len(t) >= {SHINGLE_K}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc1, i.doc2,
+           ROUND(CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both) >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 exact: shingle-set Jaccard ≥ τ via explode + equi-self-join on
+    the shingle + group counts. Quadratic only within identical shingles
+    — at scale this is what LSH bounds; kept exact here as the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("both"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"})
+    jac = F.col("both").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("both"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 MinHash + LSH (scale path; JVM-only expressions)
+# ---------------------------------------------------------------------------
+def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig array<long>): min over shingles of (a_i·h + b_i) mod p,
+    h = non-negative xxhash64 of the shingle. Pure column expressions —
+    one grouped aggregation computes all permutations."""
+    h = F.abs(F.xxhash64("shingle")) % _P
+    aggs = [
+        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % _P).alias(f"m{i}")
+        for i in range(perms)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig")
+    )
+
+
+@query("near_dup_minhash_lsh")
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 LSH: band the 64-perm signature into 16×4, bucket-join on
+    (band_id, band hash), verify candidates with exact Jaccard. Only
+    bucket collisions are compared — the 100 TB-safe plan. Rows-only
+    (hash functions differ across engines); the Jaccard verifier is
+    oracle-pinned separately."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).persist()
+    sig = minhash_signatures(sh)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # exact verification of candidates only: candidate pairs × doc1's
+    # shingles, then equi-join on (doc2, shingle) keeps intersection rows
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.withColumnRenamed("doc_id", "doc1")
+    s2 = sh.withColumnRenamed("doc_id", "doc2")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("both"))
+    )
+    z1 = sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"})
+    z2 = sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"})
+    jac = F.col("both").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("both"))
+    return (
+        inter.join(z1, "doc1")
+        .join(z2, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): per-bit majority vote over token xxhash64s
+    — explode + 64 conditional sums + bit reassembly, all JVM-side."""
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query("near_dup_simhash")
+def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 SimHash: 4×16-bit band join, verify popcount(xor) ≤ 3.
+    Rows-only (xxhash64 engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )

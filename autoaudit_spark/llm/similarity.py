@@ -1,0 +1,204 @@
+"""X6 — similarity search over the embedding column (`embeddings.embedding`,
+array<float> len 64).
+
+Two plans, same results contract:
+- brute-force cosine top-k (the correctness baseline): query-set ⋈ corpus
+  with the dot product as a JVM higher-order expression
+  (`aggregate(zip_with(...))` — no Python in the hot loop), window top-k.
+  O(|Q|·N·d) — exact, oracle-checked against DuckDB list functions.
+- random-hyperplane LSH buckets (the scale path): 16 seeded hyperplanes →
+  sign-bit signature → candidates share a bucket → cosine only within
+  buckets. O(N·d·planes + collisions·d). Recall < 1 by design; rows-only.
+
+Cross-engine exactness for the oracle: both engines cast float32 → double
+FIRST, then multiply-and-sum in element order — bit-identical; the final
+round(6) only absorbs libm sqrt ulps.
+
+Embedding-cosine near-dup (pairs ≥ τ) rides the same kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 5
+N_QUERIES = 20          # vec_id < 20 form the demo query set
+LSH_PLANES = 16
+# testdata embeddings are near-isotropic (max pairwise cos ≈ 0.51 at
+# sf0.01), so a classic 0.8 dedup threshold matches nothing; 0.35 sits at
+# the ~99.9th percentile of the pair distribution and exercises the operator
+NEAR_DUP_COS = 0.35
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DUCK_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_DUCK_COS}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 brute-force: exact cosine top-5 for each of the first 20
+    vectors. Corpus side streams; only the query set broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv"}
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "near_dup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 500)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND({_DUCK_COS}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= {NEAR_DUP_COS}
+    ORDER BY id1, id2
+    """,
+)
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: embedding-cosine near-dup pairs ≥ τ (bounded to the first 500
+    vectors for the exact oracle; the LSH variant is the unbounded path)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", _dvec("embedding").alias("v"))
+    )
+    a = emb.withColumnsRenamed({"vec_id": "id1", "v": "v1"})
+    b = emb.withColumnsRenamed({"vec_id": "id2", "v": "v2"})
+    cos = cosine_sim(F.col("v1"), F.col("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(cos >= NEAR_DUP_COS)
+        .select("id1", "id2", F.round(cos, 6).alias("cos_sim"))
+        .orderBy("id1", "id2")
+    )
+
+
+def hyperplanes(dim: int = 64, planes: int = LSH_PLANES, seed: int = 7) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(planes, dim))
+
+
+def lsh_bucket(emb: DataFrame, planes: np.ndarray, tables: int = 2) -> DataFrame:
+    """(vec_id, v, table_id, bucket): sign-bit signatures over seeded
+    hyperplanes, split into `tables` independent tables (planes/tables
+    bits each — multiple shorter tables trade precision for recall, the
+    standard random-hyperplane configuration). Plane matrix is compiled
+    into the plan as literals (tiny)."""
+    per = len(planes) // tables
+    sigs = []
+    for t in range(tables):
+        sig = None
+        for i in range(per):
+            p = planes[t * per + i]
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(_dot(F.col("v"), plane) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig + term
+        sigs.append(sig)
+    return emb.select(
+        "vec_id", "v", F.posexplode(F.array(*sigs)).alias("table_id", "bucket")
+    )
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 scale path: cosine top-k within LSH buckets only. Approximate
+    (recall < 1) → rows-only; accuracy vs brute force is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    bucketed = lsh_bucket(emb, hyperplanes()).persist()
+    qs = bucketed.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv", "bucket": "qbucket", "table_id": "qtable"}
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(qs),
+            (F.col("table_id") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .distinct()  # a pair may collide in several tables
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

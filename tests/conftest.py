@@ -7,6 +7,9 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from autoaudit_spark.session import get_spark
+from autoaudit_spark.registry import load_all
+
+load_all()
 
 SF_DIR = "/root/testdata/sf0.001"
 
