@@ -1,0 +1,74 @@
+"""Per-round benchmark: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a `noop` write (full computation on
+executors, zero driver collection cost) after a warm-up of the session and
+input file listing. The headline set spans every layer: relational core,
+graph self-join, windowed features, mining (iforest scoring + sketches +
+MDL blocks), and the LLM extensions (minhash dedup, ANN, text).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from autoaudit_spark import registry
+from autoaudit_spark.session import get_spark
+
+registry.load_all()
+
+# Headline queries — one per architectural layer (SURVEY.md §2).
+HEADLINE = [
+    "pricing_summary",        # relational: scan + group agg (TPC-H Q1 shape)
+    "two_hop_candidates",     # graph: self-join + agg + having (flagship)
+    "relabel_reorder",        # graph: double broadcast relabel join
+    "windowed_features",      # temporal: sliding windows × 12-feature agg
+    "anomaly_scores_mahalanobis",  # mining: per (window,pair) scoring
+    "sketch_values",          # mining: broadcast membership join + sum
+    "smurf_blocks",           # mining: MDL greedy search (driver loop + jobs)
+    "near_dup_minhash_lsh",   # llm: shingle → minhash → band join
+    "ann_cosine_topk",        # llm: brute-force cosine top-k
+    "token_stats",            # llm: text metrics over documents
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Warm the JVM + file listing so q1 doesn't pay session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
