@@ -1,0 +1,311 @@
+"""Structured Streaming layer (SURVEY §2.9).
+
+The reference is batch-only, but its pipeline is a textbook streaming
+topology: sliding event-time windows (`AA-AR.py:97-104`) → per-window
+aggregation → stateful change detection over the sketch stream
+(`AA-AR.py:234-241`). Spark-first, the SAME `F.window` grouping code runs
+in both modes; here we wire the streaming side:
+
+- T1/T2: file-source replay of `events.parquet` → watermark → sliding
+  window agg. Registered as a `queries()` entry that drains the stream
+  with `trigger(availableNow=True)` into a memory sink and returns the
+  result relation — so the driver's DuckDB oracle value-hash-checks a
+  genuine Structured Streaming execution against the batch SQL.
+- T4: `F.session_window` sessionization per user (the streaming-native
+  form of the batch lag-gap `user_sessions` query).
+- T3: change-point scoring as a stateful operator —
+  `applyInPandasWithState` keeps the trailing sketch vectors (back_ws ×
+  n_sketch floats, bounded state) and emits a change score the moment a
+  window's sketch column is complete. Same math as `mining.change` (the
+  batch path); parity is unit-tested.
+
+Scale posture: the streaming aggregation state is bounded by the
+watermark; the T3 state is O(back_ws × n_sketch) floats per key —
+independent of data volume. File replay is only the test harness; a real
+deployment swaps the source for Kafka with zero plan changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..registry import query
+
+#: sliding window geometry — `AA-AR.py:277,97` (14 ticks, 0.5 overlap)
+WINDOW, SLIDE = "14 days", "7 days"
+SESSION_GAP = "1 hour"
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None) -> DataFrame:
+    """`events` as an unbounded source: parquet file replay with the same
+    ns→us timestamp normalization as the batch loader (sources/tables.py).
+    Streaming reads need an explicit schema — taken from a batch peek
+    (cheap: footer only)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as LONG ns
+    # the file stream source wants a DIRECTORY; testdata ships one parquet
+    # FILE per table → stream the dir with a filename glob
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    sdf = reader.parquet(sf_dir)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming relation to completion (`availableNow` trigger —
+    process everything queued, then stop) into a memory sink; return the
+    materialized result. This is a real incremental execution, not a
+    batch rewrite: state store, watermarks, and micro-batch planning all
+    engage."""
+    spark = sdf.sparkSession
+    ck = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T1 + T2: sliding event-time windows with watermark
+# ---------------------------------------------------------------------------
+def windowed_event_stats_stream(events: DataFrame) -> DataFrame:
+    """Identical aggregation to the batch `window_event_stats` query —
+    the grouping key IS the sliding window. Watermark = window length:
+    late rows beyond one full window are dropped, matching the
+    reference's complete-windows-only behavior (`AA-AR.py:103-104`)."""
+    return (
+        events.withWatermark("ts", WINDOW)
+        .groupBy(F.window("ts", WINDOW, SLIDE).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("tot_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "tot_value",
+            (F.col("tot_value") / F.col("n_events")).alias("mean_value"),
+        )
+    )
+
+
+@query(
+    "stream_window_event_stats",
+    oracle="""
+    WITH wev AS (
+        SELECT make_timestamp(((epoch_us(ts) // 604800000000) - k.k) * 604800000000)
+                   AS window_start,
+               event_type, value
+        FROM events, (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS tot_value,
+           ROUND(SUM(value), 2) / COUNT(*) AS mean_value
+    FROM wev GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 through the actual streaming engine, hash-checked against the
+    same DuckDB oracle as the batch twin (batch/stream parity)."""
+    out = drain(
+        windowed_event_stats_stream(stream_events(spark, sf_dir)),
+        "stream_window_event_stats",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T4: session windows
+# ---------------------------------------------------------------------------
+def user_sessions_stream(events: DataFrame) -> DataFrame:
+    """`F.session_window`: per-user sessions that extend while successive
+    events arrive within SESSION_GAP. A new session starts when the gap is
+    ≥ the gap duration (half-open window semantics)."""
+    return (
+        events.withWatermark("ts", SESSION_GAP)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("tot_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "tot_value",
+        )
+    )
+
+
+@query(
+    "stream_user_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS tot_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 via the streaming engine. Session end = last event + gap
+    (Spark's definition); the oracle reproduces it with the lag-gap
+    running-sum construction. Gap ties (== 1 hour) split in BOTH engines
+    (Spark: event at window end is outside the half-open window; oracle:
+    `>=`)."""
+    out = drain(
+        user_sessions_stream(stream_events(spark, sf_dir)),
+        "stream_user_sessions",
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# T3: stateful change-point detection over the sketch stream
+# ---------------------------------------------------------------------------
+def stateful_change_scores(
+    sketches: DataFrame, n_sketch: int, back_ws: int = 4
+) -> DataFrame:
+    """`applyInPandasWithState` over (window_start, sketch_id, value):
+    state = the trailing sketch triples not yet scored; as soon as a
+    window's sketch column is complete AND it has back_ws complete
+    predecessors, its change score is emitted (same math as
+    mining.change.change_scores_from_matrix — SVD of the trailing
+    history, cosine distance, argmax ratio).
+
+    State is bounded: completed-and-scored windows older than the deepest
+    lookback are pruned, so the store holds O(back_ws · n_sketch) floats
+    per key regardless of stream length."""
+    from ..mining.change import change_scores_from_matrix
+
+    out_schema = "window_start long, z double, max_sketch integer"
+    state_schema = (
+        "ws array<long>, sid array<integer>, val array<double>, last_ws long"
+    )
+
+    def score(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ws, sid, val, last_ws = (
+            state.get if state.exists else ([], [], [], -(1 << 62))
+        )
+        ws, sid, val = list(ws), list(sid), list(val)
+        for pdf in pdfs:
+            ws.extend(int(x) for x in pdf["window_start"])
+            sid.extend(int(x) for x in pdf["sketch_id"])
+            val.extend(float(x) for x in pdf["value"])
+
+        counts: dict[int, int] = {}
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+        complete = sorted(w for w, c in counts.items() if c == n_sketch)
+
+        rows = []
+        if len(complete) > back_ws and complete[-1] > last_ws:
+            mat = np.zeros((len(complete), n_sketch))
+            pos = {w: i for i, w in enumerate(complete)}
+            for w, s, v in zip(ws, sid, val):
+                if w in pos:
+                    mat[pos[w], s] = v
+            # re-scores the retained tail; `last_ws` gates re-emission
+            scored = change_scores_from_matrix(complete, mat, back_ws)
+            rows = [(w, z, mx) for w, z, mx in scored if w > last_ws]
+            last_ws = complete[-1]
+
+        # prune scored history: a future window i needs lookback
+        # i−back_ws..i−2, so the trailing back_ws complete windows (plus
+        # any incomplete stragglers) are all the state that must survive
+        if complete:
+            horizon = complete[max(0, len(complete) - (back_ws + 1))]
+            keep = [
+                i
+                for i, w in enumerate(ws)
+                if w >= horizon or counts.get(w, 0) < n_sketch
+            ]
+            ws = [ws[i] for i in keep]
+            sid = [sid[i] for i in keep]
+            val = [val[i] for i in keep]
+
+        state.update((ws, sid, val, last_ws))
+        if rows:
+            yield pd.DataFrame(rows, columns=["window_start", "z", "max_sketch"])
+
+    return (
+        sketches.withColumn("k", F.lit(0))
+        .groupBy("k")
+        .applyInPandasWithState(
+            score,
+            StructType.fromDDL(out_schema),
+            StructType.fromDDL(state_schema),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query("stream_change_scores")
+def q_stream_change_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 end-to-end: batch-built sketch values replayed through a file
+    stream into the stateful scorer. Rows-only (SVD + seeded permutations
+    aren't SQL); batch/stream score parity is unit-tested."""
+    from ..mining.sketch import build_sketches
+
+    n_sketch = 64
+    vals, _, _ = build_sketches(spark, sf_dir, sketch_num=n_sketch)
+    replay_dir = tempfile.mkdtemp(prefix="sketch_replay_")
+    (
+        vals.select(
+            F.unix_micros("window_start").alias("window_start"),
+            F.col("sketch_id").cast("int").alias("sketch_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(replay_dir)
+    )
+    stream = (
+        spark.readStream.schema("window_start long, sketch_id int, value double")
+        .parquet(replay_dir)
+    )
+    out = drain(
+        stateful_change_scores(stream, n_sketch=n_sketch),
+        "stream_change_scores",
+        output_mode="append",
+    )
+    return out.select(
+        F.timestamp_micros("window_start").alias("window_start"), "z", "max_sketch"
+    ).orderBy("window_start")
