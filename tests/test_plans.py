@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the properties that decide whether a query
+survives a 100× scale-up — predicate pushdown to the parquet scan, column
+pruning, broadcast joins for small dimensions, no accidental cartesian
+products — locked in as tests so a refactor that silently loses one fails
+CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def plan(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from autoaudit_spark.registry import QUERIES
+
+    return QUERIES
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestScanHygiene:
+    def test_filter_pushdown_reaches_parquet(self, spark, q):
+        p = plan(q["filter_project"](spark, SF))
+        assert "PushedFilters: [" in p
+        # at least one real pushed predicate, not an empty list
+        assert re.search(r"PushedFilters: \[.*(GreaterThan|LessThan|IsNotNull|EqualTo)", p)
+
+    def test_column_pruning_two_hop(self, spark, q):
+        """The 2-hop self-join needs only (user_id, event_id) — the scan
+        must not read value/props/ts."""
+        p = plan(q["two_hop_candidates"](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas, p
+        for s in schemas:
+            assert "props" not in s and "value" not in s
+
+    def test_dedup_exact_scans_only_needed_columns(self, spark, q):
+        p = plan(q["dedup_exact"](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "lang" not in s and "source" not in s
+
+
+class TestJoinStrategy:
+    def test_relabel_uses_broadcast_joins(self, spark, q):
+        """Rank-map relabeling: two joins against a node-sized dimension —
+        both must broadcast (no shuffle of the big edge relation)."""
+        p = plan(q["relabel_reorder"](spark, SF))
+        assert "BroadcastHashJoin" in p
+
+    def test_two_hop_join_is_equi_join(self, spark, q):
+        p = plan(q["two_hop_candidates"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_ann_broadcasts_query_side(self, spark, q):
+        """Brute-force ANN: the 20-vector query set broadcasts; the corpus
+        streams. A shuffle of the corpus here would be a scale bug."""
+        p = plan(q["ann_cosine_topk"](spark, SF))
+        assert "Broadcast" in p
+
+    def test_sketch_membership_broadcasts(self, spark, q):
+        p = plan(q["sketch_values"](spark, SF))
+        assert "BroadcastHashJoin" in p
+
+
+class TestAggregation:
+    def test_pricing_summary_has_partial_agg(self, spark, q):
+        """Map-side combine: two HashAggregates (partial + final) around
+        one exchange — the shuffle carries group states, not raw rows."""
+        p = plan(q["pricing_summary"](spark, SF))
+        assert len(re.findall(r"HashAggregate", p)) >= 2
+        assert "Exchange" in p
+
+    def test_codegen_covers_relational_core(self, spark, q):
+        """The hot relational path must stay inside whole-stage codegen
+        (JVM, vectorized) — no Python evaluation nodes."""
+        for name in ("pricing_summary", "revenue_by_nation", "two_hop_candidates"):
+            df = q[name](spark, SF)
+            # AQE shows codegen spans only in `codegen` mode pre-execution
+            c = plan(df, "codegen")
+            assert re.search(r"Found \d+ WholeStageCodegen subtrees", c), name
+            p = plan(df)
+            assert "BatchEvalPython" not in p, name
+            assert "ArrowEvalPython" not in p, name
+
+    def test_no_python_udf_in_llm_sql_path(self, spark, q):
+        """Text analysis + dedup are pure column expressions by design —
+        the Python boundary exists only where the algorithm demands it
+        (iforest scoring, media decode)."""
+        for name in ("token_stats", "lang_id", "dedup_exact", "near_dup_minhash_lsh"):
+            p = plan(q[name](spark, SF))
+            assert "BatchEvalPython" not in p, name
