@@ -545,3 +545,27 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X9: approximate aggregates — the 100 TB posture for A1/A5
+# ---------------------------------------------------------------------------
+@query("approx_distinct_stats")
+def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: `approx_count_distinct` (HyperLogLog++) and `percentile_approx`
+    (KLL-style quantile sketch) as the documented scale alternates to the
+    exact A1/A5 — at 100 TB an exact distinct is a full shuffle of the key
+    universe; the sketches are fixed-size mergeable state. Rows-only:
+    sketch estimates are engine-specific by construction (exactness is
+    pinned by the A1/A5 oracle twins; here the unit test pins the
+    tolerance vs the exact values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

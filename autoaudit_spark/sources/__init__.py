@@ -1,3 +1,3 @@
-from .tables import TABLES, load_table, load_tables, edges, adjacency, EDGES_SQL, DST_MOD
+from .tables import TABLES, load_table, load_tables, load_csv_edges, edges, adjacency, EDGES_SQL, DST_MOD
 
-__all__ = ["TABLES", "load_table", "load_tables", "edges", "adjacency", "EDGES_SQL", "DST_MOD"]
+__all__ = ["TABLES", "load_table", "load_tables", "load_csv_edges", "edges", "adjacency", "EDGES_SQL", "DST_MOD"]

@@ -45,6 +45,10 @@ TABLES = (
 DST_MOD = 150
 
 #: DuckDB CTE equivalent of :func:`edges` — prepend to oracle SQL.
+#: CSV timestamp format carrying full microsecond precision (S2 loader +
+#: any writer meant to round-trip through it).
+CSV_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
 EDGES_SQL = (
     "SELECT user_id AS src, CAST(event_id % 150 AS BIGINT) AS dst, "
     "value AS weight, ts FROM events"
@@ -88,3 +92,25 @@ def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never materializes N×N; at 100 TB the dense form is impossible.
     """
     return edges(spark, sf_dir).select("src", "dst").distinct()
+
+
+def load_csv_edges(
+    spark: SparkSession, path: str, sep: str = ",", columns: list[str] | None = None
+) -> DataFrame:
+    """S2/S3: edge-list CSV scan with explicit schema (no inference), header
+    skip, configurable delimiter, optional column projection, null-drop —
+    `pd.read_csv(dtype=int, skiprows=1, names=[...])` at `AA-AR.py:286-287`
+    and `pd.read_csv(sep=';', usecols=[...]).dropna()` at
+    `smurf_generator.py:45`, as one declarative scan. Projection and the
+    not-null predicates reach the CSV reader via Catalyst."""
+    schema = "src LONG, dst LONG, weight DOUBLE, ts TIMESTAMP"
+    df = (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        # micros-precision: the default CSV format truncates to millis
+        .option("timestampFormat", CSV_TS_FORMAT)
+        .schema(schema)
+        .csv(path)
+        .na.drop()
+    )
+    return df.select(*columns) if columns else df

@@ -59,3 +59,21 @@ def test_relabel_preserves_edge_count(spark):
     out = relabel(adj, rank_map)
     assert out.count() == 3
     assert sorted((r.src, r.dst) for r in out.collect()) == [(0, 1), (1, 2), (2, 0)]
+
+
+def test_csv_edge_scan_round_trip(spark, sf_dir, tmp_path):
+    """S2/S3: schema'd CSV scan == the parquet edge relation it was
+    written from; null rows dropped; projection works."""
+    from autoaudit_spark.sources import edges, load_csv_edges
+    from autoaudit_spark.sources.tables import CSV_TS_FORMAT
+
+    e = edges(spark, sf_dir).limit(200)
+    out = str(tmp_path / "edges_csv")
+    e.write.option("header", True).option("timestampFormat", CSV_TS_FORMAT).mode("overwrite").csv(out)
+    back = load_csv_edges(spark, out)
+    assert back.count() == 200
+    a = {tuple(r) for r in e.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    proj = load_csv_edges(spark, out, columns=["src", "dst"])
+    assert proj.columns == ["src", "dst"]

@@ -118,3 +118,30 @@ class TestMultimodal:
         assert len(rows) == 500
         r0 = next(r for r in rows if r["doc_id"] == 0)
         assert r0["format"] == "fake" and r0["payload_bytes"] > 0
+
+
+class TestApproxAggregates:
+    def test_approx_tracks_exact_within_rsd(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        approx = {
+            r["event_type"]: (r["approx_users"], r["approx_median_value"])
+            for r in QUERIES["approx_distinct_stats"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        exact = {
+            r["event_type"]: (r["u"], r["m"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("u"),
+                F.median("value").alias("m"),
+            )
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for et, (u, m) in exact.items():
+            au, am = approx[et]
+            assert abs(au - u) <= max(3, 0.05 * u)
+            # percentile_approx with 10k accuracy is near-exact at test scale
+            assert am == pytest.approx(m, rel=0.05)
