@@ -176,30 +176,37 @@ def mahalanobis_scores(points: DataFrame) -> DataFrame:
     pure column expressions over grouped moments (oracle-checkable).
     Groups with a singular covariance (σ=0 or |ρ|=1) are dropped.
 
-    Group moments come from ANALYTIC window aggregates over the same
-    partition key, not a groupBy + join back: the join form runs the whole
-    upstream feature pipeline twice (once per branch); this form is one
-    shuffle of `points`, period — at 100 TB that halves the job."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("window_start", "pair_id")
-    n = F.count("*").over(w)
-    sx = F.round(F.sum("x").over(w), 6)
-    sy = F.round(F.sum("y").over(w), 6)
-    sxx = F.round(F.sum(F.col("x") * F.col("x")).over(w), 6)
-    syy = F.round(F.sum(F.col("y") * F.col("y")).over(w), 6)
-    sxy = F.round(F.sum(F.col("x") * F.col("y")).over(w), 6)
-    mx, my = sx / n, sy / n
-    vx = sxx / n - mx * mx
-    vy = syy / n - my * my
-    cxy = sxy / n - mx * my
+    Shape chosen for scale: `points` is persisted once, the group moments
+    reduce through a map-side partial aggregate (the stats relation is
+    only windows × 66 rows), and the moments come BACK via a broadcast
+    join — the fact table is never shuffled or sorted. The alternatives
+    both lose at 100 TB: groupBy+join without the persist runs the whole
+    upstream feature pipeline twice, and an analytic window function
+    sort-shuffles every point row."""
+    pts = points.persist()
+    g = pts.groupBy("window_start", "pair_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cxy = F.col("sxy") / n - mx * my
     det = vx * vy - cxy * cxy
-    dx, dy = F.col("x") - mx, F.col("y") - my
-    d2 = (vy * dx * dx - 2 * cxy * dx * dy + vx * dy * dy) / det
-    return (
-        points.withColumn("score", F.when(det > 0, F.round(d2, 6)))
-        .filter(F.col("score").isNotNull())
-        .select("window_start", "account", "pair_id", "score")
+    stats = g.select(
+        "window_start", "pair_id", mx.alias("mx"), my.alias("my"),
+        vx.alias("vx"), vy.alias("vy"), cxy.alias("cxy"), det.alias("det"),
+    ).filter(F.col("det") > 0)
+    j = pts.join(F.broadcast(stats), ["window_start", "pair_id"])
+    dx, dy = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    d2 = (F.col("vy") * dx * dx - 2 * F.col("cxy") * dx * dy + F.col("vx") * dy * dy) / F.col("det")
+    return j.select(
+        "window_start", "account", "pair_id", F.round(d2, 6).alias("score")
     )
 
 

@@ -123,16 +123,17 @@ def build_sketches(
     from .iforest import _points, mahalanobis_scores
 
     scores = mahalanobis_scores(_points(spark, sf_dir)).persist()
-    accounts = sorted(
-        r["account"] for r in scores.select("account").distinct().collect()
-    )
-    aidx = {a: i for i, a in enumerate(accounts)}
-    sum_graph = np.zeros((len(accounts), PN))
-    for r in (
+    # ONE collected aggregate feeds both the account universe and the
+    # summed graph (a separate distinct() pass would re-scan the cache)
+    sum_rows = (
         scores.groupBy("account", "pair_id")
         .agg(F.sum("score").alias("s"))
         .collect()
-    ):
+    )
+    accounts = sorted({r["account"] for r in sum_rows})
+    aidx = {a: i for i, a in enumerate(accounts)}
+    sum_graph = np.zeros((len(accounts), PN))
+    for r in sum_rows:
         sum_graph[aidx[r["account"]], r["pair_id"]] = r["s"]
     perm = generate_permutation(len(accounts), sum_graph, sketch_num=sketch_num, seed=seed)
     return sketch_values(scores, accounts, perm), perm, accounts
