@@ -202,3 +202,106 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 scale path #2: IVF (inverted-file) ANN with deterministic seed
+# centroids — unlike the hash-based LSH variant this is exactly
+# reproducible in ANSI SQL, so the whole probe pipeline gets a value-hash
+# oracle. Centroids here are the first K corpus vectors (a documented
+# stand-in for k-means iterations — the IVF plumbing: assignment,
+# inverted lists, multi-probe search, is the real structure).
+# ---------------------------------------------------------------------------
+IVF_LISTS = 8
+IVF_NPROBE = 2
+
+_IVF_COS_AC = (
+    "list_dot_product(a.v, c.cv) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_IVF_COS_PA = (
+    "list_dot_product(p.qv, a.v) / "
+    "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_LISTS}),
+    scored AS (
+        SELECT a.vec_id, a.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND({_IVF_COS_AC}, 6) DESC, c.cid
+               ) AS rn
+        FROM e a CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cid
+               FROM scored WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND({_IVF_COS_PA}, 6) AS cos_sim
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS rk
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 IVF: assign every vector to its nearest of K seed centroids
+    (broadcast join — the corpus never shuffles), probe the NPROBE nearest
+    lists per query, rank only within probed lists. Search cost drops from
+    O(N) to ~O(N·nprobe/K) per query; recall<1 by design (tested against
+    brute force). Fully deterministic → exact DuckDB twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_LISTS).withColumnsRenamed(
+        {"vec_id": "cid", "v": "cv"}
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cid",
+        F.round(cosine_sim(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked_lists = scored.withColumn("rn", F.row_number().over(wa))
+    assign = ranked_lists.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    probes = (
+        ranked_lists.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

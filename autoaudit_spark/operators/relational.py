@@ -569,3 +569,95 @@ def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function surface (SURVEY §2.7 — none in the reference, which
+# treats timestamps as opaque ints; surfaced here because the engine's
+# `ts` is a real timestamp)
+# ---------------------------------------------------------------------------
+@query(
+    "date_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(datediff('day', DATE '2024-01-01', ts::DATE) AS INT) AS days_since
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function surface: truncation, calendar parts, day arithmetic.
+    Cross-engine traps pinned here: Spark weeks and DuckDB weeks both
+    start Monday; Spark `dayofweek` is 1-based Sunday=1 vs DuckDB's
+    0-based Sunday=0 (oracle shifts); both `datediff`s count calendar-day
+    boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.date_trunc("week", "ts").alias("wk"),
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("h"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (SURVEY §2.6 'not present' list — engine surface)
+# ---------------------------------------------------------------------------
+@query(
+    "intersect_except_users",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT user_id, 'both' AS segment FROM both_u
+    UNION ALL
+    SELECT user_id, 'click_only' AS segment FROM only_click
+    ORDER BY segment, user_id
+    """,
+)
+def q_intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: `intersect` and `exceptAll`-style difference on the
+    distinct user universes (semantics = SQL INTERSECT/EXCEPT DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both_u = clickers.intersect(buyers).withColumn("segment", F.lit("both"))
+    only_click = clickers.exceptAll(buyers).withColumn("segment", F.lit("click_only"))
+    return both_u.unionAll(only_click).select("user_id", "segment").orderBy("segment", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# CUBE (grouping-sets surface beyond rollup)
+# ---------------------------------------------------------------------------
+@query(
+    "cube_events",
+    oracle="""
+    SELECT event_type, CAST(year(ts) AS INT) AS y,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS tot
+    FROM events
+    GROUP BY CUBE (event_type, year(ts))
+    ORDER BY event_type NULLS FIRST, y NULLS FIRST
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, year)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.year("ts").alias("y"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tot"))
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("y").asc_nulls_first())
+    )

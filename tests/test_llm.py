@@ -145,3 +145,20 @@ class TestApproxAggregates:
             assert abs(au - u) <= max(3, 0.05 * u)
             # percentile_approx with 10k accuracy is near-exact at test scale
             assert am == pytest.approx(m, rel=0.05)
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, spark):
+        from autoaudit_spark.registry import QUERIES
+
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES["ann_cosine_topk"](spark, SF).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES["ann_ivf_topk"](spark, SF).collect()
+        }
+        assert ivf
+        recall = len(brute & ivf) / len(brute)
+        assert recall > 0.2  # nprobe=2 of 8 lists probes ~1/4 of the corpus
