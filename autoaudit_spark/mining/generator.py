@@ -127,3 +127,44 @@ def q_smurf_injection_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     banks, clients = _universes(spark, sf_dir)
     _, lab = generate_eval_tables(spark, banks, clients)
     return lab.orderBy("middle_num", "fold")
+
+
+@query("injection_recovery_eval")
+def q_injection_recovery_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end evaluation in the paper's protocol (SURVEY §5.1): inject
+    labeled smurf patterns into the base graph, run the full AA-Smurf
+    search on the union, report whether each fold's labeled endpoints were
+    placed in detected blocks. Rows-only (greedy search over seeded
+    injection); thresholds asserted in tests, the relation here is the
+    evaluation evidence itself."""
+    from .smurf import smurf_pipeline
+    from ..sources import adjacency
+
+    bank_acc, client_acc = _universes(spark, sf_dir)
+    base = adjacency(spark, sf_dir)
+    middle_num, n_folds = 30, 2
+    folds = generate_fold_edges(bank_acc, client_acc, middle_num, folds=n_folds)
+    rows = []
+    for fold, (injected, (lsrc, ldst)) in enumerate(folds):
+        inj_df = spark.createDataFrame(sorted(injected), "src long, dst long")
+        unioned = base.union(inj_df).dropDuplicates(["src", "dst"])
+        result, _ = smurf_pipeline(
+            spark, unioned, max_iter=6, max_candidates=100, selection="final"
+        )
+        placed = set(result.order)
+        rows.append(
+            (
+                middle_num,
+                fold,
+                int(lsrc),
+                int(ldst),
+                bool(lsrc in placed),
+                bool(ldst in placed),
+                len(result.start) - 1,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "middle_num int, fold int, label_src long, label_dst long, "
+        "src_recovered boolean, dst_recovered boolean, n_blocks int",
+    )
