@@ -661,3 +661,83 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tot"))
         .orderBy(F.col("event_type").asc_nulls_first(), F.col("y").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof salted aggregation (SURVEY §4: "skewed keys → salting or AQE
+# skew-join" — the explicit form, with results provably identical to the
+# direct groupBy via the oracle)
+# ---------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+@query(
+    "salted_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS tot_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups on (key, salt) so a
+    hot key's rows spread over SALT_BUCKETS reducers; phase 2 merges the
+    partial states. Output is bit-identical to the direct groupBy (the
+    oracle IS the direct form) — sums stay unrounded until the final
+    merge. This is the hand-rolled fallback for skew beyond what AQE's
+    skew-join splitting handles; count/sum/min/max are algebraic, so the
+    merge is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS)))
+        .groupBy("user_id", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("tot_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (TPC-H Q9-lite): fact ⋈ three broadcast dimensions
+# ---------------------------------------------------------------------------
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS yr,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS gross_value,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size >= 10
+    GROUP BY n.n_name, year(l.l_shipdate)
+    ORDER BY nation, yr
+    """,
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: the lineitem fact streams once past three
+    broadcast dimensions (part filtered before the join so the pushdown
+    prunes fact rows early via Catalyst's join-filter inference); one
+    shuffle total, for the final aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("gross_value"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", "yr")
+    )

@@ -29,6 +29,7 @@ registry.load_all()
 # Headline queries — one per architectural layer (SURVEY.md §2).
 HEADLINE = [
     "pricing_summary",        # relational: scan + group agg (TPC-H Q1 shape)
+    "profit_by_nation_year",  # relational: star join, 3 broadcast dims
     "two_hop_candidates",     # graph: self-join + agg + having (flagship)
     "relabel_reorder",        # graph: double broadcast relabel join
     "windowed_features",      # temporal: sliding windows × 12-feature agg
@@ -37,6 +38,7 @@ HEADLINE = [
     "smurf_blocks",           # mining: MDL greedy search (driver loop + jobs)
     "near_dup_minhash_lsh",   # llm: shingle → minhash → band join
     "ann_cosine_topk",        # llm: brute-force cosine top-k
+    "ann_ivf_topk",           # llm: IVF probe pipeline (scale path)
     "token_stats",            # llm: text metrics over documents
 ]
 
