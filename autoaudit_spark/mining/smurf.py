@@ -86,13 +86,27 @@ def _candidate_list(adj: DataFrame, max_candidates: int | None):
     Scale posture: only the (pair, count) list is collected (O(candidate
     pairs)); intermediary sets are fetched ONLY for the kept candidates
     via a broadcast semi-join + collect_set — the full (src, dst, mid)
-    relation (O(2-hop paths), the big one) never reaches the driver."""
-    from ..operators.graph import two_hop_counts
-
+    relation (O(2-hop paths), the big one) never reaches the driver. That
+    path relation is persisted (memory-and-disk, spillable) between the
+    count pass and the mids pass so the self-join — the expensive stage —
+    executes once, not twice."""
     spark = adj.sparkSession
-    rows = [
-        (r["src"], r["dst"], r["path_cnt"]) for r in two_hop_counts(adj).collect()
-    ]
+    a, b = adj.alias("a"), adj.alias("b")
+    paths = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            F.col("a.dst").alias("mid"),
+        )
+        .persist()
+    )
+    counts = (
+        paths.groupBy("src", "dst")
+        .agg(F.count("*").alias("path_cnt"))
+        .filter(F.col("path_cnt") >= 3)
+    )
+    rows = [(r["src"], r["dst"], r["path_cnt"]) for r in counts.collect()]
     rows.sort(key=lambda t: (t[0], t[1]))          # row-major
     rows.sort(key=lambda t: t[2])                  # stable asc by count
     rows.reverse()                                 # desc count, rev row-major ties
@@ -101,18 +115,13 @@ def _candidate_list(adj: DataFrame, max_candidates: int | None):
     keep_df = F.broadcast(
         spark.createDataFrame([(s, d) for s, d, _ in kept], "src long, dst long")
     )
-    a, b = adj.alias("a"), adj.alias("b")
-    paths = a.join(b, F.col("a.dst") == F.col("b.src")).select(
-        F.col("a.src").alias("src"),
-        F.col("b.dst").alias("dst"),
-        F.col("a.dst").alias("mid"),
-    )
     mids_rows = (
         paths.join(keep_df, ["src", "dst"], "left_semi")
         .groupBy("src", "dst")
         .agg(F.sort_array(F.collect_set("mid")).alias("mids"))
         .collect()
     )
+    paths.unpersist()
     mids = {(r["src"], r["dst"]): list(r["mids"]) for r in mids_rows}
     return [((s, d), mids.get((s, d), [])) for s, d, _ in kept]
 
