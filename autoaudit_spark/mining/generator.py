@@ -89,6 +89,31 @@ def generate_eval_tables(
     return inj_df, lab_df
 
 
+def background_edges(
+    banks: DataFrame, interact_prob: float = 0.9995, seed: int = 0
+) -> DataFrame:
+    """J6+P9: random background graph — every (bank, bank) pair kept with
+    probability 1−interact_prob (`smurf_generator.py:57-60`). Expressed as
+    a crossJoin + seeded `F.rand` filter: documented-expensive (O(|banks|²)
+    pairs BEFORE the filter), acceptable because banks is a dimension
+    (4.5k in the reference's Czech data), and gated behind this explicit
+    function at scale — never applied to a fact-sized relation. `rand(seed)`
+    is per-partition deterministic; callers wanting exact reproducibility
+    across cluster sizes should `coalesce(1)` the dimension first (tiny)."""
+    b1 = banks.select(F.col("bank").alias("src"))
+    b2 = banks.select(F.col("bank").alias("dst"))
+    return b1.crossJoin(b2).filter(F.rand(seed) > interact_prob)
+
+
+@query("background_edges")
+def q_background_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 end-to-end on the derived bank universe. Rows-only (RNG streams
+    differ across engines); edge-count concentration is unit-tested."""
+    bank_acc, _ = _universes(spark, sf_dir)
+    banks = spark.createDataFrame([(int(b),) for b in bank_acc], "bank long").coalesce(1)
+    return background_edges(banks).orderBy("src", "dst")
+
+
 def union_with_base(base_adj: DataFrame, injected: DataFrame, fold: int, middle_num: int) -> DataFrame:
     """U1: base ∪ injected-delta for one fold, duplicates collapsed
     (`smurf_generator.py` set semantics)."""

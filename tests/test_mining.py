@@ -151,3 +151,17 @@ def test_injection_recovery_end_to_end(spark):
     )
     placed = set(result.order)
     assert src in placed and dst in placed
+
+
+def test_background_edges_rate(spark):
+    """J6: kept-pair fraction concentrates around 1 − interact_prob and
+    the same seed reproduces the same edge set."""
+    from autoaudit_spark.mining.generator import background_edges
+
+    banks = spark.createDataFrame([(i,) for i in range(200)], "bank long").coalesce(1)
+    e1 = background_edges(banks, interact_prob=0.95, seed=7)
+    got = e1.count()
+    assert 0.02 * 200 * 200 < got < 0.08 * 200 * 200
+    assert {tuple(r) for r in e1.collect()} == {
+        tuple(r) for r in background_edges(banks, interact_prob=0.95, seed=7).collect()
+    }
