@@ -67,3 +67,60 @@ class TestStatefulChangeScores:
         for w, (z, mx) in batch.items():
             assert stream[w][0] == pytest.approx(z, rel=1e-9)
             assert stream[w][1] == mx
+
+
+class TestWatermarkLateData:
+    def test_very_late_rows_dropped_in_append_mode(self, spark, tmp_path):
+        """T2: multi-batch replay (maxFilesPerTrigger=1). Batch 0 spans
+        days 0–34; batch 1's fresh day-35 row advances the watermark to
+        day 21 and EVICTS every window ending before it (they emit); batch
+        2 then delivers a day-3 straggler whose windows are already
+        closed — the watermark drops it. (A straggler arriving in the
+        same batch as the eviction would still be merged — Spark filters
+        against state that exists, a documented semantics point.)"""
+        import datetime
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+        from autoaudit_spark.streaming.windowed import drain
+
+        base = datetime.datetime(2024, 1, 1)
+        t = lambda d: base + datetime.timedelta(days=d)
+        early = [(t(d), 1.0) for d in (0, 2, 5, 9, 12, 16, 20, 27, 34)]
+        fresh = [(t(35), 1.0)]
+        straggler = [(t(3), 100.0)]
+
+        stream_dir = tmp_path / "stream"
+        stream_dir.mkdir()
+        for i, rows in enumerate((early, fresh, straggler)):
+            tmp = tmp_path / f"w{i}"
+            spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+                1
+            ).write.parquet(str(tmp))
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dest = stream_dir / f"{i}.parquet"
+            shutil.copy(tmp / part, dest)
+            os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+        sdf = (
+            spark.readStream.schema("ts timestamp, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+        agg = (
+            sdf.withWatermark("ts", "14 days")
+            .groupBy(F.window("ts", "14 days", "7 days").alias("w"))
+            .agg(F.sum("v").alias("tot"), F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "tot", "n")
+        )
+        out = drain(agg, "wm_late_test", output_mode="append").collect()
+        assert out, "no windows were closed/emitted"
+        # the straggler's v=100 must not appear anywhere
+        assert all(r["tot"] < 100 for r in out)
+        # every emitted window's count matches batch recomputation WITHOUT
+        # the dropped straggler
+        kept = early + fresh
+        for r in out:
+            expect = sum(1 for ts, _ in kept if r["ws"] <= ts < r["we"])
+            assert r["n"] == expect, (r, expect)
