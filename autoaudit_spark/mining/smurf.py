@@ -78,6 +78,31 @@ class SmurfResult:
         ]
 
 
+def two_hop_pairs_numpy(
+    ru: np.ndarray, rv: np.ndarray, n: int, min_paths: int = 3
+) -> list[tuple[tuple[int, int], list[int]]]:
+    """Pure-NumPy twin of the J1/J2 candidate generation, same ordering
+    contract as :func:`_candidate_list` — for driver-scale inputs and
+    property tests (no SparkSession needed)."""
+    from collections import defaultdict
+
+    outn: dict[int, set[int]] = defaultdict(set)
+    inn: dict[int, set[int]] = defaultdict(set)
+    for sN, dN in zip(ru, rv):
+        outn[int(sN)].add(int(dN))
+        inn[int(dN)].add(int(sN))
+    pairs: dict[tuple[int, int], set[int]] = defaultdict(set)
+    for m in range(n):
+        for i in inn[m]:
+            for j in outn[m]:
+                pairs[(i, j)].add(m)
+    rows = [(i, j, len(ms)) for (i, j), ms in pairs.items() if len(ms) >= min_paths]
+    rows.sort(key=lambda t: (t[0], t[1]))
+    rows.sort(key=lambda t: t[2])
+    rows.reverse()
+    return [((i, j), sorted(pairs[(i, j)])) for i, j, _ in rows]
+
+
 def _candidate_list(adj: DataFrame, max_candidates: int | None):
     """Collect candidates ordered exactly like the reference: path count
     desc, ties in REVERSE row-major (src, dst) order (`AA-Smurf.py:110` —

@@ -1,0 +1,140 @@
+"""Property-based invariants (SURVEY §5.2) — hypothesis drives the
+driver-side numpy kernels (fast per example); Spark-level invariants run
+once against testdata.
+
+Invariants from the survey:
+- MDL never increases across accepted iterations (`AA-Smurf.py:128`);
+- reorder is a permutation (J5 preserves the node universe);
+- multi-degree ≥ unique-degree; Σ in-weights = Σ out-weights = Σ weight;
+- sliding windows tile: each edge lands in exactly ⌈w/stride⌉ = 2 windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# -------------------------------------------------------------------------
+# driver-side kernels under hypothesis
+# -------------------------------------------------------------------------
+
+edge_sets = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda t: t[0] != t[1]),
+    min_size=5,
+    max_size=120,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_sets)
+def test_mdl_history_monotone_nonincreasing(edges):
+    """Accepted greedy iterations strictly reduce the description length;
+    the recorded history (initial cost + accepted steps) never increases."""
+    from autoaudit_spark.mining.smurf import smurf_search, two_hop_pairs_numpy
+
+    ru = np.array([s for s, _ in edges], dtype=np.int64)
+    rv = np.array([d for _, d in edges], dtype=np.int64)
+    n = 25
+    cands = two_hop_pairs_numpy(ru, rv, n, min_paths=2)
+    res = smurf_search(ru, rv, n, cands, max_iter=8, selection="final")
+    hist = res.mdl_history
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edge_sets)
+def test_final_layout_is_valid_permutation_prefix(edges):
+    """ranks_for_order yields a bijection 0..n-1 for whatever prefix the
+    search placed (J5: relabeling must preserve the node universe)."""
+    from autoaudit_spark.mining.mdl import ranks_for_order
+    from autoaudit_spark.mining.smurf import smurf_search, two_hop_pairs_numpy
+
+    ru = np.array([s for s, _ in edges], dtype=np.int64)
+    rv = np.array([d for _, d in edges], dtype=np.int64)
+    n = 25
+    cands = two_hop_pairs_numpy(ru, rv, n, min_paths=2)
+    res = smurf_search(ru, rv, n, cands, max_iter=8, selection="final")
+    pos = ranks_for_order(res.order, n)
+    assert sorted(pos.tolist()) == list(range(n))
+
+
+@settings(max_examples=25, deadline=None)
+@given(x=st.integers(1, 10**9))
+def test_log_star_positive_and_monotone(x):
+    from autoaudit_spark.mining.mdl import log_star
+
+    assert log_star(x) > 0
+    assert log_star(x + 1) >= log_star(x)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(0, 2**16),
+    n=st.integers(20, 60),
+)
+def test_iforest_scores_bounded_and_outlier_ranked(seed, n):
+    """Scores live in (0, 1]; a far-away point scores above the cluster
+    median (canonical iForest property, deterministic given the seed)."""
+    from autoaudit_spark.mining.iforest import iforest_scores
+
+    rng = np.random.RandomState(seed)
+    X = np.vstack([rng.normal(0, 1, size=(n, 2)), [[12.0, 12.0]]])
+    s = iforest_scores(X, n_estimators=50, seed=seed)
+    assert np.all(s > 0) and np.all(s <= 1)
+    assert s[-1] > np.median(s[:-1])
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**16))
+def test_change_score_zero_for_stationary_sketches(seed):
+    """If every window's sketch equals the (constant) history direction,
+    the cosine change score is ~0 for every scored window."""
+    from autoaudit_spark.mining.change import change_scores_from_matrix
+
+    rng = np.random.RandomState(seed)
+    base = np.abs(rng.normal(1, 0.1, size=16)) + 0.1
+    sk = np.tile(base, (8, 1))
+    out = change_scores_from_matrix(list(range(8)), sk, back_ws=4)
+    assert out and all(abs(z) < 1e-9 for _, z, _ in out)
+
+
+# -------------------------------------------------------------------------
+# Spark-level invariants (single-shot on sf0.001)
+# -------------------------------------------------------------------------
+
+
+def test_window_tiling_each_edge_in_two_windows(spark, sf_dir):
+    from autoaudit_spark.sources import edges
+
+    e = edges(spark, sf_dir)
+    n_edges = e.count()
+    windowed = e.select(F.window("ts", "14 days", "7 days").alias("w"))
+    assert windowed.count() == 2 * n_edges
+
+
+def test_weight_conservation_in_equals_out(spark, sf_dir):
+    """Σ over accounts of in-weight = Σ of out-weight = Σ weight (every
+    edge contributes once to each side)."""
+    from autoaudit_spark.sources import edges
+
+    e = edges(spark, sf_dir)
+    total = e.agg(F.sum("weight")).collect()[0][0]
+    ins = e.groupBy("dst").agg(F.sum("weight").alias("w")).agg(F.sum("w")).collect()[0][0]
+    outs = e.groupBy("src").agg(F.sum("weight").alias("w")).agg(F.sum("w")).collect()[0][0]
+    assert ins == pytest.approx(total, rel=1e-9)
+    assert outs == pytest.approx(total, rel=1e-9)
+
+
+def test_multi_degree_dominates_unique_degree(spark, sf_dir):
+    from autoaudit_spark.registry import QUERIES
+
+    bad = (
+        QUERIES["degree_counts"](spark, sf_dir)
+        .filter(F.col("multi_in_deg") < F.col("uniq_in_deg"))
+        .count()
+    )
+    assert bad == 0
