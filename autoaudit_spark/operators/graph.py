@@ -165,3 +165,145 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(Window.orderBy("node")) - 1
     )
     return relabel(adj, rank_map).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics beyond the reference (north-star "GraphX analytics"
+# breadth): connected components + PageRank as iterative DataFrame joins —
+# the 100 TB-shaped formulation (hash-min label propagation / power
+# iteration), no vertex-centric runtime needed.
+# ---------------------------------------------------------------------------
+def connected_components(adj: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Hash-min label propagation on the UNDIRECTED view: every node
+    starts labeled with its own id; each round takes the min of its own
+    and its neighbors' labels; converges in O(diameter) rounds. Each round
+    is one join + one aggregate — the standard scalable CC formulation.
+    Deterministic → exactly oracle-checkable (recursive CTE)."""
+    und = (
+        adj.select("src", "dst")
+        .union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            # eager lineage truncation — labels appears twice per round
+            # (neigh + join); see pagerank note
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "connected_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    adj AS (SELECT DISTINCT src, dst FROM edges),
+    und AS (SELECT src AS a, dst AS b FROM adj
+            UNION SELECT dst, src FROM adj),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT u.b AS node, r.label
+        FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, MIN(label) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC on the derived adjacency; the oracle computes min reachable
+    label via recursive closure (fine at oracle scale; the Spark side is
+    the O(diameter)-round scale path)."""
+    return connected_components(adjacency(spark, sf_dir)).orderBy("node")
+
+
+def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
+    """Power iteration as repeated join+aggregate: rank_{t+1}(v) =
+    (1−d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling_mass/N).
+    Dangling (no-out-edge) mass is redistributed uniformly — ranks sum to
+    1 every iteration. Out-degrees computed once and cached; each round
+    shuffles only (node, contribution) pairs."""
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    state = nodes.join(deg, "node", "left").select(
+        "node",
+        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.lit(1.0 / n).alias("rank"),
+    ).persist()
+    for _ in range(iters):
+        dangling = (
+            state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        contrib = (
+            adj.join(state, adj.src == state.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_state = (
+            state.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("in_rank", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        # localCheckpoint (eager) truncates the logical plan each round —
+        # `state` appears twice per iteration (contrib + join), so without
+        # truncation the plan doubles every round (2^iters nodes: analysis
+        # blowup then driver OOM). On a cluster swap for checkpoint() with
+        # a reliable dir if executor loss matters mid-computation.
+        new_state = new_state.localCheckpoint()
+        state.unpersist()
+        state = new_state
+    nodes.unpersist()
+    return state.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query("pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank(10 iters, d=0.85) on the derived adjacency. Rows-only:
+    10 rounds of float reduction drift across engines; the math is pinned
+    by a unit test against a NumPy power iteration."""
+    return pagerank(adjacency(spark, sf_dir)).orderBy("node")

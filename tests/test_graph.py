@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from autoaudit_spark.operators.graph import (
@@ -77,3 +78,36 @@ def test_csv_edge_scan_round_trip(spark, sf_dir, tmp_path):
     assert a == b
     proj = load_csv_edges(spark, out, columns=["src", "dst"])
     assert proj.columns == ["src", "dst"]
+
+
+def test_connected_components_known_graph(spark):
+    from autoaudit_spark.operators.graph import connected_components
+
+    edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (10, 11)]
+    adj = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(adj).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Same convention: d=0.85, uniform dangling redistribution, 10 iters."""
+    import numpy as np
+    from autoaudit_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 dangling+isolated? keep 0-3
+    adj = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(adj, iters=10).collect()}
+
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2], 2: [0], 3: [2]}
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = sum(r[u] for u in range(n) if not out.get(u))
+        nxt = np.full(n, (1 - d) / n + d * dangling / n)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    for node in range(n):
+        assert got[node] == pytest.approx(r[node], abs=1e-7), node
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
