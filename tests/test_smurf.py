@@ -116,3 +116,26 @@ def test_smurf_pipeline_sample_matrix(spark):
     # detected blocks contain >= 3 intermediaries each (candidate threshold)
     assert result.count[0] >= 1
     assert result.count[1] >= 3 * result.count[0]
+
+
+def test_distributed_scoring_matches_driver_scoring(spark):
+    """The mapInPandas fan-out branch (candidates > distribute_threshold)
+    must pick exactly the same blocks as the driver loop — same argmax,
+    same tie-breaks."""
+    from autoaudit_spark.mining.smurf import smurf_search, two_hop_pairs_numpy
+
+    rng = np.random.RandomState(5)
+    edges = {(int(a), int(b)) for a, b in rng.randint(0, 40, size=(260, 2)) if a != b}
+    ru = np.array([s for s, _ in sorted(edges)], dtype=np.int64)
+    rv = np.array([d for _, d in sorted(edges)], dtype=np.int64)
+    cands = two_hop_pairs_numpy(ru, rv, 40, min_paths=2)
+    assert len(cands) > 3
+
+    driver = smurf_search(ru, rv, 40, cands, max_iter=6, selection="final")
+    dist = smurf_search(
+        ru, rv, 40, cands, max_iter=6, selection="final",
+        spark=spark, distribute_threshold=0,
+    )
+    assert driver.order == dist.order
+    assert driver.start == dist.start
+    assert driver.mdl_history == dist.mdl_history
