@@ -36,6 +36,11 @@ SHINGLE_K = 3
 MINHASH_PERMS = 64
 LSH_BANDS = 16            # 16 bands × 4 rows
 SIMHASH_HAMMING_MAX = 3
+#: LSH buckets larger than this are skipped (a bucket of k docs yields
+#: k²/2 candidate pairs — one degenerate bucket, e.g. boilerplate-identical
+#: bands, would dominate the whole join at 100 TB; real near-dup clusters
+#: that big are caught by the other bands with overwhelming probability)
+LSH_MAX_BUCKET = 500
 
 # fixed affine permutation constants for MinHash (public textbook scheme:
 # h_i(x) = (a_i * x + b_i) mod p). p = 2^31−1 keeps a_i·h < 2^62 — inside
@@ -200,6 +205,18 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
+    # document-frequency guard: drop degenerate buckets BEFORE the
+    # quadratic candidate join (one extra agg over the tiny band relation)
+    bad_buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > LSH_MAX_BUCKET)
+        .drop("bsz")
+    )
+    # anti-join against the OVERSIZED list — it is the tiny side (a handful
+    # of degenerate buckets), so it broadcasts at any corpus size, where
+    # the ok-bucket list grows with the corpus
+    bands = bands.join(F.broadcast(bad_buckets), ["band_id", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
