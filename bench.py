@@ -34,12 +34,14 @@ HEADLINE = [
     "relabel_reorder",        # graph: double broadcast relabel join
     "windowed_features",      # temporal: sliding windows × 12-feature agg
     "anomaly_scores_mahalanobis",  # mining: per (window,pair) scoring
+    "anomaly_scores_iforest",  # mining: M1 forest via applyInPandas (Arrow)
     "sketch_values",          # mining: broadcast membership join + sum
     "smurf_blocks",           # mining: MDL greedy search (driver loop + jobs)
     "near_dup_minhash_lsh",   # llm: shingle → minhash → band join
     "ann_cosine_topk",        # llm: brute-force cosine top-k
     "ann_ivf_topk",           # llm: IVF probe pipeline (scale path)
     "token_stats",            # llm: text metrics over documents
+    "stream_window_event_stats",  # streaming: windowed agg via micro-batches
 ]
 
 
