@@ -55,7 +55,30 @@ EDGES_SQL = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession (e.g. the driver harness's own) able to
+    run every query: these are runtime-settable SQL confs, so setting them
+    here is cheap, idempotent, and covers sessions not built by
+    `session.get_spark`.
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+      rejects outright without it;
+    - UTC session timezone: timestamps must hash-match the DuckDB oracle
+      (DuckDB parquet timestamps are UTC-naive);
+    - Arrow: every pandas-boundary operator assumes columnar batches."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked (e.g. static in a future version) — proceed
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
