@@ -160,11 +160,38 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X6 MinHash + LSH (scale path; JVM-only expressions)
 # ---------------------------------------------------------------------------
+def hashed_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shash): shingles reduced to int64 BEFORE the distinct —
+    the set shuffle moves 8-byte hashes instead of k-word strings (the
+    scale form; xxhash64 collisions ~1e-9 are noise next to MinHash's own
+    variance). The string form stays for the exact-Jaccard oracle query."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return (
+        toks.filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, k)))
+                )
+            ).alias("shash"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """(doc_id, sig array<long>): min over shingles of (a_i·h + b_i) mod p,
-    h = non-negative xxhash64 of the shingle. Pure column expressions —
+    h = non-negative xxhash64 of the shingle (accepts either the string
+    `shingle` column or the pre-hashed `shash`). Pure column expressions —
     one grouped aggregation computes all permutations."""
-    h = F.abs(F.xxhash64("shingle")) % _P
+    h = (
+        F.abs(F.col("shash")) % _P
+        if "shash" in sh.columns
+        else F.abs(F.xxhash64("shingle")) % _P
+    )
     aggs = [
         F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % _P).alias(f"m{i}")
         for i in range(perms)
@@ -183,7 +210,7 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash functions differ across engines); the Jaccard verifier is
     oracle-pinned separately."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs).persist()
+    sh = hashed_shingles(docs).persist()
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sig.select(
@@ -235,7 +262,7 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sh.withColumnRenamed("doc_id", "doc2")
     inter = (
         cand.join(s1, "doc1")
-        .join(s2, ["doc2", "shingle"])
+        .join(s2, ["doc2", "shash"])
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("both"))
     )
