@@ -139,3 +139,13 @@ def test_distributed_scoring_matches_driver_scoring(spark):
     assert driver.order == dist.order
     assert driver.start == dist.start
     assert driver.mdl_history == dist.mdl_history
+
+
+def test_cli_list_and_run(spark, capsys):
+    from autoaudit_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "two_hop_candidates" in out and "✔" in out
+    assert main(["run", "global_argmax", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert main(["run", "no_such_query"]) == 2
