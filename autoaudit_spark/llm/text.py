@@ -117,12 +117,12 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens, ROUND(punct_ratio, 6) AS punct_ratio,
            ROUND(stop_ratio, 6) AS stop_ratio, ROUND(mean_wlen, 6) AS mean_wlen,
-           ROUND(
+           ROUND(CAST(
                (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
                + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
                + (CASE WHEN mean_wlen BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)
-               + (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 6
-           ) AS quality
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+           AS DOUBLE), 6) AS quality
     FROM m ORDER BY doc_id
     """.format(stop=_STOP_SQL),
 )

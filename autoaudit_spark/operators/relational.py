@@ -183,13 +183,16 @@ def q_inout_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)), 4) AS sum_charge,
-           ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
-           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
-           ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -199,20 +202,32 @@ def q_inout_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one scan, map-side partial agg, tiny shuffle —
-    the canonical Catalyst-friendly aggregate (bench headline)."""
+    the canonical Catalyst-friendly aggregate (bench headline).
+
+    Money arithmetic is DECIMAL end-to-end: the 2-decimal source data
+    round-trips exactly through double→DECIMAL(12,2) (a 2dp decimal is
+    the nearest double to itself, so the cast is tie-free in both
+    engines), decimal products/sums are exact and order-independent, and
+    only the finished aggregate returns to double. Rounding a double SUM
+    instead is NOT enough: at 1e8 magnitude reduction-order ulps exceed a
+    4-decimal ROUND (measured 4e-4 drift vs DuckDB), and casting a double
+    PRODUCT per row hits engine-specific tie-rounding (measured 4e-3)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(F.round(disc_price * (1 + F.col("l_tax")), 4)), 4).alias("sum_charge"),
-            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
-            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
