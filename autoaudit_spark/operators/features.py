@@ -283,8 +283,10 @@ def iforest_points(features_df: DataFrame) -> DataFrame:
         .select(
             *keys,
             F.col("p.pair_id").alias("pair_id"),
-            F.round(F.log10(F.col("p.v1") + 1), 8).alias("x"),
-            F.round(F.log10(F.col("p.v2") + 1), 8).alias("y"),
+            # + 0.0 normalizes IEEE -0.0 (tiny negative log rounded) to
+            # +0.0 so both engines emit an identical value.
+            (F.round(F.log10(F.col("p.v1") + 1), 8) + 0.0).alias("x"),
+            (F.round(F.log10(F.col("p.v2") + 1), 8) + 0.0).alias("y"),
         )
     )
 
@@ -315,7 +317,7 @@ _IFOREST_POINTS_SQL = (
         FROM feats f CROSS JOIN pairs p
     )
     SELECT window_start, account, pair_id,
-           ROUND(LOG10(v1 + 1), 8) AS x, ROUND(LOG10(v2 + 1), 8) AS y
+           ROUND(LOG10(v1 + 1), 8) + 0.0 AS x, ROUND(LOG10(v2 + 1), 8) + 0.0 AS y
     FROM pts WHERE v1 <> 0 AND v2 <> 0
     ORDER BY window_start, account, pair_id
     """

@@ -5,7 +5,13 @@ compares row count, schema width, and order-insensitive values (sorted by
 column name, rows sorted, floats compared to 1e-6 relative tolerance so we
 catch real semantic mismatches while tolerating summation-order ulps).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--exact] [sf_dir] [query ...]
+
+--exact: require bitwise float equality (repr-identical), replicating a
+driver that hashes values exactly rather than comparing with tolerance.
+Summation-order ulps on large double SUMs fail this mode — the fix is to
+make the arithmetic order-independent (DECIMAL money math, rounded sums),
+not to loosen the check.
 """
 
 from __future__ import annotations
@@ -35,6 +41,9 @@ def norm(v):
     return v
 
 
+EXACT = False
+
+
 def values_match(a, b, rel=1e-6):
     if type(a) is tuple and type(b) is tuple:
         return len(a) == len(b) and all(values_match(x, y, rel) for x, y in zip(a, b))
@@ -45,6 +54,8 @@ def values_match(a, b, rel=1e-6):
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if EXACT:
+            return repr(fa) == repr(fb)
         return math.isclose(fa, fb, rel_tol=rel, abs_tol=1e-9)
     return a == b
 
@@ -66,8 +77,11 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
