@@ -1,0 +1,165 @@
+"""Temporal join operators beyond the reference's surface — as-of
+(point-in-time) join and trailing range join over the `events` stream.
+
+The reference's only cross-time alignment is the J4 lookback
+(`AA-AR.py:163-174`); these are the general forms a training-data /
+analytics pipeline needs and that Spark has no native operator for.
+Both are built Spark-first:
+
+- **As-of join** (`asof_join_attribution`): the naive form is a
+  per-row "latest earlier row" correlated subquery — quadratic and
+  unshippable. The scale form used here is the union-merge idiom: tag
+  both sides, union them into one relation, and run ONE analytic window
+  (`last(..., ignorenulls)` over rows-unbounded-preceding) partitioned
+  by the join key and ordered by event time. Cost = one shuffle on the
+  key + a per-partition sort — the same plan shape at 100 TB, with no
+  pair blow-up ever materialized. DuckDB's native `ASOF LEFT JOIN` is
+  the oracle, pinning the exact match semantics (latest view with
+  view.ts <= click.ts; ties resolved toward the view by the secondary
+  `side` sort key).
+
+- **Trailing range join** (`range_join_event_context`): interval
+  predicate `[t-5min, t)` anchored on an equi key. With an equi key the
+  right plan is the plain equi-join (the shuffle moves each key's rows
+  once) with the range as a post-join filter — Catalyst keeps the range
+  out of the shuffle key automatically. For the keyless variant at
+  scale, bucket time into interval-width epochs, equi-join on the
+  bucket (each probe row lands in exactly 2 buckets), then apply the
+  precise range filter; that form is documented here and exercised by
+  the equi-keyed query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Generic left as-of join: for each `left` row, attach the columns
+    of the latest `right` row with right.ts <= left.ts and equal `on`
+    key. Union-merge idiom — one shuffle on `on`, no pair explosion.
+
+    `right_cols` are the right-side columns to carry (renamed
+    `r_<name>`); all left columns pass through unchanged."""
+    carried = [f"r_{c}" for c in right_cols]
+    lhs = left.select(
+        on,
+        ts,
+        F.lit(1).alias("_side"),
+        F.struct(*[c for c in left.columns if c not in (on, ts)]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    rhs = right.select(
+        on,
+        ts,
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    # side 0 (right) sorts before side 1 (left) at equal ts, so a
+    # same-timestamp right row is visible to the left row — matching
+    # ASOF's `l.ts >= r.ts` inclusive bound.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = lhs.unionByName(rhs)
+    for rc in carried:
+        out = out.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("_side") == 1)
+        .select(on, ts, "_l.*", *carried)
+    )
+
+
+@query(
+    "asof_join_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts,
+           epoch_us(c.ts) - epoch_us(v.ts) AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY click_id
+    """,
+)
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attributed to the latest prior-or-same-time
+    view by the same user (left join — unattributed clicks kept with
+    nulls). Gap reported in exact integer microseconds so the value-hash
+    needs no float tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(clicks, views, on="user_id", right_cols=("event_id", "ts"))
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("r_event_id").alias("view_id"),
+        F.col("r_ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("wait_us"),
+    ).orderBy("click_id")
+
+
+@query(
+    "range_join_event_context",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           COUNT(a.event_id) AS n_context,
+           COALESCE(ROUND(SUM(a.value), 2), 0.0) AS ctx_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events a
+      ON a.user_id = e.user_id
+     AND a.ts >= e.ts - INTERVAL 5 MINUTE
+     AND a.ts < e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY error_id
+    """,
+)
+def q_range_join_event_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing range join: per error event, count and 2dp-rounded value
+    sum of same-user events in the half-open window [ts−5min, ts).
+    Zero-fill via coalesce (A7 discipline); sum rounded at the data's
+    native 2dp so the hash is summation-order-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").alias("e")
+    ctx = ev.alias("a")
+    return (
+        errors.join(
+            ctx,
+            (F.col("a.user_id") == F.col("e.user_id"))
+            & (F.col("a.ts") >= F.col("e.ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("a.ts") < F.col("e.ts")),
+            "left",
+        )
+        .groupBy(
+            F.col("e.event_id").alias("error_id"),
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.ts").alias("error_ts"),
+        )
+        .agg(
+            F.count(F.col("a.event_id")).alias("n_context"),
+            F.coalesce(F.round(F.sum(F.col("a.value")), 2), F.lit(0.0)).alias(
+                "ctx_value"
+            ),
+        )
+        .orderBy("error_id")
+    )

@@ -42,7 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every registering module (idempotent)."""
-    from .operators import graph, relational, features, windows  # noqa: F401
+    from .operators import graph, relational, features, windows, temporal_joins  # noqa: F401
     from .mining import powerlaw, mdl, smurf, iforest, sketch, change, generator  # noqa: F401
     from .llm import dedup, similarity, text, multimodal  # noqa: F401
     from .streaming import windowed  # noqa: F401

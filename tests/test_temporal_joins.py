@@ -1,0 +1,83 @@
+"""As-of and range join semantics, pinned on hand-built frames, plus the
+physical-plan property that makes the as-of form scale: one key shuffle,
+never a pair-expanding join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from autoaudit_spark.operators.temporal_joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),  # after r2 → r2
+            (1, _ts("2024-01-01T09:00:00"), 101),  # tie with r1 → r1 (inclusive)
+            (1, _ts("2024-01-01T08:00:00"), 102),  # before all → null
+            (2, _ts("2024-01-01T10:00:00"), 103),  # key with no right rows → null
+        ],
+        "user_id long, ts timestamp, click_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 201),  # r1
+            (1, _ts("2024-01-01T09:30:00"), 202),  # r2
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = asof_join(left, right, on="user_id", right_cols=("event_id",))
+    got = {r["click_id"]: r["r_event_id"] for r in out.collect()}
+    assert got == {100: 202, 101: 201, 102: None, 103: None}
+
+
+def test_asof_join_plan_has_one_shuffle_and_no_join(spark):
+    left = spark.range(10).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("click_id"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    p = asof_join(left, right, on="user_id", right_cols=("event_id",))._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1  # one hash partitioning on the key
+    assert "Join" not in p  # union-merge form: no join operator at all
+
+
+def test_range_join_half_open_bounds(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "error", 0.0, 0),
+        (1, _ts("2024-01-01T09:55:00"), "view", 1.0, 1),   # exactly t-5min: in
+        (1, _ts("2024-01-01T09:54:59"), "view", 2.0, 2),   # older: out
+        (1, _ts("2024-01-01T10:00:00"), "view", 4.0, 3),   # same instant: out
+        (1, _ts("2024-01-01T09:59:00"), "view", 8.0, 4),   # inside: in
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    e, a = ev.filter(F.col("event_type") == "error").alias("e"), ev.alias("a")
+    out = (
+        e.join(
+            a,
+            (F.col("a.user_id") == F.col("e.user_id"))
+            & (F.col("a.ts") >= F.col("e.ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("a.ts") < F.col("e.ts")),
+            "left",
+        )
+        .groupBy(F.col("e.event_id"))
+        .agg(
+            F.count(F.col("a.event_id")).alias("n"),
+            F.sum(F.col("a.value")).alias("v"),
+        )
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 2 and out[0]["v"] == 9.0
