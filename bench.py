@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_cosine_topk",        # llm: brute-force cosine top-k
     "ann_ivf_topk",           # llm: IVF probe pipeline (scale path)
     "token_stats",            # llm: text metrics over documents
+    "asof_join_attribution",  # temporal: as-of join (union-merge, 1 shuffle)
     "stream_window_event_stats",  # streaming: windowed agg via micro-batches
 ]
 
