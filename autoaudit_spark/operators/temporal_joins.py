@@ -120,6 +120,45 @@ def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_within",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           CASE WHEN v.ts >= c.ts - INTERVAL 30 MINUTE THEN v.event_id END AS view_id,
+           CASE WHEN v.ts >= c.ts - INTERVAL 30 MINUTE THEN v.ts END AS view_ts,
+           CASE WHEN v.ts >= c.ts - INTERVAL 30 MINUTE
+                THEN epoch_us(c.ts) - epoch_us(v.ts) END AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY click_id
+    """,
+)
+def q_asof_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join: attribute a click only to a view at
+    most 30 minutes old. Because the as-of match is the LATEST prior row,
+    it is also the NEAREST prior row — so the tolerance is an exact
+    post-filter on the unbounded match (no second window pass), and the
+    plan is identical to `asof_join_attribution`: one key shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(clicks, views, on="user_id", right_cols=("event_id", "ts"))
+    ok = F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(ok, F.col("r_event_id")).alias("view_id"),
+        F.when(ok, F.col("r_ts")).alias("view_ts"),
+        F.when(ok, F.unix_micros("ts") - F.unix_micros("r_ts")).alias("wait_us"),
+    ).orderBy("click_id")
+
+
+@query(
     "range_join_event_context",
     oracle="""
     SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,

