@@ -184,13 +184,24 @@ def mahalanobis_scores(points: DataFrame) -> DataFrame:
     upstream feature pipeline twice, and an analytic window function
     sort-shuffles every point row."""
     pts = points.persist()
+    # x/y are 8dp-exact → DECIMAL(18,8) captures them losslessly and the
+    # decimal SUM is exact and summation-order-independent in both
+    # engines (a 6dp round of the double sum is NOT: a moment landing on
+    # a rounding half-boundary flips with partition order). The exact sum
+    # is then rounded to 6dp IN DECIMAL (both engines HALF_UP on the same
+    # exact value) before the double cast, so the cast is a single IEEE
+    # division of a <2^53 scaled integer — bit-identical cross-engine,
+    # where casting the full scale-16 sum is not (int128→double is a
+    # double-rounding in DuckDB).
+    xd = F.col("x").cast("decimal(18,8)")
+    yd = F.col("y").cast("decimal(18,8)")
     g = pts.groupBy("window_start", "pair_id").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("x"), 6).alias("sx"),
-        F.round(F.sum("y"), 6).alias("sy"),
-        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
-        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
-        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(xd), 6).cast("double").alias("sx"),
+        F.round(F.sum(yd), 6).cast("double").alias("sy"),
+        F.round(F.sum(xd * xd), 6).cast("double").alias("sxx"),
+        F.round(F.sum(yd * yd), 6).cast("double").alias("syy"),
+        F.round(F.sum(xd * yd), 6).cast("double").alias("sxy"),
     )
     n = F.col("n")
     mx, my = F.col("sx") / n, F.col("sy") / n
@@ -241,12 +252,19 @@ _MAHA_SQL = (
                ROUND(LOG10(v1 + 1), 8) AS x, ROUND(LOG10(v2 + 1), 8) AS y
         FROM pts WHERE v1 <> 0 AND v2 <> 0
     ),
+    dpts AS (
+        SELECT window_start, account, pair_id, x, y,
+               CAST(x AS DECIMAL(18,8)) AS xd, CAST(y AS DECIMAL(18,8)) AS yd
+        FROM lpts
+    ),
     g AS (
         SELECT window_start, pair_id, COUNT(*) AS n,
-               ROUND(SUM(x), 6) AS sx, ROUND(SUM(y), 6) AS sy,
-               ROUND(SUM(x * x), 6) AS sxx, ROUND(SUM(y * y), 6) AS syy,
-               ROUND(SUM(x * y), 6) AS sxy
-        FROM lpts GROUP BY window_start, pair_id
+               CAST(ROUND(SUM(xd), 6) AS DOUBLE) AS sx,
+               CAST(ROUND(SUM(yd), 6) AS DOUBLE) AS sy,
+               CAST(ROUND(SUM(xd * xd), 6) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(yd * yd), 6) AS DOUBLE) AS syy,
+               CAST(ROUND(SUM(xd * yd), 6) AS DOUBLE) AS sxy
+        FROM dpts GROUP BY window_start, pair_id
     ),
     stats AS (
         SELECT window_start, pair_id,
