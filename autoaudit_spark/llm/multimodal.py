@@ -95,7 +95,7 @@ def extract_media_features(mm: DataFrame, batch_decode=decode_image_fake) -> Dat
     "multimodal_assemble",
     oracle="""
     SELECT d.doc_id, d.lang, d.source, d.n_chars,
-           CAST(length(d.text) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS payload_bytes,
            CAST(len(e.embedding) AS INTEGER) AS emb_dim
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     ORDER BY d.doc_id

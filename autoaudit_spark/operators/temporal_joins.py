@@ -45,18 +45,26 @@ def asof_join(
     on: str,
     ts: str = "ts",
     right_cols: tuple[str, ...] = (),
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic left as-of join: for each `left` row, attach the columns
     of the latest `right` row with right.ts <= left.ts and equal `on`
     key. Union-merge idiom — one shuffle on `on`, no pair explosion.
 
     `right_cols` are the right-side columns to carry (renamed
-    `r_<name>`); all left columns pass through unchanged."""
+    `r_<name>`); all left columns pass through unchanged.
+
+    `tiebreak` names a right-side column that breaks ties when several
+    right rows share (key, ts): the GREATEST tiebreak value wins. Without
+    it the winner is partition-order-dependent — a nondeterministic hash
+    under retries/AQE — so pass one whenever (key, ts) isn't unique."""
     carried = [f"r_{c}" for c in right_cols]
+    tie_t = right.schema[tiebreak].dataType if tiebreak else "int"
     lhs = left.select(
         on,
         ts,
         F.lit(1).alias("_side"),
+        F.lit(None).cast(tie_t).alias("_tie"),
         F.struct(*[c for c in left.columns if c not in (on, ts)]).alias("_l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
     )
@@ -64,15 +72,18 @@ def asof_join(
         on,
         ts,
         F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(None)).cast(tie_t).alias("_tie"),
         F.lit(None).cast(lhs.schema["_l"].dataType).alias("_l"),
         *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
     )
     # side 0 (right) sorts before side 1 (left) at equal ts, so a
     # same-timestamp right row is visible to the left row — matching
-    # ASOF's `l.ts >= r.ts` inclusive bound.
+    # ASOF's `l.ts >= r.ts` inclusive bound. Among right rows at equal
+    # ts, ascending _tie puts the greatest tiebreak nearest the left row,
+    # so last(ignorenulls) picks it deterministically.
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", F.col("_tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = lhs.unionByName(rhs)
@@ -91,7 +102,12 @@ def asof_join(
            v.event_id AS view_id, v.ts AS view_ts,
            epoch_us(c.ts) - epoch_us(v.ts) AS wait_us
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+    ) v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY click_id
     """,
@@ -108,7 +124,10 @@ def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
     )
-    joined = asof_join(clicks, views, on="user_id", right_cols=("event_id", "ts"))
+    joined = asof_join(
+        clicks, views, on="user_id", right_cols=("event_id", "ts"),
+        tiebreak="event_id",
+    )
     return joined.select(
         "click_id",
         "user_id",
@@ -128,7 +147,12 @@ def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v.ts >= c.ts - INTERVAL 30 MINUTE
                 THEN epoch_us(c.ts) - epoch_us(v.ts) END AS wait_us
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+    ) v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     ORDER BY click_id
     """,
@@ -146,7 +170,10 @@ def q_asof_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
     )
-    j = asof_join(clicks, views, on="user_id", right_cols=("event_id", "ts"))
+    j = asof_join(
+        clicks, views, on="user_id", right_cols=("event_id", "ts"),
+        tiebreak="event_id",
+    )
     ok = F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
     return j.select(
         "click_id",

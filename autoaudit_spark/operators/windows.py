@@ -216,7 +216,8 @@ def q_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           make_timestamp(epoch_us(MIN(ts))) AS session_start,
+           make_timestamp(epoch_us(MAX(ts))) AS session_end
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,

@@ -34,6 +34,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                # whitespace collapsing below would swallow everything
+                # after a `--` line comment into one giant comment
+                raise ValueError(
+                    f"oracle for {name!r} contains a `--` SQL comment; "
+                    "put explanations in the Python docstring instead"
+                )
             ORACLES[name] = " ".join(oracle.split())
         return fn
 
