@@ -53,6 +53,68 @@ def _box_count(ru: np.ndarray, rv: np.ndarray, r0: int, r1: int, c0: int, c1: in
     return int(np.count_nonzero((ru >= r0) & (ru <= r1) & (rv >= c0) & (rv <= c1)))
 
 
+def box_specs(n: int, start: list[int]) -> list[tuple[int, int, int, int]]:
+    """The (r0, r1, c0, c1) inclusive boxes compute_mdl counts, in order:
+    per block (e1, in, out, A), then the residual D box. Separated out so
+    the counts can be computed as DISTRIBUTED partial sums (each box count
+    is additive over edge partitions) while the nonlinear MDL formula
+    stays driver-side — the shape `smurf_pipeline` uses at scale."""
+    specs: list[tuple[int, int, int, int]] = []
+    for idx in range(1, len(start)):
+        s, e = start[idx - 1], start[idx] - 1
+        specs.append((s + 1, e - 1, s, e - 2))  # e1 (inner)
+        specs.append((e + 1, n - 2, s, e - 1))  # in
+        specs.append((s, e - 1, e + 1, n - 2))  # out
+        specs.append((s, e - 1, s, e - 1))      # A (purity numerator region)
+    p = start[-1]
+    specs.append((p, n - 2, p, n - 2))          # D (residual edges)
+    return specs
+
+
+def mdl_box_counts(
+    ru: np.ndarray, rv: np.ndarray, n: int, start: list[int]
+) -> np.ndarray:
+    """Vector of edge counts for every box in :func:`box_specs` — additive
+    over any partitioning of (ru, rv), so partial vectors from edge batches
+    sum to the global vector."""
+    return np.array(
+        [_box_count(ru, rv, *sp) for sp in box_specs(n, start)], dtype=np.int64
+    )
+
+
+def mdl_from_counts(
+    counts: np.ndarray, n: int, start: list[int], count: list[int]
+) -> tuple[float, float]:
+    """MDL + mean purity from a global box-count vector. Accumulation
+    order replicates the original single-pass loop bit-for-bit."""
+    mdl = 0.0
+    purity: list[float] = []
+    ci = 0
+    for idx in range(1, len(start)):
+        s, e = start[idx - 1], start[idx] - 1
+        k = e - s + 1
+        e1_cnt, in_cnt, out_cnt, a_cnt = (int(c) for c in counts[ci : ci + 4])
+        ci += 4
+        e1 = e1_cnt * (2 * ceil(log2(k - 1)))
+        cross_w = ceil(log2(n)) + ceil(log2(n - k))
+        mdl += e1 + (in_cnt + out_cnt) * cross_w
+        sum_abc = a_cnt + in_cnt + out_cnt
+        purity.append((k - 2) * 2 / sum_abc if sum_abc else float("inf"))
+
+    # residual block D: zeros in [start[-1], n-2]² cost 2⌈log2 n⌉ each
+    p = start[-1]
+    side = (n - 1) - p
+    if side > 0:
+        mdl += (side * side - int(counts[ci])) * (2 * ceil(log2(n)))
+
+    # headers: pattern/intermediary counts, member indices, block starts
+    mdl += ceil(log_star(count[0])) + ceil(log_star(count[1]))
+    mdl += sum(count) * ceil(log2(n))
+    mdl += ceil(log_star(len(start) - 1))
+
+    return mdl, float(np.mean(purity)) if purity else float("nan")
+
+
 def compute_mdl(
     ru: np.ndarray,
     rv: np.ndarray,
@@ -69,33 +131,7 @@ def compute_mdl(
     start: cumulative block boundaries, start[0] == 0.
     count: [n_patterns, n_intermediaries, n_receivers].
     """
-    mdl = 0.0
-    purity: list[float] = []
-    for idx in range(1, len(start)):
-        s, e = start[idx - 1], start[idx] - 1
-        k = e - s + 1
-        e1 = _box_count(ru, rv, s + 1, e - 1, s, e - 2) * (2 * ceil(log2(k - 1)))
-        cross_w = ceil(log2(n)) + ceil(log2(n - k))
-        in_cnt = _box_count(ru, rv, e + 1, n - 2, s, e - 1)
-        out_cnt = _box_count(ru, rv, s, e - 1, e + 1, n - 2)
-        mdl += e1 + (in_cnt + out_cnt) * cross_w
-        a_cnt = _box_count(ru, rv, s, e - 1, s, e - 1)
-        sum_abc = a_cnt + in_cnt + out_cnt
-        purity.append((k - 2) * 2 / sum_abc if sum_abc else float("inf"))
-
-    # residual block D: zeros in [start[-1], n-2]² cost 2⌈log2 n⌉ each
-    p = start[-1]
-    side = (n - 1) - p
-    if side > 0:
-        d_edges = _box_count(ru, rv, p, n - 2, p, n - 2)
-        mdl += (side * side - d_edges) * (2 * ceil(log2(n)))
-
-    # headers: pattern/intermediary counts, member indices, block starts
-    mdl += ceil(log_star(count[0])) + ceil(log_star(count[1]))
-    mdl += sum(count) * ceil(log2(n))
-    mdl += ceil(log_star(len(start) - 1))
-
-    return mdl, float(np.mean(purity)) if purity else float("nan")
+    return mdl_from_counts(mdl_box_counts(ru, rv, n, start), n, start, count)
 
 
 def ranks_for_order(order: list[int], n: int) -> np.ndarray:

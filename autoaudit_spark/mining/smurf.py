@@ -16,14 +16,22 @@ Algorithm re-derived from `AA-Smurf.py:86-165`:
    (`AA-Smurf.py:162` — including its negative-index quirk when the
    initial cost already qualifies).
 
-Execution model: candidate scoring is a pure function of (edge ranks,
-layout) — embarrassingly parallel. Below a threshold the driver scores
-with vectorized NumPy over the collected COO arrays (the reference's
-joblib pool, minus the per-task matrix pickling); above it, scoring fans
-out as a Spark `mapInPandas` job over a candidate DataFrame with the COO
-arrays broadcast once per iteration. Candidates and layout state are
-O(patterns) — tiny; the edge array is the only big object and it is
-broadcast, not shipped per task.
+Execution model (two paths, bit-identical — parity-tested):
+
+- **Fixture scale** (≤ DISTRIBUTE_EDGE_THRESHOLD edges): the driver
+  scores with vectorized NumPy over collected COO arrays — the
+  reference's joblib pool minus the per-task matrix pickling.
+- **Scale path**: the edge relation NEVER reaches the driver. Every box
+  count in the MDL formula is additive over edge partitions, so one
+  `mapInPandas` pass per greedy round emits per-candidate partial
+  box-count vectors (`mdl.mdl_box_counts`), a groupBy sums them, and
+  the driver evaluates the nonlinear formula on O(candidates × boxes)
+  integers. Candidate rank transforms are piecewise shifts
+  (`_shift_ranks`), so edge ranks are MAINTAINED distributed across
+  rounds (mapInPandas rewrite + localCheckpoint, O(1) plan depth).
+  Driver state is the candidate list and layout — O(patterns), never
+  O(E) or O(n). Only candidate descriptors (member ranks) are
+  broadcast per round, not the graph.
 """
 
 from __future__ import annotations
@@ -36,7 +44,13 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import adjacency
-from .mdl import compute_mdl, initial_mdl, ranks_for_order
+from .mdl import (
+    compute_mdl,
+    initial_mdl,
+    mdl_box_counts,
+    mdl_from_counts,
+    ranks_for_order,
+)
 
 
 def matrix_text_to_edges(spark: SparkSession, path: str) -> DataFrame:
@@ -186,16 +200,12 @@ def smurf_search(
     n: int,
     candidates: list[tuple[tuple[int, int], list[int]]],
     max_iter: int | None = None,
-    spark: SparkSession | None = None,
-    distribute_threshold: int = 5000,
     selection: str = "reference",
 ) -> SmurfResult:
-    """Greedy MDL loop over pre-generated candidates (driver-resident; the
-    heavy lifting — candidate generation — already ran as Spark joins).
-
-    When the candidate list is large and a SparkSession is provided,
-    each iteration's scoring fans out via mapInPandas (the COO arrays
-    ride a broadcast variable)."""
+    """Greedy MDL loop over pre-generated candidates — the DRIVER-RESIDENT
+    scorer for fixture-scale inputs (collected COO arrays). At scale,
+    :func:`smurf_pipeline` routes to :func:`_smurf_search_distributed`,
+    which computes the identical numbers without ever collecting edges."""
     ru, rv = edges_src, edges_dst
     old_mdl = initial_mdl(n, len(ru))
     order: list[int] = []
@@ -203,21 +213,15 @@ def smurf_search(
     count = [0, 0, 0]
     history = [old_mdl]
     it = 0
-    use_spark = spark is not None and len(candidates) > distribute_threshold
 
     while True:
         prev_mdl = history[-1]
         placed = set(order)
         best = None  # (score, seq) — argmax keeps FIRST max (np.argmax)
-        if use_spark:
-            best = _score_round_spark(
-                spark, ru, rv, n, placed, order, start, count, prev_mdl, candidates
-            )
-        else:
-            for key, mid_list in candidates:
-                res = _score_one(ru, rv, n, placed, order, start, count, prev_mdl, key, mid_list)
-                if res is not None and (best is None or res[0] > best[0]):
-                    best = res
+        for key, mid_list in candidates:
+            res = _score_one(ru, rv, n, placed, order, start, count, prev_mdl, key, mid_list)
+            if res is not None and (best is None or res[0] > best[0]):
+                best = res
         if best is None or (max_iter is not None and it > max_iter):
             break
         _, mdl, order, start, count = best
@@ -270,45 +274,262 @@ def _replay(ru, rv, n, candidates, upto, full_history) -> SmurfResult:
     return out
 
 
-def _score_round_spark(spark, ru, rv, n, placed, order, start, count, prev_mdl, candidates):
-    """One scoring round as a Spark job: candidates DF → mapInPandas.
-    COO arrays are broadcast once; each task scores a slice of candidates
-    and returns (cand_idx, score) — the driver takes the first argmax."""
-    sc = spark.sparkContext
-    b = sc.broadcast((ru, rv, n, sorted(placed), order, start, count, prev_mdl,
-                      [(k, m) for k, m in candidates]))
+def _shift_ranks(
+    r: np.ndarray,
+    member_ranks: np.ndarray,
+    member_new: np.ndarray,
+    L: int,
+    k: int,
+) -> np.ndarray:
+    """Vectorized rank transform for appending one block: a node holding
+    CURRENT rank r moves to
 
-    def score_batches(batches):
-        import pandas as pd
+    - its block position (member_new aligned to sorted member_ranks) if it
+      is a block member,
+    - r − |members with rank < r| + k if it sits in the residual region
+      (members vacate ranks below it; the k-wide block is inserted at L),
+    - r unchanged if already placed (r < L; members all rank ≥ L).
 
-        bru, brv, bn, bplaced, border, bstart, bcount, bprev, bcands = b.value
-        pset = set(bplaced)
-        for pdf in batches:
-            out = []
-            for ci in pdf["cand_idx"]:
-                key, mids = bcands[ci]
-                res = _score_one(
-                    bru, brv, bn, pset, border, bstart, bcount, bprev, key, mids
-                )
-                if res is not None:
-                    out.append((int(ci), float(res[0])))
-            yield pd.DataFrame(out, columns=["cand_idx", "score"])
+    This equals recomputing ``ranks_for_order(new_order, n)`` in node
+    space — the residual region keeps ascending-node-id order, so relative
+    order is preserved under removal — which is what makes per-edge rank
+    maintenance possible WITHOUT an O(n) driver map."""
+    idx = np.searchsorted(member_ranks, r)
+    safe = np.minimum(idx, len(member_ranks) - 1)
+    is_member = member_ranks[safe] == r
+    out = np.where(r < L, r, r - idx + k)
+    return np.where(is_member, member_new[safe], out)
 
-    idx_df = spark.range(len(candidates)).withColumnRenamed("id", "cand_idx")
-    scored = idx_df.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        score_batches, "cand_idx long, score double"
+
+def _viable_candidates(candidates, placed, cur_rank, order, start, count):
+    """Driver-side prefilter + descriptor build for one greedy round.
+    Mirrors `_score_one`'s skip rules (i/j placed, no surviving mids);
+    emits per candidate the block's member CURRENT ranks, their new block
+    ranks, and the tentative layout — O(candidates × block size) state,
+    never edges."""
+    L = len(order)
+    descs = []
+    for ci, (key, mid_list) in enumerate(candidates):
+        i, j = key
+        if i in placed or j in placed:
+            continue
+        tmp_mid = [m for m in mid_list if m not in placed and m != i and m != j]
+        if not tmp_mid:
+            continue
+        block_nodes = [i] + tmp_mid + ([j] if j != i else [])
+        k = len(block_nodes)
+        mranks = np.array([cur_rank[x] for x in block_nodes], dtype=np.int64)
+        mnew = L + np.arange(k, dtype=np.int64)
+        sort_ix = np.argsort(mranks)
+        new_start = start + [L + k]
+        new_count = [count[0] + 1, count[1] + len(tmp_mid), count[2] + 1]
+        new_order_suffix = block_nodes
+        descs.append(
+            (ci, mranks[sort_ix], mnew[sort_ix], L, k, new_start, new_count,
+             new_order_suffix)
+        )
+    return descs
+
+
+def _smurf_search_distributed(
+    spark: SparkSession,
+    edges_ranked: DataFrame,
+    n: int,
+    n_edges: int,
+    candidates: list[tuple[tuple[int, int], list[int]]],
+    max_iter: int | None,
+    selection: str,
+) -> tuple[SmurfResult, list[int]]:
+    """Greedy MDL search with the edge relation kept DISTRIBUTED end to
+    end. Per iteration: ONE mapInPandas pass over the ranked edges emits
+    per-candidate PARTIAL box-count vectors (each box count is additive
+    over edge batches — `mdl.mdl_box_counts`), a groupBy sums them, and
+    the driver evaluates the nonlinear MDL formula on O(candidates ×
+    boxes) integers. Accepting a block rewrites the edge ranks with the
+    same vectorized transform and localCheckpoints to keep the plan O(1).
+
+    Driver state: the candidate list, the layout, and current ranks of
+    candidate-involved nodes only — O(patterns), never O(E) or O(n).
+    Returns the result plus the order at the FINAL accepted iteration
+    (for residual-rank reconstruction when selection steps back)."""
+    import pandas as pd
+
+    # current ranks of every node any candidate touches (small lookup)
+    involved = sorted(
+        {x for (i, j), mids in candidates for x in (i, j, *mids)}
     )
-    rows = scored.collect()
-    b.unpersist()
-    if not rows:
-        return None
-    # first argmax in candidate order
-    best_idx, best_score = None, None
-    for r in sorted(rows, key=lambda r: r["cand_idx"]):
-        if best_score is None or r["score"] > best_score:
-            best_idx, best_score = r["cand_idx"], r["score"]
-    key, mids = candidates[best_idx]
-    return _score_one(ru, rv, n, placed, order, start, count, prev_mdl, key, mids)
+    cur_rank: dict[int, int] = {x: x for x in involved}
+    # ix space == initial rank space (residual = ascending node index)
+
+    order: list[int] = []
+    start = [0]
+    count = [0, 0, 0]
+    history = [initial_mdl(n, n_edges)]
+    layouts = [([], [0], [0, 0, 0])]  # snapshot per accepted iteration
+    it = 0
+    cur_edges = edges_ranked.localCheckpoint()
+
+    while True:
+        prev_mdl = history[-1]
+        placed = set(order)
+        descs = _viable_candidates(candidates, placed, cur_rank, order, start, count)
+        if not descs or (max_iter is not None and it > max_iter):
+            break
+        payload = [(ci, mr, mn, L, k, ns) for ci, mr, mn, L, k, ns, _, _ in descs]
+        bcast = spark.sparkContext.broadcast((n, payload))
+
+        def count_batches(batches):
+            bn, bdescs = bcast.value
+            for pdf in batches:
+                ru = pdf["ru"].to_numpy()
+                rv = pdf["rv"].to_numpy()
+                cis, bis, cnts = [], [], []
+                for ci, mranks, mnew, L, k, new_start in bdescs:
+                    nru = _shift_ranks(ru, mranks, mnew, L, k)
+                    nrv = _shift_ranks(rv, mranks, mnew, L, k)
+                    vec = mdl_box_counts(nru, nrv, bn, new_start)
+                    nz = np.nonzero(vec)[0]
+                    cis.extend([ci] * len(nz))
+                    bis.extend(int(b) for b in nz)
+                    cnts.extend(int(vec[b]) for b in nz)
+                yield pd.DataFrame({"ci": cis, "bi": bis, "cnt": cnts})
+
+        totals = (
+            cur_edges.mapInPandas(count_batches, "ci long, bi long, cnt long")
+            .groupBy("ci", "bi")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        bcast.unpersist()
+        by_ci: dict[int, dict[int, int]] = {}
+        for r in totals:
+            by_ci.setdefault(r["ci"], {})[r["bi"]] = r["cnt"]
+
+        best = None  # (score, desc, mdl) — FIRST argmax in candidate order
+        for desc in descs:
+            ci, _, _, _, _, new_start, new_count, _ = desc
+            nboxes = 4 * (len(new_start) - 1) + 1
+            vec = np.array(
+                [by_ci.get(ci, {}).get(b, 0) for b in range(nboxes)], dtype=np.int64
+            )
+            mdl, purity = mdl_from_counts(vec, n, new_start, new_count)
+            if mdl >= prev_mdl:
+                continue
+            score = ((prev_mdl - mdl) / prev_mdl) * purity
+            if best is None or score > best[0]:
+                best = (score, desc, mdl)
+        if best is None:
+            break
+
+        _, (ci, mranks, mnew, L, k, new_start, new_count, suffix), mdl = best
+        order = order + suffix
+        start = new_start
+        count = new_count
+        history.append(mdl)
+        layouts.append((list(order), list(start), list(count)))
+        # maintain tracked node ranks with the same transform
+        arr = np.array([cur_rank[x] for x in involved], dtype=np.int64)
+        arr = _shift_ranks(arr, mranks, mnew, L, k)
+        cur_rank = dict(zip(involved, (int(v) for v in arr)))
+        # rewrite distributed edge ranks; checkpoint cuts the lineage so
+        # the plan stays O(1) across iterations
+        bxf = spark.sparkContext.broadcast((mranks, mnew, L, k))
+
+        def shift_batches(batches):
+            mr, mn, bl, bk = bxf.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "ru": _shift_ranks(pdf["ru"].to_numpy(), mr, mn, bl, bk),
+                        "rv": _shift_ranks(pdf["rv"].to_numpy(), mr, mn, bl, bk),
+                    }
+                )
+
+        nxt = cur_edges.mapInPandas(shift_batches, "ru long, rv long").localCheckpoint()
+        cur_edges.unpersist()
+        cur_edges = nxt
+        it += 1
+
+    final_order = list(order)
+    # model selection — same rule as smurf_search (`AA-Smurf.py:162`)
+    if selection == "final":
+        sel = len(history) - 1
+    else:
+        sel = next(
+            (idx - 1 for idx, m in enumerate(history) if m < history[-1] * 1.1),
+            len(history) - 1,
+        )
+        if sel == -1:
+            sel = len(history) - 1
+    s_order, s_start, s_count = layouts[sel]
+    res = SmurfResult(s_order, s_start, s_count, history[: sel + 1], n)
+    res.selected_iter = sel
+    cur_edges.unpersist()
+    return res, final_order
+
+
+#: above this many edges the driver never materializes the COO arrays —
+#: scoring and rank maintenance run distributed (`_smurf_search_distributed`)
+DISTRIBUTE_EDGE_THRESHOLD = 2_000_000
+
+
+def _node_index(spark: SparkSession, adj: DataFrame, n_nodes: int | None):
+    """(node, ix) with ix = rank by ascending node id — the reference's
+    implicit node→matrix-index map. Matrix fixtures (n_nodes given) have
+    identity indices; general graphs get zipWithIndex over the sorted
+    universe (distributed — no driver collect)."""
+    if n_nodes is not None:
+        return spark.range(n_nodes).select(
+            F.col("id").alias("node"), F.col("id").alias("ix")
+        ), n_nodes
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst")))
+        .distinct()
+    )
+    rdd = nodes.orderBy("node").rdd.map(lambda r: r["node"]).zipWithIndex()
+    df = spark.createDataFrame(rdd, "node long, ix long").persist()
+    return df, df.count()
+
+
+def _rank_relation(
+    spark: SparkSession,
+    nodes_ix: DataFrame,
+    result: SmurfResult,
+    n: int,
+) -> DataFrame:
+    """(node, rank, block_id) built DECLARATIVELY from the O(placed)
+    layout: explicit order via a broadcast map, residual ranks via
+    zipWithIndex over the remaining nodes in ascending index order (the
+    exact `ranks_for_order` semantics), block ids via a when-chain over
+    the ≤ max_iter block intervals."""
+    order, start = result.order, result.start
+    L = len(order)
+    if L:
+        placed_df = F.broadcast(
+            spark.createDataFrame(
+                [(int(ix), r) for r, ix in enumerate(order)], "ix long, rank long"
+            )
+        )
+        placed = nodes_ix.join(placed_df, "ix").select("node", "rank")
+        rest = nodes_ix.join(placed_df.select("ix"), "ix", "left_anti")
+    else:
+        placed = None
+        rest = nodes_ix
+    rest_rdd = (
+        rest.orderBy("ix").rdd.map(lambda r: r["node"]).zipWithIndex()
+        .map(lambda t: (t[0], t[1] + L))
+    )
+    rest_df = spark.createDataFrame(rest_rdd, "node long, rank long")
+    ranked = rest_df if placed is None else placed.unionByName(rest_df)
+
+    block_id = F.lit(-1).cast("long")
+    for b in range(len(start) - 1, 0, -1):
+        block_id = F.when(
+            (F.col("rank") >= start[b - 1]) & (F.col("rank") < start[b]),
+            F.lit(b - 1).cast("long"),
+        ).otherwise(block_id)
+    return ranked.select("node", "rank", block_id.alias("block_id"))
 
 
 def smurf_pipeline(
@@ -318,42 +539,68 @@ def smurf_pipeline(
     max_candidates: int | None = 200,
     selection: str = "reference",
     n_nodes: int | None = None,
+    distribute: bool | None = None,
 ) -> tuple[SmurfResult, DataFrame]:
     """End-to-end AA-Smurf: Spark candidate joins → greedy MDL →
     (node, rank, block_id) DataFrame.
 
     n_nodes: total node count INCLUDING isolated nodes (matrix fixtures —
     MDL code lengths are ⌈log2 n⌉ of the full matrix size, and isolated
-    nodes occupy residual ranks). Default: universe observed in edges."""
+    nodes occupy residual ranks). Default: universe observed in edges.
+
+    distribute: None = auto (edge count > DISTRIBUTE_EDGE_THRESHOLD).
+    The distributed path computes bit-identical results with no O(E) or
+    O(n) driver structure; the driver path collects the COO arrays and is
+    faster at fixture scale (no per-iteration job overhead)."""
     adj = adj.persist()
+    n_edges = adj.count()
+    if distribute is None:
+        distribute = n_edges > DISTRIBUTE_EDGE_THRESHOLD
     candidates = _candidate_list(adj, max_candidates)
+    nodes_ix, n = _node_index(spark, adj, n_nodes)
 
-    # node universe is contiguous 0..n-1 only for matrix fixtures; general
-    # graphs are relabeled through a rank map first
-    if n_nodes is not None:
-        node_ids = list(range(n_nodes))
-    else:
-        nodes = (
-            adj.select(F.col("src").alias("node"))
-            .union(adj.select(F.col("dst")))
-            .distinct()
-            .orderBy("node")
+    if distribute:
+        # candidate node ids → indices via a small lookup (O(cands × k))
+        involved = sorted({x for (i, j), mids in candidates for x in (i, j, *mids)})
+        ix_map = {
+            r["node"]: r["ix"]
+            for r in nodes_ix.filter(F.col("node").isin(involved)).collect()
+        }
+        cands_ix = [
+            ((ix_map[i], ix_map[j]), [ix_map[m] for m in mids])
+            for (i, j), mids in candidates
+        ]
+        if n_nodes is not None:
+            edges_ranked = adj.select(
+                F.col("src").alias("ru"), F.col("dst").alias("rv")
+            )
+        else:
+            src_ix = nodes_ix.select(
+                F.col("node").alias("src"), F.col("ix").alias("ru")
+            )
+            dst_ix = nodes_ix.select(
+                F.col("node").alias("dst"), F.col("ix").alias("rv")
+            )
+            edges_ranked = adj.join(src_ix, "src").join(dst_ix, "dst").select("ru", "rv")
+        result, _ = _smurf_search_distributed(
+            spark, edges_ranked, n, n_edges, cands_ix, max_iter, selection
         )
-        node_ids = [r["node"] for r in nodes.collect()]
-    id_to_ix = {v: i for i, v in enumerate(node_ids)}
-    n = len(node_ids)
+        rank_df = _rank_relation(spark, nodes_ix, result, n)
+        adj.unpersist()
+        return result, rank_df
 
+    # fixture-scale driver path: collect COO + node universe
+    node_ids = [r["node"] for r in nodes_ix.orderBy("ix").collect()]
+    id_to_ix = {v: i for i, v in enumerate(node_ids)}
     pdf = adj.toPandas()
+    adj.unpersist()
     ru = np.array([id_to_ix[v] for v in pdf["src"]], dtype=np.int64)
     rv = np.array([id_to_ix[v] for v in pdf["dst"]], dtype=np.int64)
     cands_ix = [
         ((id_to_ix[i], id_to_ix[j]), [id_to_ix[m] for m in mids])
         for (i, j), mids in candidates
     ]
-
-    result = smurf_search(
-        ru, rv, n, cands_ix, max_iter=max_iter, spark=spark, selection=selection
-    )
+    result = smurf_search(ru, rv, n, cands_ix, max_iter=max_iter, selection=selection)
     rank_rows = [
         (node_ids[node], rank, block) for node, rank, block in result.rank_map()
     ]

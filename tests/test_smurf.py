@@ -118,27 +118,54 @@ def test_smurf_pipeline_sample_matrix(spark):
     assert result.count[1] >= 3 * result.count[0]
 
 
-def test_distributed_scoring_matches_driver_scoring(spark):
-    """The mapInPandas fan-out branch (candidates > distribute_threshold)
-    must pick exactly the same blocks as the driver loop — same argmax,
-    same tie-breaks."""
-    from autoaudit_spark.mining.smurf import smurf_search, two_hop_pairs_numpy
-
+def test_distributed_pipeline_matches_driver_pipeline(spark):
+    """The fully distributed search (edges never collected; box counts
+    as Spark partial aggregates, ranks maintained by the vectorized
+    shift transform) must produce bit-identical results to the
+    driver-resident loop — same blocks, same argmax tie-breaks, same
+    MDL floats, same final rank relation."""
     rng = np.random.RandomState(5)
     edges = {(int(a), int(b)) for a, b in rng.randint(0, 40, size=(260, 2)) if a != b}
-    ru = np.array([s for s, _ in sorted(edges)], dtype=np.int64)
-    rv = np.array([d for _, d in sorted(edges)], dtype=np.int64)
-    cands = two_hop_pairs_numpy(ru, rv, 40, min_paths=2)
-    assert len(cands) > 3
+    # plant a smurf so at least one block is accepted
+    edges |= {(0, 30), (0, 31), (0, 32), (30, 5), (31, 5), (32, 5)}
+    adj = spark.createDataFrame(sorted(edges), "src long, dst long")
 
-    driver = smurf_search(ru, rv, 40, cands, max_iter=6, selection="final")
-    dist = smurf_search(
-        ru, rv, 40, cands, max_iter=6, selection="final",
-        spark=spark, distribute_threshold=0,
+    for selection in ("final", "reference"):
+        driver_res, driver_rank = smurf_pipeline(
+            spark, adj, max_iter=6, max_candidates=None,
+            selection=selection, distribute=False,
+        )
+        dist_res, dist_rank = smurf_pipeline(
+            spark, adj, max_iter=6, max_candidates=None,
+            selection=selection, distribute=True,
+        )
+        assert driver_res.order == dist_res.order
+        assert driver_res.start == dist_res.start
+        assert driver_res.count == dist_res.count
+        assert driver_res.mdl_history == dist_res.mdl_history
+        assert driver_res.selected_iter == dist_res.selected_iter
+        assert sorted(map(tuple, driver_rank.collect())) == sorted(
+            map(tuple, dist_rank.collect())
+        )
+    assert len(driver_res.mdl_history) >= 2
+
+
+def test_distributed_pipeline_matrix_fixture_parity(spark):
+    """Distributed path on the reference's shipped matrix fixture (with
+    n_nodes, identity node indexing) matches the driver path."""
+    adj = matrix_text_to_edges(spark, SAMPLE).withColumnsRenamed(
+        {"src_idx": "src", "dst_idx": "dst"}
     )
-    assert driver.order == dist.order
-    assert driver.start == dist.start
-    assert driver.mdl_history == dist.mdl_history
+    a, ra = smurf_pipeline(
+        spark, adj, max_iter=3, max_candidates=50, n_nodes=254, distribute=False
+    )
+    b, rb = smurf_pipeline(
+        spark, adj, max_iter=3, max_candidates=50, n_nodes=254, distribute=True
+    )
+    assert a.order == b.order
+    assert a.mdl_history == b.mdl_history
+    assert a.selected_iter == b.selected_iter
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
 
 
 def test_cli_list_and_run(spark, capsys):
