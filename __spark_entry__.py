@@ -56,9 +56,8 @@ _PRIORITY: list[str] = [
     "stream_user_sessions",
     "user_sessions",             # r1's only hash FAIL, oracle fixed
     # -- newly oracle-backed mining queries --
-    "sketch_values",
+    "sketch_values_hashed",
     "background_edges",
-    "windowed_sketch_sums",
     # -- r1 green set --
     "two_hop_intermediaries",
     "node_universe",

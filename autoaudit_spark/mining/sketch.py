@@ -142,6 +142,277 @@ def build_sketches(
 @query("sketch_values")
 def q_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 end-to-end (seeded; deterministic scorer). Rows-only: the
-    permutation is RNG-generated driver-side, not SQL-expressible."""
+    permutation is RNG-generated driver-side, not SQL-expressible.
+    Reference-parity path; `sketch_values_hashed` is the scale path."""
     vals, _, _ = build_sketches(spark, sf_dir, sketch_num=64)
     return vals.orderBy("window_start", "sketch_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale path: hash-derived membership, fully declarative greedy
+# ---------------------------------------------------------------------------
+#: deterministic integer mixes, overflow-safe in int64 and computable
+#: bit-identically in Spark and DuckDB (exact BIGINT arithmetic; the
+#: account id is folded mod 100003 first so the Knuth multiply stays
+#: < 2^63). Rates mirror the reference: 0.5% account rows per sketch
+#: (s_rate .995), 20% candidate columns (d_rate .8).
+_HSEED = 7
+
+
+def _member_pred(account, sketch_id):
+    return (
+        ((account % 100003) * 2654435761 % 1000003 + sketch_id * 97 + _HSEED)
+        % 1000003 % 1000
+    ) < 5
+
+
+def _cand_pred(pair_id, sketch_id):
+    return (
+        ((pair_id * 2654435761) % 1000003 + sketch_id * 193 + _HSEED) % 1000003 % 10
+    ) < 2
+
+
+def sketch_values_hashed(
+    spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
+) -> DataFrame:
+    """M2 scale path: the ENTIRE pipeline — membership, greedy column
+    selection, sketch sums — is one declarative DAG with NO driver-side
+    structure (the RNG path collects an O(accounts × 66) matrix and draws
+    per-account samples on the driver; this path replaces both):
+
+    - membership/candidates come from an integer hash of (account,
+      sketch) — content-addressed, partition-order-free, identical in
+      both engines (no seeded `F.rand`, whose draws depend on
+      partitioning);
+    - the greedy max-coverage objective Σ_sid max_{d∈D} sum_graph[sid,d]
+      is unrolled into `NUM_DST`=3 steps, each a join + grouped DECIMAL
+      sum + per-sketch row_number argmax — all distributed, all exact
+      (6dp-decimal addends ⇒ order-independent sums ⇒ cross-engine-
+      identical argmax);
+    - tie-breaks replicate the reference: strictly-positive gain
+      required, first (lowest column) among equal gains, first remaining
+      candidate when nothing scores positive (`AA-AR.py:136-146` and the
+      documented crash-bug deviation at module docstring).
+
+    Scores are Mahalanobis-d² (≥ 0), so max over a column set equals
+    max(best-so-far, value) with best initialised to 0.
+
+    This relation is also the pre-SVD skeleton the T3 change-detection
+    stream consumes (windowed sketch sums)."""
+    from .iforest import _points, mahalanobis_scores
+
+    sc6 = (
+        mahalanobis_scores(_points(spark, sf_dir))
+        .withColumn("sd", F.col("score").cast("decimal(18,6)"))
+        .persist()
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    sums = (
+        sc6.groupBy("account", "pair_id")
+        .agg(F.sum("sd").cast("decimal(38,6)").alias("s"))
+        .persist()
+    )
+    accounts = sums.select("account").distinct()
+    sk = spark.range(sketch_num).select(F.col("id").alias("sketch_id"))
+    cols = spark.range(PN).select(F.col("id").alias("pair_id"))
+    members = accounts.crossJoin(sk).filter(
+        _member_pred(F.col("account"), F.col("sketch_id"))
+    )
+    cands = sk.crossJoin(cols).filter(
+        _cand_pred(F.col("pair_id"), F.col("sketch_id"))
+    )
+
+    def argmax(gains: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sketch_id").orderBy(
+            (F.col("gain") > zero).desc(),
+            F.when(F.col("gain") > zero, F.col("gain")).desc_nulls_last(),
+            F.col("pair_id"),
+        )
+        return (
+            gains.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sketch_id", "pair_id")
+        )
+
+    # Greedy rounds. `pick` is O(sketches) rows — collected and re-created
+    # as a literal broadcast relation so each round's plan stays shallow
+    # (leaving the self-referencing DAG lazy made Catalyst re-optimize a
+    # plan that doubles per round). `best` (O(members)) stays distributed;
+    # localCheckpoint cuts its lineage per round — the same O(1)-plan
+    # discipline as the iterative graph algorithms.
+    best = members.select("sketch_id", "account", zero.alias("best"))
+    remaining = cands
+    chosen_rows: list[tuple[int, int]] = []
+    for _ in range(NUM_DST):
+        gains = (
+            remaining.join(best, "sketch_id", "left")
+            .join(sums, ["account", "pair_id"], "left")
+            .groupBy("sketch_id", "pair_id")
+            .agg(
+                F.coalesce(
+                    F.sum(F.greatest(F.col("best"), F.coalesce(F.col("s"), zero))),
+                    zero,
+                )
+                .cast("decimal(38,6)")
+                .alias("gain")
+            )
+        )
+        pick_rows = [
+            (r["sketch_id"], r["pair_id"]) for r in argmax(gains).collect()
+        ]
+        if not pick_rows:
+            break
+        chosen_rows.extend(pick_rows)
+        pick = F.broadcast(
+            spark.createDataFrame(pick_rows, "sketch_id long, cp long")
+        )
+        best = (
+            best.join(pick, "sketch_id")
+            .join(
+                sums.withColumnRenamed("pair_id", "cp"),
+                ["account", "cp"],
+                "left",
+            )
+            .select(
+                "sketch_id",
+                "account",
+                F.greatest(F.col("best"), F.coalesce(F.col("s"), zero))
+                .cast("decimal(38,6)")
+                .alias("best"),
+            )
+            .localCheckpoint()
+        )
+        remaining = remaining.join(
+            pick.withColumnRenamed("cp", "pair_id"),
+            ["sketch_id", "pair_id"],
+            "left_anti",
+        )
+
+    chosen = F.broadcast(
+        spark.createDataFrame(chosen_rows, "sketch_id long, pair_id long")
+    )
+
+    grid = sc6.select("window_start").distinct().crossJoin(sk)
+    vals = (
+        sc6.join(members.select("sketch_id", "account"), "account")
+        .join(chosen, ["sketch_id", "pair_id"])
+        .groupBy("window_start", "sketch_id")
+        .agg(F.sum("sd").alias("v"))
+    )
+    return (
+        grid.join(vals, ["window_start", "sketch_id"], "left")
+        .select(
+            "window_start",
+            F.col("sketch_id").cast("int").alias("sketch_id"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("value"),
+        )
+        .orderBy("window_start", "sketch_id")
+    )
+
+
+def _sketch_hashed_sql() -> str:
+    """DuckDB twin of :func:`sketch_values_hashed` (sketch_num=64) — the
+    greedy is unrolled into 3 CTE steps mirroring the Spark DAG; all
+    sums in DECIMAL so the cross-engine argmax is exact."""
+    from .iforest import _MAHA_SQL
+
+    maha = _MAHA_SQL.replace("ORDER BY l.window_start, l.pair_id, l.account", "")
+    z = "CAST(0 AS DECIMAL(38,6))"
+    pick = (
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY sketch_id ORDER BY "
+        "(gain > 0) DESC, CASE WHEN gain > 0 THEN gain END DESC NULLS LAST, "
+        "pair_id) = 1"
+    )
+    return f"""
+    WITH scored AS ({maha}),
+    sc AS (SELECT window_start, account, pair_id,
+                  CAST(score AS DECIMAL(18,6)) AS sd FROM scored),
+    sums AS (SELECT account, pair_id, CAST(SUM(sd) AS DECIMAL(38,6)) AS s
+             FROM sc GROUP BY account, pair_id),
+    accts AS (SELECT DISTINCT account FROM sums),
+    sk AS (SELECT UNNEST(range(64)) AS sketch_id),
+    pcols AS (SELECT UNNEST(range({PN})) AS pair_id),
+    members AS (
+        SELECT a.account, k.sketch_id FROM accts a CROSS JOIN sk k
+        WHERE ((((a.account % 100003) * 2654435761) % 1000003
+                + k.sketch_id * 97 + {_HSEED}) % 1000003) % 1000 < 5
+    ),
+    cands AS (
+        SELECT k.sketch_id, c.pair_id FROM sk k CROSS JOIN pcols c
+        WHERE (((c.pair_id * 2654435761) % 1000003
+                + k.sketch_id * 193 + {_HSEED}) % 1000003) % 10 < 2
+    ),
+    g1 AS (
+        SELECT cd.sketch_id, cd.pair_id,
+               CAST(COALESCE(SUM(GREATEST({z}, COALESCE(s.s, {z}))), 0)
+                    AS DECIMAL(38,6)) AS gain
+        FROM cands cd
+        LEFT JOIN members m ON m.sketch_id = cd.sketch_id
+        LEFT JOIN sums s ON s.account = m.account AND s.pair_id = cd.pair_id
+        GROUP BY cd.sketch_id, cd.pair_id
+    ),
+    c1 AS (SELECT sketch_id, pair_id FROM g1 {pick}),
+    best1 AS (
+        SELECT m.account, m.sketch_id,
+               CAST(GREATEST({z}, COALESCE(s.s, {z})) AS DECIMAL(38,6)) AS best
+        FROM members m JOIN c1 ON c1.sketch_id = m.sketch_id
+        LEFT JOIN sums s ON s.account = m.account AND s.pair_id = c1.pair_id
+    ),
+    r2 AS (SELECT c.sketch_id, c.pair_id FROM cands c
+           WHERE NOT EXISTS (SELECT 1 FROM c1
+                 WHERE c1.sketch_id = c.sketch_id AND c1.pair_id = c.pair_id)),
+    g2 AS (
+        SELECT cd.sketch_id, cd.pair_id,
+               CAST(COALESCE(SUM(GREATEST(b.best, COALESCE(s.s, {z}))), 0)
+                    AS DECIMAL(38,6)) AS gain
+        FROM r2 cd
+        LEFT JOIN best1 b ON b.sketch_id = cd.sketch_id
+        LEFT JOIN sums s ON s.account = b.account AND s.pair_id = cd.pair_id
+        GROUP BY cd.sketch_id, cd.pair_id
+    ),
+    c2 AS (SELECT sketch_id, pair_id FROM g2 {pick}),
+    best2 AS (
+        SELECT b.account, b.sketch_id,
+               CAST(GREATEST(b.best, COALESCE(s.s, {z})) AS DECIMAL(38,6)) AS best
+        FROM best1 b JOIN c2 ON c2.sketch_id = b.sketch_id
+        LEFT JOIN sums s ON s.account = b.account AND s.pair_id = c2.pair_id
+    ),
+    r3 AS (SELECT c.sketch_id, c.pair_id FROM r2 c
+           WHERE NOT EXISTS (SELECT 1 FROM c2
+                 WHERE c2.sketch_id = c.sketch_id AND c2.pair_id = c.pair_id)),
+    g3 AS (
+        SELECT cd.sketch_id, cd.pair_id,
+               CAST(COALESCE(SUM(GREATEST(b.best, COALESCE(s.s, {z}))), 0)
+                    AS DECIMAL(38,6)) AS gain
+        FROM r3 cd
+        LEFT JOIN best2 b ON b.sketch_id = cd.sketch_id
+        LEFT JOIN sums s ON s.account = b.account AND s.pair_id = cd.pair_id
+        GROUP BY cd.sketch_id, cd.pair_id
+    ),
+    c3 AS (SELECT sketch_id, pair_id FROM g3 {pick}),
+    chosen AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+               UNION ALL SELECT * FROM c3),
+    wins AS (SELECT DISTINCT window_start FROM sc),
+    grid AS (SELECT w.window_start, k.sketch_id FROM wins w CROSS JOIN sk k),
+    vals AS (
+        SELECT sc.window_start, m.sketch_id, SUM(sc.sd) AS v
+        FROM sc JOIN members m ON m.account = sc.account
+                JOIN chosen ch ON ch.sketch_id = m.sketch_id
+                             AND ch.pair_id = sc.pair_id
+        GROUP BY sc.window_start, m.sketch_id
+    )
+    SELECT g.window_start, CAST(g.sketch_id AS INTEGER) AS sketch_id,
+           CAST(COALESCE(v.v, 0) AS DOUBLE) AS value
+    FROM grid g LEFT JOIN vals v ON v.window_start = g.window_start
+                               AND v.sketch_id = g.sketch_id
+    ORDER BY g.window_start, sketch_id
+    """
+
+
+@query("sketch_values_hashed", oracle=_sketch_hashed_sql())
+def q_sketch_values_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 scale path, fully oracle-backed: hash-membership sketches +
+    declarative greedy (see :func:`sketch_values_hashed`)."""
+    return sketch_values_hashed(spark, sf_dir, sketch_num=64)
