@@ -205,87 +205,130 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X6 scale path #2: IVF (inverted-file) ANN with deterministic seed
-# centroids — unlike the hash-based LSH variant this is exactly
-# reproducible in ANSI SQL, so the whole probe pipeline gets a value-hash
-# oracle. Centroids here are the first K corpus vectors (a documented
-# stand-in for k-means iterations — the IVF plumbing: assignment,
-# inverted lists, multi-probe search, is the real structure).
+# X6 scale path #2: IVF (inverted-file) ANN with seeded k-means centroids.
+# Unlike the hash-based LSH variant this is exactly reproducible in ANSI
+# SQL, so the whole pipeline — Lloyd training included — gets a value-hash
+# oracle. Init = first K corpus vectors (deterministic); then
+# IVF_KMEANS_ROUNDS Lloyd rounds where each centroid update is a grouped
+# mean computed as an exact DECIMAL(18,6) sum divided by the count:
+# order-independent, hence bit-identical across engines. Assignments rank
+# by ROUND(cos, 6) with centroid-id tie-break (the same cross-engine
+# discipline as every other cosine query here).
 # ---------------------------------------------------------------------------
 IVF_LISTS = 8
 IVF_NPROBE = 2
+IVF_KMEANS_ROUNDS = 2
+EMB_DIM = 64
 
-_IVF_COS_AC = (
-    "list_dot_product(a.v, c.cv) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
-)
 _IVF_COS_PA = (
     "list_dot_product(p.qv, a.v) / "
     "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))"
 )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_LISTS}),
-    scored AS (
-        SELECT a.vec_id, a.v, c.cid,
-               ROW_NUMBER() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY ROUND({_IVF_COS_AC}, 6) DESC, c.cid
-               ) AS rn
-        FROM e a CROSS JOIN cent c
-    ),
-    assign AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1),
-    probes AS (SELECT vec_id AS query_id, v AS qv, cid
-               FROM scored WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
-    cand AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
-               ROUND({_IVF_COS_PA}, 6) AS cos_sim
-        FROM probes p JOIN assign a USING (cid)
-        WHERE a.vec_id <> p.query_id
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, cos_sim,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
-               ) AS rk
-        FROM cand
+def _centroid_rank_expr(cents: list[tuple[int, list[float]]]):
+    """Array of struct(csim, negcid) per row, sorted so element 1 is the
+    nearest centroid (csim desc, cid asc — negcid makes the lexicographic
+    DESC sort break ties toward the LOWER cid, mirroring the oracle's
+    `ORDER BY csim DESC, cid`). The centroid matrix is compiled into the
+    plan as literals — assignment is a pure map stage, NO shuffle, which
+    is the whole point of broadcast-style centroids at 100 TB."""
+    entries = [
+        F.struct(
+            F.round(
+                cosine_sim(F.col("v"), F.array(*[F.lit(float(x)) for x in cv])), 6
+            ).alias("csim"),
+            F.lit(-cid).cast("long").alias("negcid"),
+        )
+        for cid, cv in cents
+    ]
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def kmeans_centroids(
+    spark: SparkSession, emb: DataFrame, rounds: int = IVF_KMEANS_ROUNDS
+) -> DataFrame:
+    """Seeded Lloyd training over (vec_id, v) → (cid, cv) centroids.
+    Init = first K corpus vectors. Per round: assignment is a shuffle-free
+    map (centroids compiled as literals — `_centroid_rank_expr`); the only
+    exchange is the exploded (cid, dim) partial-sum aggregate, which
+    map-side combine reduces to K×dim rows. Centroid means are exact
+    DECIMAL(18,6) sums over 6dp-quantized components divided by the count
+    — order-independent, so the trained model is bit-identical to the
+    DuckDB twin. The K×dim model is collected per round (legitimate driver
+    state — model parameters, not data). Empty clusters keep their
+    previous centroid."""
+    cents = _collect_centroids(emb)
+    for _ in range(rounds):
+        cents = _lloyd_round(emb, cents)
+    return spark.createDataFrame(cents, "cid long, cv array<double>")
+
+
+def _collect_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.filter(F.col("vec_id") < IVF_LISTS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
+def _lloyd_round(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd round as ONE aggregation job: per cluster, 64 exact
+    DECIMAL component sums + the count (all whole-stage-codegen — no
+    posexplode row blowup, no second shuffle). The division to means
+    happens driver-side on the collected K×(dim+1) numbers: float(exact
+    decimal) / int is the same correctly-rounded double as the engines'
+    CAST(sum AS DOUBLE)/COUNT, so cross-engine bit-equality holds."""
+    ranked = _centroid_rank_expr(cents)
+    dim = len(cents[0][1])
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("v", d + 1).cast("decimal(18,6)")).alias(f"s{d}")
+        for d in range(dim)
+    ]
+    rows = (
+        emb.select((-F.element_at(ranked, 1)["negcid"]).alias("cid"), "v")
+        .groupBy("cid")
+        .agg(*aggs)
+        .collect()
     )
-    SELECT query_id, neighbor_id, cos_sim, rk
-    FROM ranked WHERE rk <= {TOP_K}
-    ORDER BY query_id, rk
-    """,
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 IVF: assign every vector to its nearest of K seed centroids
-    (broadcast join — the corpus never shuffles), probe the NPROBE nearest
-    lists per query, rank only within probed lists. Search cost drops from
-    O(N) to ~O(N·nprobe/K) per query; recall<1 by design (tested against
-    brute force). Fully deterministic → exact DuckDB twin."""
+    new = {
+        int(r["cid"]): [float(r[f"s{d}"]) / r["n"] for d in range(dim)]
+        for r in rows
+    }
+    return [(cid, new.get(cid, cv)) for cid, cv in cents]
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, rounds: int = IVF_KMEANS_ROUNDS
+) -> DataFrame:
+    """IVF probe pipeline: assign every vector to its nearest trained
+    centroid (literal-centroid map — the corpus never shuffles for
+    assignment), probe the NPROBE nearest lists per query, rank only
+    within probed lists. Search cost drops from O(N) to ~O(N·nprobe/K)
+    per query; recall<1 by design (tested against brute force)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < IVF_LISTS).withColumnsRenamed(
-        {"vec_id": "cid", "v": "cv"}
+    cents = _collect_centroids(emb)
+    for _ in range(rounds):
+        cents = _lloyd_round(emb, cents)
+    ranked = _centroid_rank_expr(cents)
+    assign = emb.select(
+        "vec_id", "v", (-F.element_at(ranked, 1)["negcid"]).alias("cid")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "v",
-        "cid",
-        F.round(cosine_sim(F.col("v"), F.col("cv")), 6).alias("csim"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    ranked_lists = scored.withColumn("rn", F.row_number().over(wa))
-    assign = ranked_lists.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = (
-        ranked_lists.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
-        )
+        emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked, 1, IVF_NPROBE), lambda s: -s["negcid"]
+                )
+            ).alias("cid"),
         )
     )
     cand = (
@@ -305,3 +348,90 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+def _ivf_kmeans_sql(rounds: int = IVF_KMEANS_ROUNDS) -> str:
+    """DuckDB twin of the full train+probe pipeline: one (assign, means,
+    centroid) CTE triple per Lloyd round, then the probe/rank tail. Means
+    are DECIMAL-exact sums over 6dp-quantized components — identical to
+    the Spark side, so the trained centroids (and hence every downstream
+    ranking) are bit-equal."""
+
+    def cos(a: str, c: str) -> str:
+        return (
+            f"list_dot_product({a}.v, {c}.cv) / "
+            f"(sqrt(list_dot_product({a}.v, {a}.v)) * "
+            f"sqrt(list_dot_product({c}.cv, {c}.cv)))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_LISTS})",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT a.vec_id, a.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY ROUND({cos('a', 'c')}, 6) DESC, c.cid) AS rn
+                FROM e a CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+            SELECT cid, dd.d AS d,
+                   CAST(SUM(CAST(a.v[dd.d + 1] AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM a{r} a CROSS JOIN (SELECT UNNEST(range(0, {EMB_DIM})) AS d) dd
+            GROUP BY cid, dd.d)"""
+        )
+        parts.append(
+            f"cv{r} AS (SELECT cid, list(m ORDER BY d) AS mv "
+            f"FROM m{r} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT p.cid, COALESCE(n.mv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN cv{r} n USING (cid))"
+        )
+        prev = f"c{r}"
+    parts.append(
+        f"""scored AS (
+        SELECT a.vec_id, a.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY ROUND({cos('a', 'c')}, 6) DESC, c.cid) AS rn
+        FROM e a CROSS JOIN {prev} c)"""
+    )
+    parts.append("assign AS (SELECT vec_id, v, cid FROM scored WHERE rn = 1)")
+    parts.append(
+        f"probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored "
+        f"WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE})"
+    )
+    parts.append(
+        f"""cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND({_IVF_COS_PA}, 6) AS cos_sim
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id)"""
+    )
+    parts.append(
+        """ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM cand)"""
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT query_id, neighbor_id, cos_sim, rk
+        FROM ranked WHERE rk <= {TOP_K} ORDER BY query_id, rk"""
+    )
+
+
+@query("ann_ivf_topk", oracle=_ivf_kmeans_sql())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 IVF with seeded k-means training (IVF_KMEANS_ROUNDS Lloyd
+    rounds), fully value-hash checked against the DuckDB twin including
+    the training iterations."""
+    return ivf_topk(spark, sf_dir, rounds=IVF_KMEANS_ROUNDS)

@@ -162,3 +162,57 @@ class TestIVF:
         assert ivf
         recall = len(brute & ivf) / len(brute)
         assert recall > 0.2  # nprobe=2 of 8 lists probes ~1/4 of the corpus
+
+    def test_kmeans_training_improves_assignment_quality(self, spark):
+        """Lloyd rounds must improve the k-means objective — mean cosine
+        of each vector to its assigned centroid (measured: 0.187 seeds →
+        0.255 after 2 rounds at sf0.001; deterministic, no flake). Recall
+        at fixed nprobe is NOT asserted to increase: on the deliberately
+        near-isotropic testdata, better-balanced lists can shuffle
+        boundary neighbors (measured ±0.04 either way), while the
+        quantization quality the index actually optimizes rises steadily."""
+        from autoaudit_spark.llm.similarity import (
+            IVF_KMEANS_ROUNDS, _dvec, cosine_sim, kmeans_centroids,
+        )
+        from autoaudit_spark.sources import load_table
+        from pyspark.sql.window import Window
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+
+        def quality(rounds):
+            cent = kmeans_centroids(spark, emb, rounds=rounds)
+            wa = Window.partitionBy("vec_id").orderBy(
+                F.col("csim").desc(), F.col("cid")
+            )
+            return (
+                emb.crossJoin(F.broadcast(cent))
+                .select(
+                    "vec_id", "cid",
+                    F.round(cosine_sim(F.col("v"), F.col("cv")), 6).alias("csim"),
+                )
+                .withColumn("rn", F.row_number().over(wa))
+                .filter("rn = 1")
+                .agg(F.avg("csim"))
+                .collect()[0][0]
+            )
+
+        q0, qk = quality(0), quality(IVF_KMEANS_ROUNDS)
+        assert qk > q0 + 0.02  # well beyond rounding noise
+
+    def test_kmeans_centroids_move_and_stay_finite(self, spark):
+        from autoaudit_spark.llm.similarity import (
+            IVF_LISTS, _dvec, kmeans_centroids,
+        )
+        from autoaudit_spark.sources import load_table
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+        c0 = {r["cid"]: r["cv"] for r in kmeans_centroids(spark, emb, 0).collect()}
+        c2 = {r["cid"]: r["cv"] for r in kmeans_centroids(spark, emb, 2).collect()}
+        assert set(c0) == set(c2) and len(c2) == IVF_LISTS
+        moved = sum(1 for k in c0 if c0[k] != c2[k])
+        assert moved >= IVF_LISTS // 2  # training actually updates centroids
+        assert all(all(abs(x) < 1e6 for x in v) for v in c2.values())
