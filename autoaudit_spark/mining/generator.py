@@ -89,28 +89,64 @@ def generate_eval_tables(
     return inj_df, lab_df
 
 
+def _pair_keep_pred(src, dst, keep_ppm: int, seed: int):
+    """Content-addressed Bernoulli: keep a (src, dst) pair iff an integer
+    hash of the pair lands under keep_ppm per million. Pure BIGINT
+    arithmetic (operands folded small enough that the Knuth multiply stays
+    < 2^63), so the SAME predicate evaluates bit-identically in Spark and
+    DuckDB — unlike `F.rand(seed)`, whose draw stream depends on
+    partitioning and has no cross-engine twin."""
+    h = (
+        (src % 1000003) * 2654435761
+        + (dst % 1000003) * 40503
+        + seed * 97
+    ) % 1000000007
+    return (h % 1000000) < keep_ppm
+
+
 def background_edges(
     banks: DataFrame, interact_prob: float = 0.9995, seed: int = 0
 ) -> DataFrame:
     """J6+P9: random background graph — every (bank, bank) pair kept with
     probability 1−interact_prob (`smurf_generator.py:57-60`). Expressed as
-    a crossJoin + seeded `F.rand` filter: documented-expensive (O(|banks|²)
+    a crossJoin + hash-Bernoulli filter: documented-expensive (O(|banks|²)
     pairs BEFORE the filter), acceptable because banks is a dimension
     (4.5k in the reference's Czech data), and gated behind this explicit
-    function at scale — never applied to a fact-sized relation. `rand(seed)`
-    is per-partition deterministic; callers wanting exact reproducibility
-    across cluster sizes should `coalesce(1)` the dimension first (tiny)."""
+    function at scale — never applied to a fact-sized relation. The hash
+    predicate is partition-count-independent, so the same seed reproduces
+    the same edge set on any cluster layout."""
+    keep_ppm = round((1.0 - interact_prob) * 1_000_000)
     b1 = banks.select(F.col("bank").alias("src"))
     b2 = banks.select(F.col("bank").alias("dst"))
-    return b1.crossJoin(b2).filter(F.rand(seed) > interact_prob)
+    # broadcast the right side: a plain crossJoin of two M-partition
+    # dimensions becomes an M×M-task CartesianProduct (measured 28 s for
+    # 150×150 rows at local[32]); BroadcastNestedLoopJoin keeps it at M
+    # tasks and is the correct plan at any scale for a dimension × dimension
+    # expansion
+    return b1.crossJoin(F.broadcast(b2)).filter(
+        _pair_keep_pred(F.col("src"), F.col("dst"), keep_ppm, seed)
+    )
 
 
-@query("background_edges")
+@query(
+    "background_edges",
+    oracle=f"""
+    WITH edges AS (SELECT user_id AS src,
+                          CAST(event_id % 150 AS BIGINT) AS dst FROM events),
+    banks AS (SELECT DISTINCT dst AS bank FROM edges)
+    SELECT b1.bank AS src, b2.bank AS dst
+    FROM banks b1 CROSS JOIN banks b2
+    WHERE ((((b1.bank % 1000003) * 2654435761
+             + (b2.bank % 1000003) * 40503) % 1000000007) % 1000000) < 500
+    ORDER BY src, dst
+    """,
+)
 def q_background_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 end-to-end on the derived bank universe. Rows-only (RNG streams
-    differ across engines); edge-count concentration is unit-tested."""
+    """J6 end-to-end on the derived bank universe, value-hash checked:
+    the hash-Bernoulli keep-predicate is engine-independent integer
+    arithmetic (seed 0, rate 1−0.9995 = 500 ppm)."""
     bank_acc, _ = _universes(spark, sf_dir)
-    banks = spark.createDataFrame([(int(b),) for b in bank_acc], "bank long").coalesce(1)
+    banks = spark.createDataFrame([(int(b),) for b in bank_acc], "bank long")
     return background_edges(banks).orderBy("src", "dst")
 
 

@@ -49,7 +49,7 @@ def test_priority_names_exist():
     q = set(entry_mod.queries())
     missing = [
         n for n in entry_mod._PRIORITY
-        if n not in q and n not in ("background_edges",)
+        if n not in q
     ]
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
