@@ -33,12 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window. Queries NOT listed here but registered
 # are appended afterwards — oracle-backed ones first (still locally
-# verifiable via tools/check.py), rows-only ones last. The handful of
-# oracle-backed breadth extras deliberately left outside the window
+# verifiable via tools/check.py), rows-only ones last. The oracle-backed
+# breadth extras deliberately left outside the window
 # (revenue_by_nation, cube_events, date_functions, intersect_except_users,
-# salted_user_totals, asof_join_within) duplicate plan shapes that other
-# in-window queries already prove (profit_by_nation_year, rollup_orders,
-# scalar_math, sink_accounts, degree_counts, asof_join_attribution).
+# salted_user_totals, asof_join_within, topk_per_group) duplicate plan
+# shapes that other in-window queries already prove
+# (profit_by_nation_year, rollup_orders, scalar_math, sink_accounts,
+# degree_counts, asof_join_attribution, window_topk_accounts) — every
+# remaining SURVEY §2 operator keeps at least one in-window green row.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry)
     # -- LLM pipeline + streaming: unchecked in r1, must be in-window --
@@ -54,6 +56,8 @@ _PRIORITY: list[str] = [
     "multimodal_assemble",
     "stream_window_event_stats",
     "stream_user_sessions",
+    "stream_sketch_sums",
+    "stream_value_milestones",
     "user_sessions",             # r1's only hash FAIL, oracle fixed
     # -- newly oracle-backed mining queries --
     "sketch_values_hashed",
@@ -70,7 +74,6 @@ _PRIORITY: list[str] = [
     "pricing_summary",
     "sink_accounts",
     "union_dedup",
-    "topk_per_group",
     "global_argmax",
     "heavy_pairs",
     "scalar_math",

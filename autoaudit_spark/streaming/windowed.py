@@ -197,6 +197,162 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T3 input skeleton: windowed sketch sums as a STREAM, oracle-backed.
+# The change detector consumes (window_start, sketch_id, value); this query
+# produces exactly that shape through the live streaming engine — sliding
+# windows × hash-derived sketch membership (mining.sketch._member_pred,
+# the same content-addressed predicate as the batch scale path) × exact
+# decimal sums — so the plumbing feeding the stateful T3 operator is
+# value-hash checked, not just parity-tested.
+# ---------------------------------------------------------------------------
+def sketch_sums_stream(events: DataFrame, sketch_num: int = 64) -> DataFrame:
+    from ..mining.sketch import _member_pred
+
+    member_sids = F.filter(
+        F.sequence(F.lit(0), F.lit(sketch_num - 1)),
+        lambda sid: _member_pred(F.col("user_id"), sid),
+    )
+    return (
+        events.withWatermark("ts", WINDOW)
+        .select("ts", "value", F.explode(member_sids).alias("sketch_id"))
+        .groupBy(F.window("ts", WINDOW, SLIDE).alias("w"), "sketch_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("value")
+        )
+        .select(F.col("w.start").alias("window_start"), "sketch_id", "value")
+    )
+
+
+@query(
+    "stream_sketch_sums",
+    oracle="""
+    WITH wev AS (
+        SELECT make_timestamp(((epoch_us(ts) // 604800000000) - k.k) * 604800000000)
+                   AS window_start,
+               user_id, value
+        FROM events, (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start, CAST(s.sid AS INTEGER) AS sketch_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value
+    FROM wev CROSS JOIN (SELECT UNNEST(range(64)) AS sid) s
+    WHERE ((((user_id % 100003) * 2654435761) % 1000003
+            + s.sid * 97 + 7) % 1000003) % 1000 < 5
+    GROUP BY window_start, s.sid
+    ORDER BY window_start, sketch_id
+    """,
+)
+def q_stream_sketch_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 input skeleton through the streaming engine, hash-checked: the
+    (window_start, sketch_id, value) relation the stateful change detector
+    consumes, built from sliding windows and hash-membership sketches."""
+    out = drain(
+        sketch_sums_stream(stream_events(spark, sf_dir)),
+        "stream_sketch_sums",
+    )
+    return out.orderBy("window_start", "sketch_id")
+
+
+# ---------------------------------------------------------------------------
+# Stateful operator with an EXACT oracle: per-user value milestones via
+# applyInPandasWithState. The running total is carried in integer cents
+# (exact), rows are processed in (ts, event_id) order within the group, and
+# a row is emitted each time the cumulative total crosses another 100.00
+# boundary — SQL-expressible as a running-sum window, so the driver's
+# value-hash covers a genuinely stateful custom operator (the T3 scorer
+# itself stays rows-only: SVD isn't SQL).
+# ---------------------------------------------------------------------------
+MILESTONE_CENTS = 100 * 100
+
+
+def value_milestones_stream(events: DataFrame) -> DataFrame:
+    """State = (cumulative cents, rows seen) per user. Assumes per-key
+    in-order arrival across micro-batches (file replay and log-compacted
+    sources deliver this; within a batch the group is sorted here).
+    Emits (user_id, event_id, ts_us, milestone, total_value)."""
+    out_schema = (
+        "user_id long, event_id long, ts_us long, milestone int, total_value double"
+    )
+    state_schema = "cum_cents long"
+
+    def detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (cum,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        rows = []
+        for eid, ts_us, v in zip(
+            batch["event_id"], batch["ts_us"], batch["value"]
+        ):
+            cents = int(round(float(v) * 100))
+            prev, cum = cum, cum + cents
+            if cum // MILESTONE_CENTS > prev // MILESTONE_CENTS:
+                rows.append(
+                    (
+                        int(key[0]),
+                        int(eid),
+                        int(ts_us),
+                        int(cum // MILESTONE_CENTS),
+                        cum / 100.0,
+                    )
+                )
+        state.update((cum,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "event_id", "ts_us", "milestone", "total_value",
+                ],
+            )
+
+    return (
+        events.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            StructType.fromDDL(out_schema),
+            StructType.fromDDL(state_schema),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "stream_value_milestones",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               CAST(value AS DECIMAL(18,2)) AS v2
+        FROM events
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(CAST(cum * 100 AS BIGINT) // 10000 AS INTEGER) AS milestone,
+           CAST(cum AS DOUBLE) AS total_value
+    FROM seq
+    WHERE CAST(cum * 100 AS BIGINT) // 10000
+          > CAST((cum - v2) * 100 AS BIGINT) // 10000
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the exact value-hash: each
+    row is a 100.00-boundary crossing of a user's running value total
+    (integer-cent state — order-free of float summation concerns)."""
+    out = drain(
+        value_milestones_stream(stream_events(spark, sf_dir)),
+        "stream_value_milestones",
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "ts_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
 # T3: stateful change-point detection over the sketch stream
 # ---------------------------------------------------------------------------
 def stateful_change_scores(
