@@ -236,16 +236,36 @@ def sketch_values_hashed(
             .select("sketch_id", "pair_id")
         )
 
-    # Greedy rounds. `pick` is O(sketches) rows — collected and re-created
-    # as a literal broadcast relation so each round's plan stays shallow
-    # (leaving the self-referencing DAG lazy made Catalyst re-optimize a
-    # plan that doubles per round). `best` (O(members)) stays distributed;
-    # localCheckpoint cuts its lineage per round — the same O(1)-plan
-    # discipline as the iterative graph algorithms.
-    best = members.select("sketch_id", "account", zero.alias("best"))
+    # Greedy rounds — ZERO driver round-trips. The whole NUM_DST-step
+    # greedy is one nested DataFrame DAG (mirroring the oracle's CTE
+    # chain): each round's `best` state is recomputed from the chosen-so-
+    # far SUBPLAN as max over chosen columns of the persisted `sums`
+    # relation, each round's pick is a window-filter argmax, and nothing
+    # materializes until the single final action. Every intermediate
+    # relation is O(sketches×cands) or O(members) — tiny at any data
+    # scale (the data-sized inputs, sc6/sums, are persisted and reused).
+    sums_cp = sums.select(
+        "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
+    )
     remaining = cands
-    chosen_rows: list[tuple[int, int]] = []
+    chosen: DataFrame | None = None
     for _ in range(NUM_DST):
+        if chosen is not None:
+            best = (
+                members.join(
+                    F.broadcast(chosen.withColumnRenamed("pair_id", "cp")),
+                    "sketch_id",
+                )
+                .join(sums_cp, ["account", "cp"], "left")
+                .groupBy("sketch_id", "account")
+                .agg(
+                    F.greatest(zero, F.max(F.coalesce(F.col("cs"), zero)))
+                    .cast("decimal(38,6)")
+                    .alias("best")
+                )
+            )
+        else:
+            best = members.select("sketch_id", "account", zero.alias("best"))
         gains = (
             remaining.join(best, "sketch_id", "left")
             .join(sums, ["account", "pair_id"], "left")
@@ -259,40 +279,13 @@ def sketch_values_hashed(
                 .alias("gain")
             )
         )
-        pick_rows = [
-            (r["sketch_id"], r["pair_id"]) for r in argmax(gains).collect()
-        ]
-        if not pick_rows:
-            break
-        chosen_rows.extend(pick_rows)
-        pick = F.broadcast(
-            spark.createDataFrame(pick_rows, "sketch_id long, cp long")
-        )
-        best = (
-            best.join(pick, "sketch_id")
-            .join(
-                sums.withColumnRenamed("pair_id", "cp"),
-                ["account", "cp"],
-                "left",
-            )
-            .select(
-                "sketch_id",
-                "account",
-                F.greatest(F.col("best"), F.coalesce(F.col("s"), zero))
-                .cast("decimal(38,6)")
-                .alias("best"),
-            )
-            .localCheckpoint()
-        )
+        pick = argmax(gains)
+        chosen = pick if chosen is None else chosen.unionByName(pick)
         remaining = remaining.join(
-            pick.withColumnRenamed("cp", "pair_id"),
-            ["sketch_id", "pair_id"],
-            "left_anti",
+            pick, ["sketch_id", "pair_id"], "left_anti"
         )
 
-    chosen = F.broadcast(
-        spark.createDataFrame(chosen_rows, "sketch_id long, pair_id long")
-    )
+    chosen = F.broadcast(chosen)
 
     grid = sc6.select("window_start").distinct().crossJoin(sk)
     vals = (

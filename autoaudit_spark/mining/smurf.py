@@ -145,11 +145,17 @@ def _candidate_list(adj: DataFrame, max_candidates: int | None):
         .agg(F.count("*").alias("path_cnt"))
         .filter(F.col("path_cnt") >= 3)
     )
-    rows = [(r["src"], r["dst"], r["path_cnt"]) for r in counts.collect()]
-    rows.sort(key=lambda t: (t[0], t[1]))          # row-major
-    rows.sort(key=lambda t: t[2])                  # stable asc by count
-    rows.reverse()                                 # desc count, rev row-major ties
-    kept = rows[:max_candidates] if max_candidates else rows
+    # the reference's ordering — ascending stable sort by count then [::-1]
+    # (`AA-Smurf.py:110`) — equals ORDER BY count DESC, src DESC, dst DESC;
+    # with a cap this is a DISTRIBUTED top-k (TakeOrderedAndProject), so
+    # only max_candidates rows ever reach the driver, not every pair with
+    # ≥3 paths (which grows with the graph)
+    ordered = counts.orderBy(
+        F.desc("path_cnt"), F.desc("src"), F.desc("dst")
+    )
+    if max_candidates:
+        ordered = ordered.limit(max_candidates)
+    kept = [(r["src"], r["dst"], r["path_cnt"]) for r in ordered.collect()]
 
     keep_df = F.broadcast(
         spark.createDataFrame([(s, d) for s, d, _ in kept], "src long, dst long")

@@ -186,6 +186,112 @@ def q_asof_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_nearest",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+    ),
+    c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+          FROM events WHERE event_type = 'click'),
+    u AS (
+        SELECT user_id, us, 1 AS side, event_id AS click_id,
+               NULL::BIGINT AS r_id, NULL::BIGINT AS r_us FROM c
+        UNION ALL
+        SELECT user_id, us, 0 AS side, NULL, event_id, us FROM v
+    ),
+    m AS (
+        SELECT *,
+               last_value(r_id IGNORE NULLS) OVER wprev AS prior_id,
+               last_value(r_us IGNORE NULLS) OVER wprev AS prior_us,
+               first_value(r_id IGNORE NULLS) OVER wnext AS next_id,
+               first_value(r_us IGNORE NULLS) OVER wnext AS next_us
+        FROM u
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY us, side
+                         ROWS UNBOUNDED PRECEDING),
+               wnext AS (PARTITION BY user_id ORDER BY us, side
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+        SELECT click_id, user_id, us,
+               CASE WHEN prior_id IS NOT NULL AND
+                         (next_id IS NULL OR us - prior_us <= next_us - us)
+                    THEN prior_id ELSE next_id END AS view_id,
+               CASE WHEN prior_id IS NOT NULL AND
+                         (next_id IS NULL OR us - prior_us <= next_us - us)
+                    THEN prior_us ELSE next_us END AS view_us
+        FROM m WHERE side = 1
+    )
+    SELECT click_id, user_id, make_timestamp(us) AS click_ts,
+           view_id, make_timestamp(view_us) AS view_ts,
+           us - view_us AS gap_us
+    FROM picked ORDER BY click_id
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest (bidirectional) as-of join: each click attributed to the
+    view by the same user with the smallest |Δt| — before OR after the
+    click; equal distances resolve toward the PRIOR view, same-timestamp
+    view duplicates resolve to the greatest event_id (pre-dedup). Same
+    union-merge shape as the backward variant — two analytic windows over
+    ONE key shuffle, no join operator, no pair blow-up; the signed gap is
+    exact integer microseconds (negative = view after click)."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("click_id"),
+            F.col("event_id").alias("r_id"),
+            F.unix_micros("ts").alias("r_us"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("r_id"),
+        F.lit(None).cast("long").alias("r_us"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "side")
+    wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    m = (
+        clicks.unionByName(views)
+        .withColumn("prior_id", F.last("r_id", ignorenulls=True).over(wprev))
+        .withColumn("prior_us", F.last("r_us", ignorenulls=True).over(wprev))
+        .withColumn("next_id", F.first("r_id", ignorenulls=True).over(wnext))
+        .withColumn("next_us", F.first("r_us", ignorenulls=True).over(wnext))
+        .filter(F.col("side") == 1)
+    )
+    take_prior = F.col("prior_id").isNotNull() & (
+        F.col("next_id").isNull()
+        | (F.col("us") - F.col("prior_us") <= F.col("next_us") - F.col("us"))
+    )
+    return m.select(
+        "click_id",
+        "user_id",
+        F.timestamp_micros("us").alias("click_ts"),
+        F.when(take_prior, F.col("prior_id")).otherwise(F.col("next_id")).alias("view_id"),
+        F.timestamp_micros(
+            F.when(take_prior, F.col("prior_us")).otherwise(F.col("next_us"))
+        ).alias("view_ts"),
+        (
+            F.col("us")
+            - F.when(take_prior, F.col("prior_us")).otherwise(F.col("next_us"))
+        ).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+@query(
     "range_join_event_context",
     oracle="""
     SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,

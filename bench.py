@@ -35,7 +35,7 @@ HEADLINE = [
     "windowed_features",      # temporal: sliding windows × 12-feature agg
     "anomaly_scores_mahalanobis",  # mining: per (window,pair) scoring
     "anomaly_scores_iforest",  # mining: M1 forest via applyInPandas (Arrow)
-    "sketch_values",          # mining: broadcast membership join + sum
+    "sketch_values_hashed",   # mining: distributed sketch path (hash membership)
     "smurf_blocks",           # mining: MDL greedy search (driver loop + jobs)
     "near_dup_minhash_lsh",   # llm: shingle → minhash → band join
     "ann_cosine_topk",        # llm: brute-force cosine top-k
