@@ -123,3 +123,138 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (hash-derived fakes aren't SQL-expressible)."""
     mm = multimodal_table(spark, sf_dir)
     return extract_media_features(mm).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X8: frame sampling + resize — the remaining two stages of the
+# decode / feature-extract / resize / frame-sample quartet. Both run as
+# Arrow-batched mapInPandas (real schema, partitioning, batch shape);
+# frame sampling is pure byte arithmetic so it ALSO gets an exact DuckDB
+# oracle, while resize sits on the stubbed decode kernel (rows-only).
+# ---------------------------------------------------------------------------
+FRAME_MAX, FRAME_BYTES_PER, FRAME_PREVIEW = 4, 256, 64
+
+
+def sample_frames(mm: DataFrame) -> DataFrame:
+    """mapInPandas frame sampler: treat the payload as a frame container
+    (1 frame per FRAME_BYTES_PER bytes, max FRAME_MAX sampled), emit one
+    row per sampled frame with its byte offset, length, and preview
+    slice. Evenly-spaced deterministic offsets — the strategy a real
+    video sampler uses, with byte slices standing in for decoded frames."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = min(FRAME_MAX, 1 + n // FRAME_BYTES_PER)
+                step = n // n_frames if n_frames else 0
+                for f in range(n_frames):
+                    off = f * step
+                    flen = min(FRAME_PREVIEW, n - off)
+                    rows.append(
+                        (int(doc_id), f, off, flen, b[off : off + flen])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_off", "frame_len",
+                    "frame_bytes",
+                ],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, frame_idx int, frame_off long, frame_len long,"
+        " frame_bytes binary",
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, payload, n,
+               LEAST({FRAME_MAX}, 1 + n // {FRAME_BYTES_PER}) AS n_frames
+        FROM p
+    ),
+    ix AS (
+        SELECT doc_id, payload, n, n_frames,
+               UNNEST(range(0, n_frames)) AS f
+        FROM fr
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * (n // n_frames) AS BIGINT) AS frame_off,
+           CAST(LEAST({FRAME_PREVIEW}, n - f * (n // n_frames)) AS BIGINT)
+               AS frame_len,
+           substring(hex(payload),
+                     CAST(f * (n // n_frames) * 2 + 1 AS BIGINT),
+                     CAST(LEAST({FRAME_PREVIEW}, n - f * (n // n_frames)) * 2
+                          AS BIGINT)) AS frame_hex
+    FROM ix ORDER BY doc_id, frame_idx
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 frame-sample through the REAL Arrow/mapInPandas plumbing, with
+    an exact byte-level oracle: offsets, lengths, and the sliced frame
+    bytes (hex-encoded — DuckDB cannot slice BLOBs, but hex(blob) is a
+    sliceable VARCHAR with identical uppercase form in both engines)."""
+    mm = multimodal_table(spark, sf_dir)
+    return sample_frames(mm).select(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        "frame_len",
+        F.hex("frame_bytes").alias("frame_hex"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_BOX = 64
+
+
+def resize_media(mm: DataFrame, batch_decode=decode_image_fake) -> DataFrame:
+    """mapInPandas resize: decode (stub kernel), fit the decoded
+    dimensions into a RESIZE_BOX square preserving aspect ratio
+    (integer arithmetic, floor semantics, min 1px), emit the output
+    geometry and RGB byte size. A real deployment swaps `batch_decode`
+    for the PIL kernel; everything else is unchanged."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = batch_decode(bytes(payload))
+                scale_num, scale_den = RESIZE_BOX, max(w, h)
+                if scale_den <= RESIZE_BOX:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * scale_num) // scale_den)
+                    oh = max(1, (h * scale_num) // scale_den)
+                rows.append((int(doc_id), w, h, ow, oh, ow * oh * 3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "out_bytes",
+                ],
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, width int, height int, out_w int, out_h int,"
+        " out_bytes long",
+    )
+
+
+@query("media_resize")
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 resize stage (rows-only: sits on the stubbed decode kernel;
+    geometry arithmetic unit-tested)."""
+    mm = multimodal_table(spark, sf_dir)
+    return resize_media(mm).orderBy("doc_id")

@@ -222,6 +222,169 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 200, 150  # 50-char overlap
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    ix AS (
+        SELECT doc_id, text, n,
+               UNNEST(range(0, ((GREATEST(n - {CHUNK_SIZE}, 0)
+                                 + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}) + 1))
+                   AS i
+        FROM d
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(LEAST({CHUNK_SIZE}, n - i * {CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_len,
+           substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER), {CHUNK_SIZE})
+               AS chunk_text
+    FROM ix ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: fixed-size character chunks with overlap
+    (size {0}, stride {1}) — start offsets via `sequence` + `explode`
+    (pure JVM, no shuffle before the final sort), last chunk keeps the
+    tail. Character semantics match DuckDB (both count codepoints).""".format(
+        CHUNK_SIZE, CHUNK_STRIDE
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    k = (F.greatest(n - CHUNK_SIZE, F.lit(0)) + (CHUNK_STRIDE - 1)) / F.lit(
+        CHUNK_STRIDE
+    )
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "text",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), k.cast("int"))).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    return d.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - start).cast("long").alias("chunk_len"),
+        F.substring("text", start + 1, CHUNK_SIZE).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+TFIDF_TOP = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+                   AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               ROUND(CAST(t.tf AS DOUBLE)
+                     * ln(CAST((SELECT n FROM nd) AS DOUBLE) / d.df), 6)
+                   AS tfidf
+        FROM tf t JOIN df d USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= {TFIDF_TOP}
+    ORDER BY doc_id, rk
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: per-document TF-IDF top terms — tf and df as hash aggregates
+    (map-side combined), document count broadcast, idf = ln(N/df), top-k
+    per doc via analytic window. The df relation is the only reused
+    intermediate; at scale both aggregations shuffle once on `term`."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .select("doc_id", F.lower("term").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(df_rel, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+#: per-stratum keep rates (ppm) — heavier downsampling of the dominant
+#: language, the standard pretraining-mix rebalancing shape
+SAMPLE_PPM = {"en": 200_000, "de": 500_000, "es": 500_000, "fr": 500_000}
+SAMPLE_PPM_DEFAULT = 800_000
+
+
+def _doc_keep_hash(doc_id):
+    return ((doc_id % 1000003) * 2654435761 + 13 * 97) % 1000000007 % 1000000
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (((doc_id % 1000003) * 2654435761 + 13 * 97)
+           % 1000000007) % 1000000
+          < CASE lang WHEN 'en' THEN 200000 WHEN 'de' THEN 500000
+                      WHEN 'es' THEN 500000 WHEN 'fr' THEN 500000
+                      ELSE 800000 END
+    ORDER BY doc_id
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline stratified sampling: per-language keep rates applied
+    through the content-addressed hash-Bernoulli predicate (the same
+    discipline as `background_edges`) — partition-layout independent,
+    reproducible on any cluster, and pushed down to the scan as a plain
+    deterministic filter. No shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_PPM_DEFAULT)
+    for lang, ppm in SAMPLE_PPM.items():
+        rate = F.when(F.col("lang") == lang, ppm).otherwise(rate)
+    return (
+        docs.filter(_doc_keep_hash(F.col("doc_id")) < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 @query("doc_fingerprint")
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: winnowing-style fingerprint — min/max/count over the doc's

@@ -216,3 +216,83 @@ class TestIVF:
         moved = sum(1 for k in c0 if c0[k] != c2[k])
         assert moved >= IVF_LISTS // 2  # training actually updates centroids
         assert all(all(abs(x) < 1e6 for x in v) for v in c2.values())
+
+
+class TestPipelineOps:
+    def test_chunks_reassemble_to_document(self, spark):
+        """Dropping each chunk's overlap prefix and concatenating must
+        reconstruct the original text exactly."""
+        from autoaudit_spark.llm.text import (
+            CHUNK_SIZE, CHUNK_STRIDE, q_chunk_documents,
+        )
+        from autoaudit_spark.sources import load_table
+
+        chunks = {}
+        for r in q_chunk_documents(spark, SF).collect():
+            chunks.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_start"], r["chunk_text"])
+            )
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        assert chunks
+        for doc_id, cs in list(chunks.items())[:20]:
+            cs.sort()
+            rebuilt = cs[0][2]
+            for _, start, txt in cs[1:]:
+                rebuilt = rebuilt[: start] + txt
+            assert rebuilt == texts[doc_id]
+            for cid, start, txt in cs:
+                assert start == cid * CHUNK_STRIDE
+                assert len(txt) <= CHUNK_SIZE
+
+    def test_frame_sample_bounds(self, spark):
+        from autoaudit_spark.llm.multimodal import (
+            FRAME_MAX, multimodal_table, sample_frames,
+        )
+
+        mm = multimodal_table(spark, SF)
+        sizes = {r["doc_id"]: len(bytes(r["payload"])) for r in mm.collect()}
+        per_doc = {}
+        for r in sample_frames(mm).collect():
+            n = sizes[r["doc_id"]]
+            assert 0 <= r["frame_off"] < max(n, 1)
+            assert r["frame_off"] + r["frame_len"] <= n
+            assert len(bytes(r["frame_bytes"])) == r["frame_len"]
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert per_doc and max(per_doc.values()) <= FRAME_MAX
+
+    def test_resize_geometry(self, spark):
+        from autoaudit_spark.llm.multimodal import (
+            RESIZE_BOX, multimodal_table, resize_media,
+        )
+
+        rows = resize_media(multimodal_table(spark, SF)).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["out_w"] <= RESIZE_BOX
+            assert 1 <= r["out_h"] <= RESIZE_BOX
+            if max(r["width"], r["height"]) <= RESIZE_BOX:
+                assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+            else:
+                assert max(r["out_w"], r["out_h"]) == RESIZE_BOX
+            assert r["out_bytes"] == r["out_w"] * r["out_h"] * 3
+
+    def test_stratified_sample_rates(self, spark):
+        from autoaudit_spark.llm.text import SAMPLE_PPM, q_sample_stratified
+        from autoaudit_spark.sources import load_table
+        import pyspark.sql.functions as F
+
+        totals = {
+            r["lang"]: r["n"]
+            for r in load_table(spark, SF, "documents")
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        kept = {}
+        for r in q_sample_stratified(spark, SF).collect():
+            kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        for lang, ppm in SAMPLE_PPM.items():
+            if totals.get(lang, 0) >= 30:
+                rate = kept.get(lang, 0) / totals[lang]
+                assert abs(rate - ppm / 1e6) < 0.25
