@@ -303,6 +303,123 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+SIMHASH_HB = 60  # bits in the oracle-portable signature (4 bands × 15;
+#: 60 not 64 — DuckDB BIGINT arithmetic is overflow-CHECKED, so 1<<63
+#: would error; 60 bits keeps every shift/sum comfortably in range)
+
+
+def _simhash_hashed_sql() -> str:
+    """DuckDB twin of the arithmetic simhash: same polynomial token hash
+    (llm.text.arith_token_hash), same per-bit rehash, same majority vote
+    and band join — generated column-per-bit like the Spark side."""
+    from .text import _ARITH_TOK_SQL
+
+    tok_h = _ARITH_TOK_SQL.format(tok="tok")
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((th + {i} * 97) * 2654435761) % 1000000007 % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_HB)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_HB)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, {tok_h} AS th FROM toks WHERE tok <> ''),
+    votes AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+    bands AS (
+        SELECT doc_id, simhash, CAST(b.b AS INTEGER) AS band_id,
+               (simhash >> (15 * CAST(b.b AS INTEGER))) & 32767 AS band_val
+        FROM sig CROSS JOIN (SELECT UNNEST(range({SIMHASH_HB // 15})) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    ORDER BY doc1, doc2
+    """
+
+
+def simhash_signatures_hashed(docs: DataFrame, bits: int = SIMHASH_HB) -> DataFrame:
+    """(doc_id, simhash long) from the engine-portable polynomial token
+    hash: bit i votes on the parity of a per-bit integer rehash of the
+    token hash. Same explode + conditional-sum + bit-reassembly plan as
+    the xxhash64 path — one shuffle on doc_id."""
+    from .text import HASH_P, arith_token_hash
+
+    toks = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("th", arith_token_hash(F.col("tok")))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    ((F.col("th") + i * 97) * 2654435761) % HASH_P % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query("near_dup_simhash_hashed", oracle=_simhash_hashed_sql())
+def q_near_dup_simhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 SimHash with a FULL value-hash oracle: 60-bit arithmetic
+    signature, 4×15-bit band join, popcount verify — the same plan shape
+    as the xxhash64 path, every intermediate engine-portable. NOTE the
+    synthetic corpus has a ~31-word vocabulary, so ANY unigram simhash
+    collapses many docs to nearby signatures — pair counts here measure
+    parity, not detector quality (see the shingle-based MinHash path for
+    the discriminative detector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures_hashed(docs).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF))
+                    for i in range(SIMHASH_HB // 15)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )
+
+
 @query("near_dup_simhash")
 def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 SimHash: 4×16-bit band join, verify popcount(xor) ≤ 3.

@@ -30,6 +30,10 @@ from ..sources import load_table
 TOP_K = 5
 N_QUERIES = 20          # vec_id < 20 form the demo query set
 LSH_PLANES = 16
+#: tables × (PLANES/tables)-bit signatures. 4×4-bit tables measured best
+#: on the near-isotropic testdata (recall@5 vs brute force: 2 tables 0.04,
+#: 4 tables 0.29, 8 tables 0.82-but-nearly-exhaustive); tune per corpus.
+LSH_TABLES = 4
 # testdata embeddings are near-isotropic (max pairwise cos ≈ 0.51 at
 # sf0.01), so a classic 0.8 dedup threshold matches nothing; 0.35 sits at
 # the ~99.9th percentile of the pair distribution and exercises the operator
@@ -145,7 +149,25 @@ def hyperplanes(dim: int = 64, planes: int = LSH_PLANES, seed: int = 7) -> np.nd
     return np.random.RandomState(seed).normal(size=(planes, dim))
 
 
-def lsh_bucket(emb: DataFrame, planes: np.ndarray, tables: int = 2) -> DataFrame:
+def sign_planes(dim: int = 64, planes: int = LSH_PLANES) -> np.ndarray:
+    """Rademacher (±1) random-hyperplane matrix from the engine-portable
+    integer hash — sign-projection LSH with ±1 entries is the standard
+    sparse variant (Achlioptas-style), and deterministic integer signs
+    make the whole bucketing pipeline expressible in ANSI SQL, so the
+    LSH ANN path gets a value-hash oracle (the Gaussian variant
+    `hyperplanes` stays available)."""
+    return np.array(
+        [
+            [
+                1.0 if ((p * 131 + d) * 2654435761) % 1000000007 % 2 else -1.0
+                for d in range(dim)
+            ]
+            for p in range(planes)
+        ]
+    )
+
+
+def lsh_bucket(emb: DataFrame, planes: np.ndarray, tables: int = LSH_TABLES) -> DataFrame:
     """(vec_id, v, table_id, bucket): sign-bit signatures over seeded
     hyperplanes, split into `tables` independent tables (planes/tables
     bits each — multiple shorter tables trade precision for recall, the
@@ -169,14 +191,59 @@ def lsh_bucket(emb: DataFrame, planes: np.ndarray, tables: int = 2) -> DataFrame
     )
 
 
-@query("ann_lsh_topk")
+def _lsh_sql(tables: int = LSH_TABLES) -> str:
+    """DuckDB twin of the sign-plane LSH pipeline: per table, the bucket
+    id is the sign-bit signature over the ±1 literal planes (identical
+    element-order dot products), then candidates join on (table, bucket)
+    and rank by the same rounded cosine."""
+    mat = sign_planes()
+    per = len(mat) // tables
+    sigs = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in mat[t * per + i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(per)
+        )
+        sigs.append(
+            f"SELECT vec_id, v, {t} AS table_id, CAST({bits} AS BIGINT) AS bucket FROM e"
+        )
+    buckets = " UNION ALL ".join(sigs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS ({buckets}),
+    q AS (SELECT vec_id AS query_id, v AS qv, table_id, bucket
+          FROM b WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, b.v) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM b JOIN q ON b.table_id = q.table_id AND b.bucket = q.bucket
+                     AND b.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_sql())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 scale path: cosine top-k within LSH buckets only. Approximate
-    (recall < 1) → rows-only; accuracy vs brute force is unit-tested."""
+    """X6 scale path: cosine top-k within sign-plane LSH buckets only —
+    approximate by design (recall vs brute force unit-tested), and since
+    the ±1 planes are integer-hash-derived, the WHOLE pipeline is
+    value-hash-checked against the DuckDB twin."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
-    bucketed = lsh_bucket(emb, hyperplanes()).persist()
+    bucketed = lsh_bucket(emb, sign_planes()).persist()
     qs = bucketed.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
         {"vec_id": "query_id", "v": "qv", "bucket": "qbucket", "table_id": "qtable"}
     )

@@ -385,6 +385,95 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: modulus for the engine-portable polynomial hashes (fits BIGINT math
+#: in both engines: acc < 1e9+7, acc*131 + 127 < 2^63)
+HASH_P = 1000000007
+
+
+def arith_token_hash(tok):
+    """Polynomial rolling hash over codepoints, mod 1e9+7 — the
+    engine-portable twin of xxhash64 (DuckDB: list_reduce over
+    string_split + ascii). Used where a value-hash oracle is wanted;
+    xxhash64 remains the scale-path hash (wider, better avalanche)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % HASH_P,
+    )
+
+
+_ARITH_TOK_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({tok}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, c) -> (a * 131 + c) % 1000000007)"
+)
+
+
+@query(
+    "doc_fingerprint_hashed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, tok -> {_ARITH_TOK_SQL.format(tok='tok')})
+                   AS hs
+        FROM toks WHERE len(t) >= 5
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_reduce(hs[i.i + 1 : i.i + 5],
+                           (a, b) -> (a * 131 + b) % 1000000007) AS gh
+        FROM th CROSS JOIN (SELECT UNNEST(range(0, 100000)) AS i) i
+        WHERE i.i <= len(hs) - 5
+    )
+    SELECT doc_id, MIN(gh) AS min_hash, MAX(gh) AS max_hash,
+           COUNT(DISTINCT gh) AS n_grams
+    FROM grams GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 fingerprint with a full value-hash oracle: token 5-gram
+    polynomial hashes (arith_token_hash folded again across the 5 token
+    hashes), min/max/distinct-count per document — same plan shape as the
+    xxhash64 path, engine-portable arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    k = 5
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - k)
+    hs = F.transform(F.col("t"), arith_token_hash)
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(n >= k)
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("hs") - k),
+                    lambda i: F.aggregate(
+                        F.slice("hs", i + 1, k),
+                        F.lit(0).cast("long"),
+                        lambda a, b: (a * 131 + b) % HASH_P,
+                    ),
+                )
+            ).alias("gh"),
+        )
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.min("gh").alias("min_hash"),
+            F.max("gh").alias("max_hash"),
+            F.countDistinct("gh").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("doc_fingerprint")
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: winnowing-style fingerprint — min/max/count over the doc's

@@ -296,3 +296,35 @@ class TestPipelineOps:
             if totals.get(lang, 0) >= 30:
                 rate = kept.get(lang, 0) / totals[lang]
                 assert abs(rate - ppm / 1e6) < 0.25
+
+
+class TestArithmeticHashTwins:
+    def test_arith_token_hash_known_value(self, spark):
+        from autoaudit_spark.llm.text import arith_token_hash
+
+        df = spark.createDataFrame([("ab",)], "tok string")
+        got = df.select(arith_token_hash(F.col("tok")).alias("h")).collect()[0]["h"]
+        assert got == (0 * 131 + 97) % 1000000007 * 131 + 98  # 12805
+
+    def test_simhash_hashed_orders_similarity(self, spark):
+        from autoaudit_spark.llm.dedup import simhash_signatures_hashed
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely different words describing some other topic entirely now ok"
+        docs = _docs(spark, [base, near, far])
+        sig = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures_hashed(docs).collect()
+        }
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(sig[0], sig[1]) < ham(sig[0], sig[2])
+
+    def test_sign_planes_deterministic_and_balanced(self):
+        import numpy as np
+        from autoaudit_spark.llm.similarity import sign_planes
+
+        m = sign_planes()
+        assert (m == sign_planes()).all()
+        assert set(np.unique(m)) == {-1.0, 1.0}
+        assert 0.3 < (m > 0).mean() < 0.7
