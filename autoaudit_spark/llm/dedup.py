@@ -303,6 +303,177 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def _minhash_hashed_sql() -> str:
+    """DuckDB twin of the FULL MinHash+LSH pipeline over the
+    engine-portable shingle hash: distinct shingle hashes → 64 affine-
+    permutation minima → 16 arithmetic band folds → bucket join (with
+    the same oversized-bucket guard) → exact-Jaccard verification of
+    candidates only. Generated column-per-permutation like the Spark
+    side."""
+    from .text import _ARITH_TOK_SQL
+
+    sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
+    mins = ", ".join(
+        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    rpb = MINHASH_PERMS // LSH_BANDS
+
+    def fold(cols):
+        acc = "CAST(0 AS BIGINT)"
+        for c in cols:
+            acc = f"((({acc}) * 2654435761 + {c}) % 1000000007)"
+        return acc
+
+    band_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        f"{fold([f'm{i * rpb + j}' for j in range(rpb)])} AS band_val FROM sigs"
+        for i in range(LSH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {sh_hash} AS shash FROM (
+            SELECT doc_id,
+                   array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+            WHERE len(t) >= {SHINGLE_K})
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_arms}),
+    ok AS (
+        SELECT doc_id, band_id, band_val FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val)
+                <= {LSH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM ok a JOIN ok b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc1, c.doc2, COUNT(*) AS both
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc1
+        JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shash = s1.shash
+        GROUP BY c.doc1, c.doc2
+    )
+    SELECT i.doc1, i.doc2,
+           ROUND(CAST(i.both AS DOUBLE) / (z1.sz + z2.sz - i.both), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes z1 ON i.doc1 = z1.doc_id
+    JOIN sizes z2 ON i.doc2 = z2.doc_id
+    WHERE CAST(i.both AS DOUBLE) / (z1.sz + z2.sz - i.both)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+    """
+
+
+def hashed_shingles_arith(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shash) with the engine-portable polynomial hash of the
+    space-joined k-gram — the oracle-able twin of `hashed_shingles`
+    (whose xxhash64 stays the scale default)."""
+    from .text import arith_token_hash
+
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return (
+        toks.filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: arith_token_hash(
+                        F.concat_ws(" ", F.slice("t", i + 1, k))
+                    ),
+                )
+            ).alias("shash"),
+        )
+        .distinct()
+    )
+
+
+@query("near_dup_minhash_hashed", oracle=_minhash_hashed_sql())
+def q_near_dup_minhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 MinHash+LSH with a FULL value-hash oracle — the same banded
+    pipeline as `near_dup_minhash_lsh` (signatures → band buckets →
+    guarded bucket join → exact-Jaccard verify) with every hash
+    engine-portable: polynomial shingle hash, affine permutations,
+    arithmetic band folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingles_arith(docs).persist()
+    sig = minhash_signatures(sh)
+    rpb = MINHASH_PERMS // LSH_BANDS
+
+    def fold(cols):
+        acc = F.lit(0).cast("long")
+        for c in cols:
+            acc = (acc * 2654435761 + c) % 1000000007
+        return acc
+
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    fold(
+                        [
+                            F.element_at("sig", i * rpb + j + 1)
+                            for j in range(rpb)
+                        ]
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    bad = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > LSH_MAX_BUCKET)
+        .drop("bsz")
+    )
+    bands = bands.join(F.broadcast(bad), ["band_id", "band_val"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.withColumnRenamed("doc_id", "doc1")
+    s2 = sh.withColumnRenamed("doc_id", "doc2")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shash"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("both"))
+    )
+    z1 = sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"})
+    z2 = sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"})
+    jac = F.col("both").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("both"))
+    return (
+        inter.join(z1, "doc1")
+        .join(z2, "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
 SIMHASH_HB = 60  # bits in the oracle-portable signature (4 bands × 15;
 #: 60 not 64 — DuckDB BIGINT arithmetic is overflow-CHECKED, so 1<<63
 #: would error; 60 bits keeps every shift/sum comfortably in range)

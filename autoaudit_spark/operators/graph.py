@@ -252,7 +252,16 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
     (1−d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling_mass/N).
     Dangling (no-out-edge) mass is redistributed uniformly — ranks sum to
     1 every iteration. Out-degrees computed once and cached; each round
-    shuffles only (node, contribution) pairs."""
+    shuffles only (node, contribution) pairs.
+
+    Cross-engine-exact discipline (what makes the DuckDB oracle possible
+    for an ITERATIVE float algorithm): each round quantizes the rank to
+    DECIMAL(18,12) first, per-edge contributions are exact-rounded double
+    divisions re-quantized to DECIMAL(18,15) before the SUM (decimal sums
+    are order-independent), and the damping update runs in double with a
+    pinned operation order — so every engine computes bit-identical
+    ranks every round. Quantization error ≤1e-12/round, invisible at the
+    8dp output (NumPy parity test unchanged)."""
     nodes = (
         adj.select(F.col("src").alias("node"))
         .union(adj.select(F.col("dst")))
@@ -266,13 +275,21 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
         F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         F.lit(1.0 / n).alias("rank"),
     ).persist()
+    pbase = (1.0 - damping) / n
+    rq = F.col("rank").cast("decimal(18,12)")
     for _ in range(iters):
-        dangling = (
-            state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        dang_dec = (
+            state.filter(F.col("outdeg") == 0).agg(F.sum(rq)).collect()[0][0]
         )
+        dm = float(dang_dec) if dang_dec is not None else 0.0
         contrib = (
             adj.join(state, adj.src == state.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (rq.cast("double") / F.col("outdeg"))
+                .cast("decimal(18,15)")
+                .alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
@@ -283,9 +300,14 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
                 "node",
                 "outdeg",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(pbase)
                     + F.lit(damping)
-                    * (F.coalesce("in_rank", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(
+                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
+                        ).cast("double")
+                        + F.lit(dm / n)
+                    )
                 ).alias("rank"),
             )
         )
@@ -301,9 +323,66 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
     return state.select("node", F.round("rank", 8).alias("rank"))
 
 
-@query("pagerank")
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled DuckDB twin: one (quantize, dangling, contrib, update)
+    CTE quartet per iteration, mirroring `pagerank`'s exact-decimal
+    discipline operation for operation. N is computed in SQL so the
+    oracle is scale-factor-generic."""
+    nn = "(SELECT n FROM nn)"
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference — adj is
+    # referenced every round (re-opening the parquet each time → fd
+    # exhaustion) and q{i} twice per round (exponential tree growth, the
+    # same blowup Spark's lazy plans have). Materializing pins each to
+    # one evaluation.
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM adj GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""s0 AS (
+            SELECT nd.node, COALESCE(d.outdeg, 0) AS outdeg,
+                   CAST(1.0 AS DOUBLE) / {nn} AS rank
+            FROM nodes nd LEFT JOIN deg d USING (node))""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT node, outdeg, "
+            f"CAST(rank AS DECIMAL(18,12)) AS rq FROM s{i})"
+        )
+        parts.append(
+            f"dg{i} AS (SELECT COALESCE(SUM(CASE WHEN outdeg = 0 THEN rq END),"
+            f" 0) AS dmass FROM q{i})"
+        )
+        parts.append(
+            f"""cn{i} AS (
+            SELECT a.dst AS node,
+                   SUM(CAST(CAST(q.rq AS DOUBLE) / q.outdeg
+                            AS DECIMAL(18,15))) AS m
+            FROM adj a JOIN q{i} q ON q.node = a.src
+            GROUP BY a.dst)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+            SELECT q.node, q.outdeg,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / {nn}
+                   + CAST(0.85 AS DOUBLE)
+                     * (CAST(COALESCE(c.m, 0) AS DOUBLE)
+                        + CAST((SELECT dmass FROM dg{i}) AS DOUBLE) / {nn})
+                       AS rank
+            FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, ROUND(rank, 8) AS rank FROM s{iters} ORDER BY node"
+    )
+
+
+@query("pagerank", oracle=_pagerank_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank(10 iters, d=0.85) on the derived adjacency. Rows-only:
-    10 rounds of float reduction drift across engines; the math is pinned
-    by a unit test against a NumPy power iteration."""
+    """PageRank(10 iters, d=0.85) on the derived adjacency, value-hash
+    checked against a 10-round unrolled DuckDB twin — iterative float
+    algorithms become oracle-able under the per-round decimal-
+    quantization discipline (see `pagerank`)."""
     return pagerank(adjacency(spark, sf_dir)).orderBy("node")
