@@ -63,6 +63,15 @@ def decode_image_fake(payload: bytes) -> tuple[int, int, str]:
     return 16 + h[0] % 240, 16 + h[1] % 240, "fake"
 
 
+def decode_image_fake256(payload: bytes) -> tuple[int, int, str]:
+    """sha256 variant of the deterministic stand-in: DuckDB exposes
+    sha256(VARCHAR), so a pipeline built on THIS fake gets a full
+    value-hash oracle — the mapInPandas decode plumbing is then
+    driver-checked end to end, not just unit-tested."""
+    h = hashlib.sha256(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, "fake"
+
+
 def extract_media_features(mm: DataFrame, batch_decode=decode_image_fake) -> DataFrame:
     """mapInPandas media feature extraction: decode each payload, emit
     (doc_id, width, height, format, payload_bytes). Arrow batches in and
@@ -123,6 +132,31 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (hash-derived fakes aren't SQL-expressible)."""
     mm = multimodal_table(spark, sf_dir)
     return extract_media_features(mm).orderBy("doc_id")
+
+
+@query(
+    "media_features_hashed",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER)
+                     % 240 AS INTEGER) AS width,
+           CAST(16 + CAST(('0x' || substring(sha256(text), 3, 2)) AS INTEGER)
+                     % 240 AS INTEGER) AS height,
+           'fake' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_media_features_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 decode + feature extraction with the sha256 fake kernel — the
+    SAME Arrow mapInPandas plumbing as `media_features`, now value-hash
+    checked against DuckDB's sha256 (payload = utf-8 of text, so the
+    digests agree byte for byte). Swapping `batch_decode` for a real
+    codec changes nothing upstream of the kernel."""
+    mm = multimodal_table(spark, sf_dir)
+    return extract_media_features(mm, batch_decode=decode_image_fake256).orderBy(
+        "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

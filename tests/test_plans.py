@@ -104,3 +104,59 @@ class TestAggregation:
         for name in ("token_stats", "lang_id", "dedup_exact", "near_dup_minhash_lsh"):
             p = plan(q[name](spark, SF))
             assert "BatchEvalPython" not in p, name
+
+
+class TestRound2Plans:
+    def test_stratified_sample_is_shuffle_free(self, spark, q):
+        """The hash-Bernoulli sampler is a deterministic per-row filter —
+        any Exchange before the output sort would be a scale bug."""
+        p = plan(q["sample_stratified"](spark, SF).limit(10))
+        assert "BatchEvalPython" not in p
+        body = p.split("Sort", 1)[0]
+        assert "Exchange" not in body
+
+    def test_chunking_stays_jvm_side(self, spark, q):
+        p = plan(q["chunk_documents"](spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+
+    def test_minhash_hashed_guards_with_broadcast_antijoin(self, spark, q):
+        p = plan(q["near_dup_minhash_hashed"](spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "LeftAnti" in p
+        assert "BatchEvalPython" not in p
+
+    def test_ivf_assignment_is_map_only(self, spark, q):
+        """Literal-centroid assignment: the corpus must not shuffle for
+        cluster assignment — only the final candidate ranking window may
+        exchange."""
+        from autoaudit_spark.llm.similarity import (
+            _centroid_rank_expr, _collect_centroids, _dvec,
+        )
+        from autoaudit_spark.sources import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", _dvec("embedding").alias("v")
+        )
+        ranked = _centroid_rank_expr(_collect_centroids(emb))
+        assign = emb.select(
+            "vec_id", (-F.element_at(ranked, 1)["negcid"]).alias("cid")
+        )
+        p = plan(assign)
+        assert "Exchange" not in p
+        assert "Join" not in p
+
+    def test_background_edges_broadcasts_dimension(self, spark, q):
+        p = plan(q["background_edges"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" in p
+
+    def test_frame_sample_prunes_to_payload_columns(self, spark, q):
+        """The mapInPandas frame sampler must not drag text/lang/source
+        through Arrow — only doc_id + payload feed the Python stage."""
+        p = plan(q["media_frame_sample"](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "lang" not in s and "source" not in s
