@@ -36,11 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # verifiable via tools/check.py), rows-only ones last. The oracle-backed
 # breadth extras deliberately left outside the window
 # (revenue_by_nation, cube_events, date_functions, intersect_except_users,
-# salted_user_totals, asof_join_within, topk_per_group) duplicate plan
-# shapes that other in-window queries already prove
-# (profit_by_nation_year, rollup_orders, scalar_math, sink_accounts,
-# degree_counts, asof_join_attribution, window_topk_accounts) — every
-# remaining SURVEY §2 operator keeps at least one in-window green row.
+# salted_user_totals, asof_join_within, topk_per_group, dedup_retention,
+# corpus_filter) duplicate plan shapes that other in-window queries already
+# prove (profit_by_nation_year, rollup_orders, scalar_math, sink_accounts,
+# degree_counts, asof_join_attribution, window_topk_accounts, and — for the
+# retention/filter pair — connected_components + near_dup_jaccard +
+# quality_scores, whose composition they are) — every remaining SURVEY §2
+# operator keeps at least one in-window green row.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry)
     # -- LLM pipeline + streaming: unchecked in r1, must be in-window --

@@ -104,10 +104,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X6 exact n-gram Jaccard (ground truth for the probabilistic variants)
 # ---------------------------------------------------------------------------
-@query(
-    "near_dup_jaccard",
-    oracle=f"""
-    WITH toks AS (
+
+#: shared oracle CTE chain producing `pairs(doc1, doc2, jaccard)` — the
+#: exact shingle-Jaccard pair graph (reused by near_dup_jaccard and
+#: dedup_retention / corpus_filter).
+_JACCARD_PAIRS_CTE = f"""
+    toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents
     ),
@@ -122,21 +124,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS both
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc1, i.doc2,
+               ROUND(CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON i.doc1 = s1.doc_id
+        JOIN sizes s2 ON i.doc2 = s2.doc_id
+        WHERE CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both)
+              >= {JACCARD_THRESHOLD}
     )
-    SELECT i.doc1, i.doc2,
-           ROUND(CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both), 6) AS jaccard
-    FROM inter i
-    JOIN sizes s1 ON i.doc1 = s1.doc_id
-    JOIN sizes s2 ON i.doc2 = s2.doc_id
-    WHERE CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both) >= {JACCARD_THRESHOLD}
-    ORDER BY doc1, doc2
-    """,
-)
-def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 exact: shingle-set Jaccard ≥ τ via explode + equi-self-join on
-    the shingle + group counts. Quadratic only within identical shingles
-    — at scale this is what LSH bounds; kept exact here as the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard pair graph: (doc1 < doc2, jaccard ≥ τ).
+    Explode + equi-self-join on the shingle + group counts — quadratic
+    only within identical shingles (at scale this is what LSH bounds)."""
     sh = shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -153,8 +158,22 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "doc2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc1", "doc2")
     )
+
+
+@query(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc1, doc2, jaccard FROM pairs ORDER BY doc1, doc2
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 exact: shingle-set Jaccard ≥ τ via explode + equi-self-join on
+    the shingle + group counts. Quadratic only within identical shingles
+    — at scale this is what LSH bounds; kept exact here as the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------
@@ -626,4 +645,124 @@ def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering + retention, and the end-to-end pretraining corpus filter
+# ---------------------------------------------------------------------------
+
+#: recursive-closure CTE chain turning `pairs` (from _JACCARD_PAIRS_CTE)
+#: into `comp(node, canonical)` — min-reachable-label connected components
+#: over the near-dup pair graph (oracle twin of hash-min label propagation)
+_COMPONENT_CTE = """
+    und AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS label FROM und
+        UNION
+        SELECT u.b AS node, r.label
+        FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS canonical FROM reach GROUP BY node)
+"""
+
+#: `corpus_filter` keeps documents with quality ≥ this
+QUALITY_MIN = 0.6
+
+
+def retention_components(docs: DataFrame) -> DataFrame:
+    """(node, component) over the exact-Jaccard near-dup pair graph —
+    hash-min label propagation (O(diameter) rounds, one join + one
+    aggregate per round; see operators/graph.py:176)."""
+    from ..operators.graph import connected_components
+
+    pairs = jaccard_pairs(docs)
+    return connected_components(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    )
+
+
+@query(
+    "dedup_retention",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    {_COMPONENT_CTE},
+    csize AS (
+        SELECT canonical, COUNT(*) AS cluster_size FROM comp GROUP BY canonical
+    )
+    SELECT d.doc_id,
+           COALESCE(c.canonical, d.doc_id) AS canonical_doc_id,
+           COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_kept,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    LEFT JOIN csize s ON COALESCE(c.canonical, d.doc_id) = s.canonical
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X6 retention: cluster the near-dup pair graph with connected
+    components (hash-min label propagation), keep the min doc_id per
+    cluster as canonical, and emit a per-document retention decision —
+    the step a real dedup pipeline runs AFTER pair discovery. At 100 TB
+    only the pair graph (tiny vs the corpus) enters the iterative part;
+    documents join it by one broadcast-size left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = retention_components(docs).withColumnRenamed("node", "doc_id")
+    csize = comp.groupBy(F.col("component").alias("canonical_doc_id")).agg(
+        F.count("*").alias("csz")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("canonical_doc_id", F.coalesce("component", "doc_id"))
+        .join(csize, "canonical_doc_id", "left")
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
+            F.coalesce("csz", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_filter_oracle() -> str:
+    from .text import QUALITY_CTE
+
+    return f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    {_COMPONENT_CTE},
+    {QUALITY_CTE}
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM quality q
+    LEFT JOIN comp c ON q.doc_id = c.node
+    WHERE COALESCE(c.canonical, q.doc_id) = q.doc_id
+      AND q.quality >= {QUALITY_MIN}
+    ORDER BY q.doc_id
+    """
+
+
+@query("corpus_filter", oracle=_corpus_filter_oracle())
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus filter: near-dup retention (keep the
+    canonical document of every cluster) ∩ heuristic quality ≥ τ — the
+    composition a training-data pipeline actually ships. One pass computes
+    quality (projection, no shuffle); only the tiny pair graph iterates."""
+    from .text import quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = retention_components(docs).withColumnRenamed("node", "doc_id")
+    return (
+        quality_metrics(docs)
+        .join(comp, "doc_id", "left")
+        .filter(
+            (F.coalesce("component", "doc_id") == F.col("doc_id"))
+            & (F.col("quality") >= QUALITY_MIN)
+        )
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
     )

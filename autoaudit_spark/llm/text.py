@@ -97,15 +97,16 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_scores",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, n_chars, text,
+#: shared oracle CTE chain producing
+#: `quality(doc_id, n_tokens, punct_ratio, stop_ratio, mean_wlen, quality)`
+#: — reused by `quality_scores` and `corpus_filter` (llm/dedup.py).
+QUALITY_CTE = """
+    qtoks AS (
+        SELECT doc_id, text,
                regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents
     ),
-    m AS (
+    qm AS (
         SELECT doc_id,
                CAST(len(t) AS BIGINT) AS n_tokens,
                CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
@@ -113,24 +114,43 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_filter(t, x -> list_contains({stop}, lower(x))))
                     AS DOUBLE) / len(t) AS stop_ratio,
                CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_wlen
-        FROM toks WHERE len(t) > 0
+        FROM qtoks WHERE len(t) > 0
+    ),
+    quality AS (
+        SELECT doc_id, n_tokens, ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(mean_wlen, 6) AS mean_wlen,
+               ROUND(CAST(
+                   (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN mean_wlen BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+               AS DOUBLE), 6) AS quality
+        FROM qm
     )
-    SELECT doc_id, n_tokens, ROUND(punct_ratio, 6) AS punct_ratio,
-           ROUND(stop_ratio, 6) AS stop_ratio, ROUND(mean_wlen, 6) AS mean_wlen,
-           ROUND(CAST(
-               (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
-               + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
-               + (CASE WHEN mean_wlen BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)
-               + (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
-           AS DOUBLE), 6) AS quality
-    FROM m ORDER BY doc_id
-    """.format(stop=_STOP_SQL),
+""".format(stop=_STOP_SQL)
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH {QUALITY_CTE}
+    SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_wlen, quality
+    FROM quality ORDER BY doc_id
+    """,
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: heuristic quality score — length / stopword-ratio / word-length
     / punctuation band checks (the classic pretraining-filter recipe),
     pure arithmetic, no UDF."""
     docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs).orderBy("doc_id")
+
+
+def quality_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, punct_ratio, stop_ratio, mean_wlen, quality) —
+    the pretraining-filter metrics behind `quality_scores`, one projection,
+    no shuffle. Shared with `corpus_filter` (llm/dedup.py)."""
     t = _tokens(F.col("text"))
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
     d = docs.select("doc_id", "text", t.alias("t")).filter(F.size("t") > 0)
@@ -157,7 +177,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_wlen, 6).alias("mean_wlen"),
         F.round(quality, 6).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_score(tcol, markers):

@@ -279,7 +279,13 @@ def sketch_values_hashed(
                 .alias("gain")
             )
         )
-        pick = argmax(gains)
+        # Persisting each round's 64-row pick truncates the nested plan at
+        # an InMemoryRelation leaf: round r+1's `best` re-reads the cached
+        # pick instead of re-executing the whole round-r subplan (still no
+        # driver action — blocks cache on first compute inside the one
+        # final job). Without this the plan re-executes each earlier
+        # round's gains+argmax once per later round (~3× stage blowup).
+        pick = argmax(gains).persist()
         chosen = pick if chosen is None else chosen.unionByName(pick)
         remaining = remaining.join(
             pick, ["sketch_id", "pair_id"], "left_anti"

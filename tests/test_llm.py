@@ -328,3 +328,50 @@ class TestArithmeticHashTwins:
         assert (m == sign_planes()).all()
         assert set(np.unique(m)) == {-1.0, 1.0}
         assert 0.3 < (m > 0).mean() < 0.7
+
+
+class TestRetention:
+    def test_retention_clusters_transitively(self, spark):
+        """a~b and b~c near-dups (a≁c directly) must land in ONE cluster
+        with the min doc_id canonical — the transitive-closure semantics
+        that pairwise filtering alone cannot give."""
+        from autoaudit_spark.llm.dedup import retention_components
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        a = base
+        b = base + " lambda mu"
+        c = base + " lambda mu nu xi omicron pi rho sigma"
+        lone = "completely different words nothing shared here at all ok"
+        docs = _docs(spark, [a, b, c, lone])
+        comp = {r["node"]: r["component"] for r in retention_components(docs).collect()}
+        assert comp.get(0) == comp.get(1) == comp.get(2) == 0
+        assert 3 not in comp  # singleton never enters the pair graph
+
+    def test_retention_marks_one_keeper_per_cluster(self, spark):
+        from autoaudit_spark.llm.dedup import q_dedup_retention
+
+        out = q_dedup_retention(spark, SF).collect()
+        by_canon = {}
+        for r in out:
+            by_canon.setdefault(r["canonical_doc_id"], []).append(r)
+        for canon, rows in by_canon.items():
+            keepers = [r for r in rows if r["is_kept"]]
+            assert len(keepers) == 1 and keepers[0]["doc_id"] == canon
+            assert all(r["cluster_size"] == len(rows) for r in rows)
+
+    def test_corpus_filter_subset_semantics(self, spark):
+        """corpus_filter ⊆ kept-by-dedup ∩ quality ≥ τ."""
+        from autoaudit_spark.llm.dedup import (
+            QUALITY_MIN,
+            q_corpus_filter,
+            q_dedup_retention,
+        )
+
+        kept_ids = {
+            r["doc_id"]
+            for r in q_dedup_retention(spark, SF).filter("is_kept").collect()
+        }
+        out = q_corpus_filter(spark, SF).collect()
+        assert out, "filter should keep something at sf0.001"
+        assert all(r["doc_id"] in kept_ids for r in out)
+        assert all(r["quality"] >= QUALITY_MIN for r in out)
