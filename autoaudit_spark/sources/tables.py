@@ -77,16 +77,32 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # conf locked (e.g. static in a future version) — proceed
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; what Spark hands back
+    depends on the version:
+
+    - with spark.sql.legacy.parquet.nanosAsLong honored (≤4.0) it arrives
+      as LONG nanoseconds — truncate to micros with integer `div`, NOT `/`:
+      ns-since-epoch (~1.7e18) exceeds double's 2^53 integer range, so float
+      division corrupts the low microseconds;
+    - ≥4.1 reads nanos natively as TIMESTAMP_NTZ already truncated to
+      micros — cast to session-tz TIMESTAMP (UTC session ⇒ value-preserving).
+
+    Both paths land on the same micros-truncated TIMESTAMP, identical to
+    DuckDB's ns→us TIMESTAMP coercion, so oracle value-hashes match."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); with spark.sql.legacy.parquet.
-        # nanosAsLong it arrives as LONG nanoseconds. Truncate to micros —
-        # identical to DuckDB's ns→us TIMESTAMP coercion.
-        # integer `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
-        # 2^53 integer range, so float division corrupts the low microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

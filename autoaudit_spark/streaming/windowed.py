@@ -50,8 +50,10 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None
     ns→us timestamp normalization as the batch loader (sources/tables.py).
     Streaming reads need an explicit schema — taken from a batch peek
     (cheap: footer only)."""
+    from ..sources.tables import normalize_event_ts
+
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as LONG ns
+    raw_schema = spark.read.parquet(path).schema  # LONG ns or TIMESTAMP_NTZ
     # the file stream source wants a DIRECTORY; testdata ships one parquet
     # FILE per table → stream the dir with a filename glob
     reader = (
@@ -60,8 +62,7 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None
     )
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
-    sdf = reader.parquet(sf_dir)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def drain(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
