@@ -108,7 +108,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
@@ -265,7 +265,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
@@ -411,7 +411,7 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("rk", F.row_number().over(wk))
+        cand.withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )

@@ -359,7 +359,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TFIDF_TOP)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
         .orderBy("doc_id", "rk")

@@ -162,7 +162,7 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = adjacency(spark, sf_dir)
     nodes = node_universe(adj)
     rank_map = nodes.withColumn(
-        "rank", F.row_number().over(Window.orderBy("node")) - 1
+        "rank", (F.row_number().over(Window.orderBy("node")) - 1).cast("long")
     )
     return relabel(adj, rank_map).orderBy("src", "dst")
 

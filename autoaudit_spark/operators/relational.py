@@ -342,7 +342,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("src").orderBy(F.col("tot_w").desc(), F.col("dst"))
     return (
-        totals.withColumn("rk", F.row_number().over(w))
+        totals.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .orderBy("src", "rk")
     )

@@ -144,7 +144,7 @@ def q_window_topk_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start",
             "account",
             "tot_in_w",
-            F.row_number().over(w).alias("rk"),
+            F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
         .orderBy("window_start", "rk")
@@ -215,7 +215,9 @@ def q_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM seq
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
            make_timestamp(epoch_us(MIN(ts))) AS session_start,
            make_timestamp(epoch_us(MAX(ts))) AS session_end
     FROM sess GROUP BY user_id, session_id
@@ -224,7 +226,12 @@ def q_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 batch analog: sessionization via lag-gap + running sum (the
-    classic pattern; `F.session_window` covers the streaming side)."""
+    classic pattern; `F.session_window` covers the streaming side).
+
+    Oracle note: DuckDB types ``SUM(int) OVER`` as HUGEINT (int128), so the
+    oracle casts ``session_id`` (and ``COUNT(*)`` for symmetry) to BIGINT —
+    the driver hashes *typed* values, and equal numbers in different widths
+    hash differently (round-2 verdict, What's wrong #1)."""
     from ..sources import load_table
 
     ev = load_table(spark, sf_dir, "events")

@@ -50,8 +50,12 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None
     ns→us timestamp normalization as the batch loader (sources/tables.py).
     Streaming reads need an explicit schema — taken from a batch peek
     (cheap: footer only)."""
-    from ..sources.tables import normalize_event_ts
+    from ..sources.tables import _ensure_session_confs, normalize_event_ts
 
+    # same UTC/nanosAsLong session guarantees as load_table — without this,
+    # a foreign session with a non-UTC tz shifts ts on the ntz→ts cast
+    # (Spark >= 4.1) and the batch schema peek below can fail on ns files
+    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema  # LONG ns or TIMESTAMP_NTZ
     # the file stream source wants a DIRECTORY; testdata ships one parquet
