@@ -89,7 +89,7 @@ def q_attention_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.features import account_features, iforest_points
     from ..sources import edges
-    from .iforest import mahalanobis_scores
+    from .iforest import shared_maha_scores
     from .sketch import build_sketches
 
     vals, perm, _ = build_sketches(spark, sf_dir, sketch_num=64)
@@ -107,7 +107,7 @@ def q_attention_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iforest_points(
         account_features(edges(spark, sf_dir), window=True)
     ).persist()
-    scores = mahalanobis_scores(pts)
+    scores = shared_maha_scores(spark, sf_dir)
     w = Window.partitionBy("pair_id").orderBy(F.col("score").desc(), "account")
     top = (
         scores.filter(

@@ -225,6 +225,25 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iforest_points(account_features(edges(spark, sf_dir), window=True))
 
 
+#: session-scoped cache of the persisted Mahalanobis scores relation —
+#: three suite queries (anomaly_scores_mahalanobis, focus_plot_sum,
+#: sketch_values_hashed) and the T3 skeleton all consume the same
+#: (window, account, pair, score) relation; materializing it once per
+#: (session, sf_dir) removes the repeated ~10 s feature→score pipeline
+#: (round-2 verdict, "Next round" #4). Keyed by id(spark) — sessions
+#: live for the whole process here; worst case after a session teardown
+#: is a harmless stale entry that a new session id never hits.
+_MAHA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _MAHA_CACHE.get((id(spark), sf_dir))
+    if df is None:
+        df = mahalanobis_scores(_points(spark, sf_dir)).persist()
+        _MAHA_CACHE[(id(spark), sf_dir)] = df
+    return df
+
+
 @query("anomaly_scores_iforest")
 def q_anomaly_scores_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: seeded NumPy Isolation Forest per (window, pair) — rows-only
@@ -301,7 +320,7 @@ def q_anomaly_scores_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 alternate: deterministic Mahalanobis scorer, full value-hash
     oracle — pins the whole feature→pair→filter→log pipeline upstream of
     the forest."""
-    return mahalanobis_scores(_points(spark, sf_dir)).orderBy(
+    return shared_maha_scores(spark, sf_dir).orderBy(
         "window_start", "pair_id", "account"
     )
 
@@ -317,7 +336,7 @@ def q_anomaly_scores_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_focus_plot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: element-wise sum of focus plots across windows
     (`AA-AR.py:129` sum_graph), over the deterministic scorer."""
-    scored = mahalanobis_scores(_points(spark, sf_dir))
+    scored = shared_maha_scores(spark, sf_dir)
     return (
         scored.groupBy("account", "pair_id")
         # addends are 6dp-exact (rounded upstream) → a 6dp round of their

@@ -120,9 +120,9 @@ def build_sketches(
 ) -> tuple[DataFrame, list[tuple[list[int], list[int]]], list[int]]:
     """Full M2: deterministic scorer → focus-plot sum → seeded permutation
     → sketch value relation. Returns (values DF, permutation, accounts)."""
-    from .iforest import _points, mahalanobis_scores
+    from .iforest import shared_maha_scores
 
-    scores = mahalanobis_scores(_points(spark, sf_dir)).persist()
+    scores = shared_maha_scores(spark, sf_dir)
     # ONE collected aggregate feeds both the account universe and the
     # summed graph (a separate distinct() pass would re-scan the cache)
     sum_rows = (
@@ -199,12 +199,13 @@ def sketch_values_hashed(
 
     This relation is also the pre-SVD skeleton the T3 change-detection
     stream consumes (windowed sketch sums)."""
-    from .iforest import _points, mahalanobis_scores
+    from .iforest import shared_maha_scores
 
-    sc6 = (
-        mahalanobis_scores(_points(spark, sf_dir))
-        .withColumn("sd", F.col("score").cast("decimal(18,6)"))
-        .persist()
+    # scores come from the session-shared persisted relation (the same
+    # one anomaly_scores_mahalanobis/focus_plot_sum materialize) — the
+    # decimal projection on top is a cheap narrow map over the cache
+    sc6 = shared_maha_scores(spark, sf_dir).withColumn(
+        "sd", F.col("score").cast("decimal(18,6)")
     )
     zero = F.lit(0).cast("decimal(38,6)")
     sums = (
@@ -215,8 +216,12 @@ def sketch_values_hashed(
     accounts = sums.select("account").distinct()
     sk = spark.range(sketch_num).select(F.col("id").alias("sketch_id"))
     cols = spark.range(PN).select(F.col("id").alias("pair_id"))
-    members = accounts.crossJoin(sk).filter(
-        _member_pred(F.col("account"), F.col("sketch_id"))
+    # persisted: every greedy round and the final vals join read it —
+    # without this the distinct+crossJoin re-executes once per round
+    members = (
+        accounts.crossJoin(sk)
+        .filter(_member_pred(F.col("account"), F.col("sketch_id")))
+        .persist()
     )
     cands = sk.crossJoin(cols).filter(
         _cand_pred(F.col("pair_id"), F.col("sketch_id"))
@@ -236,14 +241,13 @@ def sketch_values_hashed(
             .select("sketch_id", "pair_id")
         )
 
-    # Greedy rounds — ZERO driver round-trips. The whole NUM_DST-step
-    # greedy is one nested DataFrame DAG (mirroring the oracle's CTE
-    # chain): each round's `best` state is recomputed from the chosen-so-
-    # far SUBPLAN as max over chosen columns of the persisted `sums`
-    # relation, each round's pick is a window-filter argmax, and nothing
-    # materializes until the single final action. Every intermediate
-    # relation is O(sketches×cands) or O(members) — tiny at any data
-    # scale (the data-sized inputs, sc6/sums, are persisted and reused).
+    # Greedy rounds — ZERO driver round-trips (no pick ever reaches the
+    # driver; each round's 64-row pick is localCheckpoint()ed on the
+    # executors). Each round's `best` state is recomputed from the
+    # chosen-so-far picks as max over chosen columns of the persisted
+    # `sums` relation; each round's pick is a window-filter argmax. Every
+    # intermediate relation is O(sketches×cands) or O(members) — tiny at
+    # any data scale (the data-sized inputs, sums/sc6, are persisted).
     sums_cp = sums.select(
         "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
     )
@@ -279,13 +283,13 @@ def sketch_values_hashed(
                 .alias("gain")
             )
         )
-        # Persisting each round's 64-row pick truncates the nested plan at
-        # an InMemoryRelation leaf: round r+1's `best` re-reads the cached
-        # pick instead of re-executing the whole round-r subplan (still no
-        # driver action — blocks cache on first compute inside the one
-        # final job). Without this the plan re-executes each earlier
-        # round's gains+argmax once per later round (~3× stage blowup).
-        pick = argmax(gains).persist()
+        # localCheckpoint truncates the LOGICAL plan at the 64-row pick
+        # (persist only short-circuits execution — Catalyst still
+        # re-analyzes the full nested tree per round, which cost ~7 s of
+        # DRIVER time at any scale). Each round becomes one tiny eager
+        # job over the persisted sums/members; the pick stays on the
+        # executors (no collect).
+        pick = argmax(gains).localCheckpoint()
         chosen = pick if chosen is None else chosen.unionByName(pick)
         remaining = remaining.join(
             pick, ["sketch_id", "pair_id"], "left_anti"
