@@ -27,7 +27,9 @@ deployment swaps the source for Kafka with zero plan changes.
 
 from __future__ import annotations
 
+import datetime
 import os
+import re
 import tempfile
 from typing import Iterator
 
@@ -67,6 +69,85 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
     return normalize_event_ts(reader.parquet(sf_dir))
+
+
+def replay_events_chunked(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    delay: str = "30 days",
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """`events` as a MULTI-micro-batch source: the table split into
+    `n_chunks` files replayed one per trigger (maxFilesPerTrigger=1),
+    plus a final far-future sentinel row that pushes the closing
+    watermark past all real data so watermark-buffered operators drain
+    their tails when the bounded replay ends (a real stream never ends
+    and needs no sentinel).
+
+    Default chunking is by event-time range (in-order across batches —
+    rows equal in ts always share a chunk). With `shuffle_seed` set,
+    rows are instead dealt to chunks by a hash of (seed, event_id) —
+    arbitrary cross-batch arrival order, for exercising out-of-order
+    hardening (the watermark `delay` passed here must then cover the
+    full event-time span)."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = max(
+        1, int((hi - lo).total_seconds() * 1_000_000) + 1
+    )
+    if shuffle_seed is None:
+        chunk = F.least(
+            F.lit(n_chunks - 1),
+            ((F.unix_micros("ts") - F.unix_micros(F.lit(lo)))
+             * n_chunks / span_us).cast("int"),
+        )
+    else:
+        chunk = F.pmod(F.xxhash64(F.lit(shuffle_seed), F.col("event_id")), F.lit(n_chunks))
+    ev = ev.withColumn("_chunk", chunk)
+
+    replay_dir = tempfile.mkdtemp(prefix="events_replay_")
+    # sentinel ts = max + 2×delay + 1d so the final watermark
+    # (sentinel − delay) clears every real row by a full delay margin
+    m = re.match(r"(\d+)\s*day", delay)
+    delay_days = int(m.group(1)) if m else 30
+    sentinel_ts = hi + datetime.timedelta(days=2 * delay_days + 1)
+
+    stage = tempfile.mkdtemp(prefix="events_replay_stage_")
+    for i in range(n_chunks):
+        part_dir = os.path.join(stage, f"c{i}")
+        ev.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(replay_dir, f"chunk{i}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    sent_dir = os.path.join(stage, "sent")
+    spark.createDataFrame(
+        [(-1, -1, sentinel_ts, 0.0)], "user_id long, event_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    src = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
+    dst = os.path.join(replay_dir, "zz_sentinel.parquet")
+    shutil.move(os.path.join(sent_dir, src), dst)
+    os.utime(dst, (1_000_000 + n_chunks * 60, 1_000_000 + n_chunks * 60))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    return (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
 
 
 def drain(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
@@ -262,46 +343,78 @@ def q_stream_sketch_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Stateful operator with an EXACT oracle: per-user value milestones via
 # applyInPandasWithState. The running total is carried in integer cents
-# (exact), rows are processed in (ts, event_id) order within the group, and
-# a row is emitted each time the cumulative total crosses another 100.00
-# boundary — SQL-expressible as a running-sum window, so the driver's
-# value-hash covers a genuinely stateful custom operator (the T3 scorer
-# itself stays rows-only: SVD isn't SQL).
+# (exact) and a row is emitted each time the cumulative total crosses
+# another 100.00 boundary — SQL-expressible as a running-sum window, so the
+# driver's value-hash covers a genuinely stateful custom operator (the T3
+# scorer itself stays rows-only: SVD isn't SQL).
+#
+# Out-of-order hardening (round-2 verdict, "Next round" #5): arrivals are
+# BUFFERED in state and folded into the running total only once the event-
+# time watermark passes them — a row is finalized when ts < watermark,
+# which is exactly the set the watermark contract guarantees no future
+# arrival can precede. Rows may therefore arrive in any order across
+# micro-batches (up to the watermark delay) and the emitted crossings are
+# still the global (ts, event_id)-ordered ones. An event-time timeout
+# re-armed at watermark+1ms makes every watermark advance re-invoke the
+# function (Spark's no-data micro-batch), so the tail flushes when a
+# bounded replay ends — the replay harness appends one far-future sentinel
+# row to push the final watermark past all real data; a real deployment
+# never ends and needs no sentinel.
 # ---------------------------------------------------------------------------
 MILESTONE_CENTS = 100 * 100
 
 
-def value_milestones_stream(events: DataFrame) -> DataFrame:
-    """State = (cumulative cents, rows seen) per user. Assumes per-key
-    in-order arrival across micro-batches (file replay and log-compacted
-    sources deliver this; within a batch the group is sorted here).
-    Emits (user_id, event_id, ts_us, milestone, total_value)."""
+def value_milestones_stream(events: DataFrame, delay: str = "30 days") -> DataFrame:
+    """State = (cumulative cents, buffered not-yet-final rows) per user.
+    Emits (user_id, event_id, ts_us, milestone, total_value) for each
+    100.00-boundary crossing, in event-time order per user."""
     out_schema = (
         "user_id long, event_id long, ts_us long, milestone int, total_value double"
     )
-    state_schema = "cum_cents long"
+    state_schema = (
+        "cum_cents long, b_eid array<long>, b_ts array<long>, b_cents array<long>"
+    )
 
     def detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        (cum,) = state.get if state.exists else (0,)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        cum, b_eid, b_ts, b_cents = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        cum = int(cum)
+        buf = list(zip((int(x) for x in b_eid), (int(x) for x in b_ts),
+                       (int(x) for x in b_cents)))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(e), int(t), int(round(float(v) * 100)))
+                    for e, t, v in zip(pdf["event_id"], pdf["ts_us"], pdf["value"])
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = sorted((r for r in buf if r[1] < wm_us), key=lambda r: (r[1], r[0]))
+        buf = [r for r in buf if r[1] >= wm_us]
+
         rows = []
-        for eid, ts_us, v in zip(
-            batch["event_id"], batch["ts_us"], batch["value"]
-        ):
-            cents = int(round(float(v) * 100))
+        for eid, ts_us, cents in final:
             prev, cum = cum, cum + cents
             if cum // MILESTONE_CENTS > prev // MILESTONE_CENTS:
                 rows.append(
                     (
                         int(key[0]),
-                        int(eid),
-                        int(ts_us),
+                        eid,
+                        ts_us,
                         int(cum // MILESTONE_CENTS),
                         cum / 100.0,
                     )
                 )
-        state.update((cum,))
+        state.update((
+            cum,
+            [r[0] for r in buf],
+            [r[1] for r in buf],
+            [r[2] for r in buf],
+        ))
+        if buf:
+            # any watermark advance must re-invoke us (no-data batch) so
+            # the buffer keeps draining; must be strictly > current wm
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -311,8 +424,9 @@ def value_milestones_stream(events: DataFrame) -> DataFrame:
             )
 
     return (
-        events.select(
-            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        events.withWatermark("ts", delay)
+        .select(
+            "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"), "value"
         )
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -320,7 +434,7 @@ def value_milestones_stream(events: DataFrame) -> DataFrame:
             StructType.fromDDL(out_schema),
             StructType.fromDDL(state_schema),
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -348,9 +462,16 @@ def value_milestones_stream(events: DataFrame) -> DataFrame:
 def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator under the exact value-hash: each
     row is a 100.00-boundary crossing of a user's running value total
-    (integer-cent state — order-free of float summation concerns)."""
+    (integer-cent state — order-free of float summation concerns).
+
+    Replayed as THREE event-time chunks + sentinel (maxFilesPerTrigger=1)
+    so the driver check exercises state surviving micro-batch boundaries
+    and the watermark-driven buffer drain, not just a single batch."""
     out = drain(
-        value_milestones_stream(stream_events(spark, sf_dir)),
+        value_milestones_stream(
+            replay_events_chunked(spark, sf_dir, n_chunks=3, delay="30 days"),
+            delay="30 days",
+        ),
         "stream_value_milestones",
         output_mode="append",
     )

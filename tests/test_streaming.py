@@ -124,3 +124,56 @@ class TestWatermarkLateData:
         for r in out:
             expect = sum(1 for ts, _ in kept if r["ws"] <= ts < r["we"])
             assert r["n"] == expect, (r, expect)
+
+
+class TestMilestonesOutOfOrder:
+    def test_shuffled_replay_matches_in_order_semantics(self, spark, sf_dir):
+        """Rows dealt to micro-batch files by hash — arbitrary cross-batch
+        arrival order. The watermark-buffered operator must still emit the
+        global (ts, event_id)-ordered milestone crossings (round-2 verdict
+        'Next round' #5: the old operator folded rows in arrival order and
+        would emit wrong crossings here)."""
+        from autoaudit_spark.sources import load_table
+        from autoaudit_spark.streaming.windowed import (
+            MILESTONE_CENTS,
+            drain,
+            replay_events_chunked,
+            value_milestones_stream,
+        )
+
+        out = drain(
+            value_milestones_stream(
+                replay_events_chunked(
+                    spark, sf_dir, n_chunks=4, delay="3650 days", shuffle_seed=42
+                ),
+                delay="3650 days",
+            ),
+            "milestones_ooo",
+            output_mode="append",
+        ).collect()
+        got = {
+            (r["user_id"], r["event_id"]): (r["milestone"], r["total_value"])
+            for r in out
+        }
+        assert len(got) == len(out), "duplicate (user, event) emissions"
+
+        # independent expected: fold each user's events in (ts, event_id)
+        # order in plain Python, integer cents
+        ev = sorted(
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .collect(),
+            key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+        )
+        expected = {}
+        cum, cur = 0, None
+        for r in ev:
+            if r["user_id"] != cur:
+                cur, cum = r["user_id"], 0
+            prev, cum = cum, cum + int(round(float(r["value"]) * 100))
+            if cum // MILESTONE_CENTS > prev // MILESTONE_CENTS:
+                expected[(r["user_id"], r["event_id"])] = (
+                    cum // MILESTONE_CENTS,
+                    cum / 100.0,
+                )
+        assert got == expected
