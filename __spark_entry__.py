@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # iterative graph → pagerank + dedup_retention (in). Still outside after
 # this rotation (all pass tools/check.py --exact locally): the 15 rotated
 # out + revenue_by_nation, date_functions, intersect_except_users,
-# cube_events, salted_user_totals — next round's rotation pool.
+# cube_events, salted_user_totals, ann_cosine_topk (X6/F9 keep four other
+# in-window rows) — next round's rotation pool.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry)
     # -- never driver-checked until now: rotated IN (new r3) --
@@ -68,7 +69,6 @@ _PRIORITY: list[str] = [
     # -- LLM pipeline + streaming (r2 green, high-value coverage) --
     "dedup_exact",
     "near_dup_jaccard",
-    "ann_cosine_topk",
     "near_dup_embedding",
     "ann_ivf_topk",
     "token_stats",
@@ -81,7 +81,8 @@ _PRIORITY: list[str] = [
     "stream_sketch_sums",
     "stream_value_milestones",
     "user_sessions",             # r2 hash FAIL → oracle HUGEINT cast fixed
-    # -- mining + relational core (r2 green) --
+    # -- mining + relational core --
+    "sketch_change_cosine",      # M3 routing stage oracle (new r3)
     "sketch_values_hashed",
     "background_edges",
     "two_hop_intermediaries",

@@ -79,6 +79,167 @@ def q_change_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_scores(vals).orderBy("window_start")
 
 
+# ---------------------------------------------------------------------------
+# M3 routing stage under a full value-hash oracle (round-2 verdict, "Next
+# round" #6). The SVD direction itself is not SQL; this deterministic twin
+# replaces ev = |u₀(history)| with ev = Σ(history) — the trailing-window
+# SUM — and checks everything AROUND the SVD exactly: the trailing frame
+# (i−4..i−2, reference's i−1 exclusion), sum-normalization, cosine
+# distance, and the (cur_n − ev_n)/ev_n argmax routing. Two identities
+# make it exact & SQL-able:
+#   · cosine is scale-invariant ⇒ normalizing by Σ and dividing by the
+#     history length both cancel — the decimal SUM vectors feed the dot
+#     and norms EXACTLY (order-independent sums), and only the final
+#     sqrt/divide is double (equal decimals in ⇒ equal doubles out);
+#   · argmax_s (cur_n−ev_n)/ev_n = argmax_s cur/ev (positive Σ factors
+#     cancel), with ev=0 ∧ cur>0 ranking first (numpy's +inf under
+#     nanargmax) and sketch_id breaking double ties.
+# ---------------------------------------------------------------------------
+_CHANGE_COSINE_SQL = """
+    WITH wev AS (
+        SELECT make_timestamp(((epoch_us(ts) // 604800000000) - k.k) * 604800000000)
+                   AS window_start,
+               user_id, value
+        FROM events, (VALUES (0), (1)) k(k)
+    ),
+    msums AS (
+        SELECT window_start, CAST(s.sid AS INTEGER) AS sketch_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        FROM wev CROSS JOIN (SELECT UNNEST(range(64)) AS sid) s
+        WHERE ((((user_id % 100003) * 2654435761) % 1000003
+                + s.sid * 97 + 7) % 1000003) % 1000 < 5
+        GROUP BY window_start, s.sid
+    ),
+    wins AS (
+        SELECT window_start, ROW_NUMBER() OVER (ORDER BY window_start) AS wn
+        FROM (SELECT DISTINCT window_start FROM msums)
+    ),
+    sk AS (SELECT CAST(UNNEST(range(64)) AS INTEGER) AS sketch_id),
+    grid AS (
+        SELECT w.window_start, w.wn, k.sketch_id,
+               COALESCE(m.v, CAST(0 AS DECIMAL(18,2))) AS v
+        FROM wins w CROSS JOIN sk k
+        LEFT JOIN msums m ON m.window_start = w.window_start
+                         AND m.sketch_id = k.sketch_id
+    ),
+    hist AS (
+        SELECT *, CAST(SUM(v) OVER (PARTITION BY sketch_id ORDER BY window_start
+                       ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING)
+                  AS DECIMAL(18,2)) AS h
+        FROM grid
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY
+                  (h = 0 AND v > 0) DESC,
+                  CASE WHEN h <> 0 THEN CAST(v AS DOUBLE) / CAST(h AS DOUBLE)
+                       END DESC NULLS LAST,
+                  sketch_id) AS rk
+        FROM hist WHERE wn >= 5
+    ),
+    agg AS (
+        SELECT window_start,
+               CAST(SUM(CAST(h * v AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS dot,
+               CAST(SUM(CAST(h * h AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss_ev,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss_cur,
+               MAX(CASE WHEN rk = 1 THEN sketch_id END) AS max_sketch
+        FROM ranked GROUP BY window_start
+    )
+    SELECT window_start,
+           CASE WHEN ss_ev > 0 AND ss_cur > 0 THEN
+               ROUND(1 - CAST(dot AS DOUBLE)
+                         / (SQRT(CAST(ss_ev AS DOUBLE))
+                            * SQRT(CAST(ss_cur AS DOUBLE))), 6)
+           END AS z,
+           max_sketch
+    FROM agg ORDER BY window_start
+    """
+
+
+@query("sketch_change_cosine", oracle=_CHANGE_COSINE_SQL)
+def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 routing stage, deterministic twin under the exact value-hash:
+    trailing-frame direction → cosine distance → ratio argmax over the
+    windowed hash-sketch sums (`AA-AR.py:234-266` with ev = Σ history in
+    place of |u₀|; see _CHANGE_COSINE_SQL comment). Scale: the grid is
+    windows × 64 — parameter-sized; the only data-sized stage is the
+    member-explode aggregation of events."""
+    from pyspark.sql.window import Window
+
+    from ..sources import load_table
+    from .sketch import _member_pred
+
+    n_sketch, back_ws = 64, BACK_WS
+    ev = load_table(spark, sf_dir, "events")
+    member_sids = F.filter(
+        F.sequence(F.lit(0), F.lit(n_sketch - 1)),
+        lambda sid: _member_pred(F.col("user_id"), sid),
+    )
+    msums = (
+        ev.select("ts", "value", F.explode(member_sids).alias("sketch_id"))
+        .groupBy(
+            F.window("ts", "14 days", "7 days")["start"].alias("window_start"),
+            "sketch_id",
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    wins = (
+        msums.select("window_start")
+        .distinct()
+        .withColumn("wn", F.row_number().over(Window.orderBy("window_start")))
+    )
+    sk = spark.range(n_sketch).select(F.col("id").cast("int").alias("sketch_id"))
+    grid = (
+        wins.crossJoin(sk)
+        .join(msums, ["window_start", "sketch_id"], "left")
+        .select(
+            "window_start",
+            "wn",
+            "sketch_id",
+            F.coalesce("v", F.lit(0).cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    wf = (
+        Window.partitionBy("sketch_id")
+        .orderBy("window_start")
+        .rowsBetween(-back_ws, -2)
+    )
+    hist = grid.withColumn("h", F.sum("v").over(wf).cast("decimal(18,2)")).filter(
+        F.col("wn") >= back_ws + 1
+    )
+    h, v = F.col("h"), F.col("v")
+    wr = Window.partitionBy("window_start").orderBy(
+        ((h == 0) & (v > 0)).desc(),
+        F.when(h != 0, v.cast("double") / h.cast("double")).desc_nulls_last(),
+        "sketch_id",
+    )
+    ranked = hist.withColumn("rk", F.row_number().over(wr))
+    agg = ranked.groupBy("window_start").agg(
+        F.sum((h * v).cast("decimal(38,4)")).cast("decimal(38,4)").alias("dot"),
+        F.sum((h * h).cast("decimal(38,4)")).cast("decimal(38,4)").alias("ss_ev"),
+        F.sum((v * v).cast("decimal(38,4)")).cast("decimal(38,4)").alias("ss_cur"),
+        F.max(F.when(F.col("rk") == 1, F.col("sketch_id"))).alias("max_sketch"),
+    )
+    z = F.when(
+        (F.col("ss_ev") > 0) & (F.col("ss_cur") > 0),
+        F.round(
+            1
+            - F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("ss_ev").cast("double"))
+                * F.sqrt(F.col("ss_cur").cast("double"))
+            ),
+            6,
+        ),
+    )
+    return agg.select("window_start", z.alias("z"), "max_sketch").orderBy(
+        "window_start"
+    )
+
+
 @query("attention_routing")
 def q_attention_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 4 (`AA-AR.py:251-266`): pick the argmax-z window, the

@@ -54,16 +54,41 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_previously_unchecked_llm_streaming_in_window():
-    """The 12 oracle-backed LLM/streaming queries that missed round 1's
-    window must be inside it now."""
+def test_round3_rotation_in_window():
+    """Round-3 rotation (r2 verdict 'Next round' #2): every query that had
+    never received a driver row — led by pagerank (a round-1 FAIL whose
+    fix had only local evidence) — must now sit inside the checked window,
+    along with the new M3-routing oracle and the r2 must-stay set."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        "dedup_exact", "near_dup_jaccard", "ann_cosine_topk",
-        "near_dup_embedding", "ann_ivf_topk", "token_stats",
-        "term_frequencies", "quality_scores", "lang_id",
-        "multimodal_assemble", "stream_window_event_stats",
-        "stream_user_sessions", "user_sessions",
+        # never driver-checked before round 3
+        "pagerank", "near_dup_minhash_hashed", "near_dup_simhash_hashed",
+        "dedup_retention", "corpus_filter", "doc_fingerprint_hashed",
+        "media_features_hashed", "media_frame_sample", "ann_lsh_topk",
+        "tfidf_top_terms", "chunk_documents", "sample_stratified",
+        "topk_per_group", "asof_join_within", "asof_join_nearest",
+        # new round-3 oracle
+        "sketch_change_cosine",
+        # high-value keeps
+        "user_sessions", "stream_value_milestones", "sketch_values_hashed",
+        "two_hop_candidates",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
+
+
+def test_rotated_out_queries_still_registered():
+    """Rotating a query out of the window must not unregister it — it
+    stays runnable and oracle-backed for local verification and future
+    rotations."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    rotated_out = [
+        "filter_project", "scalar_math", "log_bin_means", "global_argmax",
+        "union_dedup", "node_universe", "heavy_pairs", "degree_counts",
+        "weight_stats", "json_props_extract", "window_event_stats",
+        "account_features", "asof_join_attribution", "window_topk_accounts",
+        "connected_components", "ann_cosine_topk",
+    ]
+    for n in rotated_out:
+        assert n in q and n in o, f"{n} lost registration or oracle"
