@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "quality_scores",
     "lang_id",
     "multimodal_assemble",
+    "media_pipeline_real",       # real BMP codec end-to-end (new r3)
     "stream_window_event_stats",
     "stream_user_sessions",
     "stream_sketch_sums",
@@ -91,7 +92,6 @@ _PRIORITY: list[str] = [
     "pricing_summary",
     "sink_accounts",
     "direction_mapped_edges",
-    "rollup_orders",
     "profit_by_nation_year",
     "windowed_features",
     "feature_pairs",

@@ -375,3 +375,86 @@ class TestRetention:
         assert out, "filter should keep something at sf0.001"
         assert all(r["doc_id"] in kept_ids for r in out)
         assert all(r["quality"] >= QUALITY_MIN for r in out)
+
+
+class TestRealCodecs:
+    """The pure-NumPy/stdlib media kernels (BMP/PGM/WAV/NN-resize) —
+    real decoders, verified against hand-built fixtures."""
+
+    def test_bmp_roundtrip_exact_pixels(self):
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import decode_bmp, encode_bmp_gray24
+
+        data = bytes(range(256)) * 3
+        bmp = encode_bmp_gray24(data, width=32, max_pixels=1024)
+        assert bmp[:2] == b"BM"
+        img, w, h = decode_bmp(bmp)
+        assert (w, h) == (32, 24)
+        got = img[:, :, 0].reshape(-1)[: len(data[:1024])]
+        assert np.array_equal(got, np.frombuffer(data[:1024], np.uint8))
+        # channels equal (gray) and R==G==B
+        assert np.array_equal(img[:, :, 0], img[:, :, 1])
+        assert np.array_equal(img[:, :, 0], img[:, :, 2])
+
+    def test_bmp_stride_padding_nonmultiple_width(self):
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import decode_bmp, encode_bmp_gray24
+
+        # width 10 → stride 30 → padded to 32: decoder must skip pad bytes
+        bmp = encode_bmp_gray24(bytes(range(30)), width=10, max_pixels=30)
+        img, w, h = decode_bmp(bmp)
+        assert (w, h) == (10, 3)
+        assert np.array_equal(
+            img[:, :, 0].reshape(-1), np.frombuffer(bytes(range(30)), np.uint8)
+        )
+
+    def test_pgm_decode(self):
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import decode_pgm
+
+        raster = bytes(range(12))
+        payload = b"P5\n# a comment\n4 3\n255\n" + raster
+        img, w, h = decode_pgm(payload)
+        assert (w, h) == (4, 3)
+        assert np.array_equal(
+            img.reshape(-1), np.frombuffer(raster, np.uint8)
+        )
+
+    def test_wav_decode_stdlib(self):
+        import io
+        import wave
+
+        from autoaudit_spark.llm.multimodal import decode_image_real
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x01" * 2 * 100)
+        frames, channels, fmt = decode_image_real(buf.getvalue())
+        assert (frames, channels, fmt) == (100, 2, "wav")
+
+    def test_compressed_formats_still_raise(self):
+        import pytest as _pytest
+
+        from autoaudit_spark.llm.multimodal import decode_image_real
+
+        with _pytest.raises(NotImplementedError, match="jpeg"):
+            decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+    def test_resize_nearest_known_mapping(self):
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import resize_nearest
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        out = resize_nearest(img, 4)
+        assert out.shape == (4, 4)
+        # index map: yi = floor(i*8/4) = 0,2,4,6
+        assert np.array_equal(out, img[[0, 2, 4, 6]][:, [0, 2, 4, 6]])
+        # no-op when already inside the box
+        assert resize_nearest(img, 8) is img
