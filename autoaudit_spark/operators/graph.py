@@ -101,6 +101,58 @@ def q_two_hop_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_counts(adjacency(spark, sf_dir))
 
 
+def two_hop_counts_salted(
+    adj: DataFrame, min_paths: int = MIN_PATHS, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-hardened two-hop counting (round-2 verdict, stretch #8): a
+    power-law graph's hub nodes make the middle key of the self-join hot —
+    AQE's skew-join splitting handles moderate skew at runtime, but this
+    is the explicit salting form for hubs beyond what AQE splits.
+
+    The edges INTO each mid (side a) scatter over `salt_buckets` synthetic
+    sub-keys — salt = hash(src, dst) pmod buckets, deterministic per row —
+    while the edges OUT OF each mid (side b) replicate across all buckets
+    (explode of a literal sequence: b is the smaller per-mid side for an
+    in-hub). The join key becomes (mid, salt): a hub's reduce work spreads
+    over `salt_buckets` tasks at the cost of replicating side b ×buckets.
+    Path counts are unchanged — every (a-edge, b-edge) pair still meets
+    exactly once, in exactly one bucket."""
+    a = adj.select(
+        F.col("src"),
+        F.col("dst").alias("mid"),
+        F.pmod(F.hash("src", "dst"), F.lit(salt_buckets)).alias("salt"),
+    )
+    b = adj.select(
+        F.col("src").alias("mid"),
+        F.col("dst"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+    )
+    return (
+        a.join(b, ["mid", "salt"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("path_cnt"))
+        .filter(F.col("path_cnt") >= min_paths)
+        .orderBy(F.col("path_cnt").desc(), "src", "dst")
+    )
+
+
+@query(
+    "two_hop_salted",
+    oracle=f"""
+    {_ADJ_CTE}
+    SELECT a.src AS src, b.dst AS dst, COUNT(*) AS path_cnt
+    FROM adj a JOIN adj b ON a.dst = b.src
+    GROUP BY a.src, b.dst
+    HAVING COUNT(*) >= {MIN_PATHS}
+    ORDER BY path_cnt DESC, src, dst
+    """,
+)
+def q_two_hop_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under explicit hub-key salting — same oracle as the flagship
+    (the salted plan must be bit-identical in results)."""
+    return two_hop_counts_salted(adjacency(spark, sf_dir))
+
+
 @query(
     "two_hop_intermediaries",
     oracle=f"""

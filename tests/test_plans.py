@@ -160,3 +160,36 @@ class TestRound2Plans:
         assert schemas
         for s in schemas:
             assert "lang" not in s and "source" not in s
+
+
+class TestRound3Plans:
+    def test_salted_two_hop_joins_on_salted_key(self, spark, q):
+        """The salted variant's join key must include the synthetic salt —
+        a plan that collapses back to a plain mid-key join silently
+        reintroduces the hub hotspot it exists to break."""
+        p = plan(q["two_hop_salted"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "salt" in p
+        assert "explode" in p.lower() or "Generate" in p
+
+    def test_salted_two_hop_matches_flagship(self, spark, q):
+        a = {tuple(r) for r in q["two_hop_salted"](spark, SF).collect()}
+        b = {tuple(r) for r in q["two_hop_candidates"](spark, SF).collect()}
+        assert a == b
+
+    def test_media_pipeline_real_prunes_scan(self, spark, q):
+        p = plan(q["media_pipeline_real"](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "lang" not in s and "source" not in s
+
+    def test_change_cosine_grid_is_parameter_sized(self, spark, q):
+        """sketch_change_cosine: the only data-sized stage is the member
+        explode over events. The windows×sketches grid cross join is
+        DELIBERATE and parameter-sized — it must build via broadcast
+        (tiny side), never a shuffled CartesianProduct of the data."""
+        p = plan(q["sketch_change_cosine"](spark, SF))
+        assert "CartesianProduct" not in p
+        # the member explode (data-sized stage) stays JVM-side
+        assert "Generate explode" in p or "explode" in p.lower()
