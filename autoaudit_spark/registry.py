@@ -52,4 +52,5 @@ def load_all() -> None:
     from .operators import graph, relational, features, windows, temporal_joins  # noqa: F401
     from .mining import powerlaw, mdl, smurf, iforest, sketch, change, generator  # noqa: F401
     from .llm import dedup, similarity, text, multimodal  # noqa: F401
+    from .sources import bucketed  # noqa: F401
     from .streaming import windowed  # noqa: F401

@@ -1,0 +1,105 @@
+"""Bucketed storage → co-located joins: the 100 TB shuffle eliminator.
+
+At cluster scale, the dominant cost of a fact⋈fact join is the exchange
+of both sides on the join key. Spark's storage bucketing
+(`DataFrameWriter.bucketBy` + `saveAsTable`) pre-partitions each table
+into N hash buckets ON DISK; a join of two tables bucketed by the same
+key into the same N reads bucket i against bucket i directly — zero
+Exchange in the physical plan, on every subsequent join, forever.
+
+The registered query writes two per-account aggregate relations of the
+edge table bucketed by `account` (out-degree totals and in-degree
+totals), reads them back through the catalog, and joins them co-located.
+`tests/test_plans.py::TestRound3Plans` asserts the joined plan contains
+NO Exchange — the property that survives the 1000-executor scale-up.
+The oracle is the plain logical result (bucketing must never change
+values, only the plan).
+
+Reference scope note: the reference engine (AA-AR.py / AA-Smurf.py)
+re-reads and re-shuffles its pickle inputs per run; bucketed tables are
+the engine-level capability a 100 TB deployment swaps in.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .tables import EDGES_SQL, edges
+
+N_BUCKETS = 8
+
+#: (session id, sf_dir) → catalog table-name pair already written
+_WRITTEN: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def bucketed_degree_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Write (once per session+sf) and read back the two co-bucketed
+    per-account aggregate tables. `sortBy` on the bucket key additionally
+    lets the merge join skip its sorts on a real cluster."""
+    key = (id(spark), sf_dir)
+    if key not in _WRITTEN:
+        e = edges(spark, sf_dir)
+        tag = abs(hash(key)) % 10**8
+        names = (f"acct_out_{tag}", f"acct_in_{tag}")
+        rels = (
+            e.groupBy(F.col("src").alias("account")).agg(
+                F.count("*").alias("n_out"),
+                F.round(F.sum("weight"), 2).alias("tot_out"),
+            ),
+            e.groupBy(F.col("dst").alias("account")).agg(
+                F.count("*").alias("n_in"),
+                F.round(F.sum("weight"), 2).alias("tot_in"),
+            ),
+        )
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        for name, rel in zip(names, rels):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                rel.write.bucketBy(n_buckets, "account")
+                .sortBy("account")
+                .option("path", os.path.join(base, name))
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _WRITTEN[key] = names
+    out_name, in_name = _WRITTEN[key]
+    return spark.table(out_name), spark.table(in_name)
+
+
+@query(
+    "bucketed_degree_join",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    o AS (SELECT src AS account, COUNT(*) AS n_out,
+                 ROUND(SUM(weight), 2) AS tot_out
+          FROM edges GROUP BY src),
+    i AS (SELECT dst AS account, COUNT(*) AS n_in,
+                 ROUND(SUM(weight), 2) AS tot_in
+          FROM edges GROUP BY dst)
+    SELECT o.account, o.n_out, o.tot_out, i.n_in, i.tot_in
+    FROM o JOIN i ON o.account = i.account
+    ORDER BY o.account
+    """,
+)
+def q_bucketed_degree_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join of two account-bucketed tables — values identical
+    to the plain join (the oracle IS the plain form); the plan is the
+    point: zero Exchange (CI-asserted). The `merge` hint pins a
+    sort-merge join so the test scale's broadcast threshold doesn't hide
+    the bucketing (broadcast would also be exchange-free here, but only
+    bucketing stays exchange-free when BOTH sides are fact-sized)."""
+    out_t, in_t = bucketed_degree_tables(spark, sf_dir)
+    return (
+        out_t.hint("merge")
+        .join(in_t, "account")
+        .select("account", "n_out", "tot_out", "n_in", "tot_in")
+        .orderBy("account")
+    )

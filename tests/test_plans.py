@@ -193,3 +193,19 @@ class TestRound3Plans:
         assert "CartesianProduct" not in p
         # the member explode (data-sized stage) stays JVM-side
         assert "Generate explode" in p or "explode" in p.lower()
+
+    def test_bucketed_join_has_no_exchange_before_join(self, spark, q):
+        """Storage-bucketed co-located join: both scans must read bucketed
+        and feed the sort-merge join without ANY exchange — the property
+        that eliminates the fact⋈fact shuffle at 100 TB. (The single
+        Exchange after the join is the presentation orderBy.)"""
+        p = plan(q["bucketed_degree_join"](spark, SF))
+        assert p.count("Bucketed: true") == 2, p
+        assert "SortMergeJoin" in p
+        join_pos = p.index("SortMergeJoin")
+        tree = p[: p.index("(1) Scan")]  # the indented tree rendering
+        join_line = next(
+            i for i, ln in enumerate(tree.splitlines()) if "SortMergeJoin" in ln
+        )
+        below_join = "\n".join(tree.splitlines()[join_line:])
+        assert "Exchange" not in below_join, below_join
