@@ -74,6 +74,59 @@ def bucketed_degree_tables(
     return spark.table(out_name), spark.table(in_name)
 
 
+_PARTITIONED: dict[tuple[int, str], str] = {}
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the events table as parquet
+    HIVE-PARTITIONED by event_type — the layout that lets a typed query
+    read only its directories. At 100 TB, partition pruning is the
+    difference between scanning one event type and scanning the table."""
+    key = (id(spark), sf_dir)
+    if key not in _PARTITIONED:
+        from .tables import load_table
+
+        path = tempfile.mkdtemp(prefix="events_by_type_")
+        (
+            load_table(spark, sf_dir, "events")
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        _PARTITIONED[key] = path
+    return _PARTITIONED[key]
+
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over two event types read from the event_type-partitioned
+    layout: the filter must become a PartitionFilter (directory pruning —
+    untouched partitions are never listed or read; CI-asserted), not a
+    row-level predicate. Values identical to scanning the flat table."""
+    df = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    return (
+        df.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tot_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "bucketed_degree_join",
     oracle=f"""

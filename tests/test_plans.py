@@ -209,3 +209,10 @@ class TestRound3Plans:
         )
         below_join = "\n".join(tree.splitlines()[join_line:])
         assert "Exchange" not in below_join, below_join
+
+    def test_partitioned_write_prunes_directories(self, spark, q):
+        """event_type IN (...) against the partitionBy(event_type) layout
+        must prune at the DIRECTORY level (PartitionFilters), not filter
+        rows after a full scan."""
+        p = plan(q["partition_pruned_scan"](spark, SF))
+        assert re.search(r"PartitionFilters: \[.*event_type.*IN", p), p
