@@ -522,3 +522,89 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X7: text normalization — the first stage of every pretraining pipeline
+# (case-fold, trim, whitespace collapse), pure JVM expressions with an
+# exact oracle (the regex class is spelled byte-for-byte so Java regex and
+# DuckDB RE2 agree).
+# ---------------------------------------------------------------------------
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '[ \t\r\n]+', ' ', 'g')
+               AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(regexp_replace(lower(trim(text)), '[ \t\r\n]+', ' ', 'g'))
+                AS BIGINT) AS n_chars_norm,
+           regexp_replace(lower(trim(text)), '[ \t\r\n]+', ' ', 'g') <> text
+               AS changed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: case-fold + trim + whitespace collapse, one shuffle-free
+    projection. Unicode NFC/NFKC needs an ICU UDF (not in this container)
+    — the ASCII-whitespace collapse here is the engine-portable core."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), "[ \t\r\n]+", " ")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X7/pipeline composition: token-budget corpus cap — keep the
+# highest-quality documents until a token budget is exhausted (the final
+# "fill the training mix" step after dedup + quality filtering).
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET = 5_000
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH {QUALITY_CTE},
+    ordered AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM quality
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM ordered WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY quality DESC, doc_id
+    """,
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget cap: documents in (quality DESC, doc_id) order until the
+    cumulative token count exceeds TOKEN_BUDGET. The running sum is cast
+    to BIGINT in the oracle (DuckDB windows SUM(int) as HUGEINT — the
+    user_sessions lesson). The global-order window is fine here because
+    the per-doc metric relation is small; a 100 TB corpus would replace
+    the exact cutoff with a quality-quantile threshold (two aggregation
+    passes, no global sort) — same selection semantics, approximate
+    boundary."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        quality_metrics(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .orderBy(F.col("quality").desc(), "doc_id")
+    )
