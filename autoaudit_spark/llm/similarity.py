@@ -502,3 +502,103 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds), fully value-hash checked against the DuckDB twin including
     the training iterations."""
     return ivf_topk(spark, sf_dir, rounds=IVF_KMEANS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# X6: int8-quantized ANN — the 100 TB memory/bandwidth lever. Each vector
+# is symmetric-quantized to int8 codes (scale = max|v|/127, the standard
+# per-row scheme); the quantized cosine equals the cosine OF THE CODE
+# VECTORS because the two per-row scales cancel in the normalization —
+# so the whole scoring path is exact integer dot products (cross-engine
+# bit-identical) with one final double division. A deployment stores the
+# codes column (4× smaller than float32, 8× than float64) and never
+# touches the float embeddings at query time.
+# ---------------------------------------------------------------------------
+def int8_codes(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization: round(x·127/max|x|), the
+    all-zero vector mapping to all-zero codes."""
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.when(
+        m > 0,
+        F.transform(v, lambda x: F.round(x * 127 / m).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "ann_int8_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN list_transform(v, x -> CAST(ROUND(
+                         x * 127 / list_max(list_transform(v, y -> abs(y))))
+                         AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+        FROM e
+    ),
+    n AS (
+        SELECT vec_id, q, list_dot_product(q, q) AS nn FROM c
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND(list_dot_product(a.q, b.q)
+                     / (sqrt(a.nn) * sqrt(b.nn)), 6) AS q_sim
+        FROM n a JOIN n b
+          ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+        WHERE a.nn > 0 AND b.nn > 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, q_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY q_sim DESC, neighbor_id
+               ) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, q_sim, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 int8-quantized top-k: integer code dot products (exact in both
+    engines), query codes broadcast, corpus streamed — identical plan
+    shape to the float brute force at a quarter of the bytes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", int8_codes(_dvec("embedding")).alias("q")
+    )
+    emb = emb.withColumn("nn", _idot(F.col("q"), F.col("q"))).filter(
+        F.col("nn") > 0
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).withColumnsRenamed(
+        {"vec_id": "query_id", "q": "qq", "nn": "qnn"}
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _idot(F.col("qq"), F.col("q")).cast("double")
+                / (F.sqrt(F.col("qnn").cast("double")) * F.sqrt(F.col("nn").cast("double"))),
+                6,
+            ).alias("q_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

@@ -458,3 +458,36 @@ class TestRealCodecs:
         assert np.array_equal(out, img[[0, 2, 4, 6]][:, [0, 2, 4, 6]])
         # no-op when already inside the box
         assert resize_nearest(img, 8) is img
+
+
+class TestInt8ANN:
+    def test_recall_vs_exact_cosine(self, spark, sf_dir):
+        """int8 symmetric quantization should preserve most of the exact
+        top-5 neighbor set (the standard quality bar for 8-bit codes)."""
+        from autoaudit_spark.registry import QUERIES
+
+        exact = {}
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        quant = {}
+        for r in QUERIES["ann_int8_topk"](spark, sf_dir).collect():
+            quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(exact) == set(quant)
+        hits = sum(len(exact[q] & quant[q]) for q in exact)
+        total = sum(len(exact[q]) for q in exact)
+        assert hits / total >= 0.8, f"recall@5 {hits}/{total}"
+
+    def test_codes_bounded_and_scale_invariant(self, spark):
+        import pyspark.sql.functions as F
+
+        from autoaudit_spark.llm.similarity import int8_codes
+
+        df = spark.createDataFrame(
+            [([0.1, -0.4, 0.2],), ([1000.0, -4000.0, 2000.0],), ([0.0, 0.0, 0.0],)],
+            "v array<double>",
+        ).select(int8_codes(F.col("v")).alias("q"))
+        rows = [r["q"] for r in df.collect()]
+        # same direction, different magnitude → identical codes
+        assert rows[0] == rows[1]
+        assert rows[2] == [0, 0, 0]
+        assert all(-127 <= c <= 127 for q in rows for c in q)
