@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "user_sessions",             # r2 hash FAIL → oracle HUGEINT cast fixed
     # -- mining + relational core --
     "sketch_change_cosine",      # M3 routing stage oracle (new r3)
+    "attention_routing_hashed",  # stage-4 routing, full value-hash (new r3)
     "sketch_values_hashed",
     "background_edges",
     "two_hop_intermediaries",
@@ -92,7 +93,6 @@ _PRIORITY: list[str] = [
     "pricing_summary",
     "sink_accounts",
     "direction_mapped_edges",
-    "profit_by_nation_year",
     "windowed_features",
     "feature_pairs",
     "iforest_points",

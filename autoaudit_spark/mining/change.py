@@ -240,6 +240,210 @@ def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stage-4 attention routing under a FULL value-hash oracle. Composes the
+# three already-oracled twins end to end: the hashed-membership sketch
+# pipeline (sums + declarative greedy, mining/sketch.py), the
+# deterministic change-cosine routing stage (same math as
+# `sketch_change_cosine`, here over the sketch-value matrix), and the
+# Mahalanobis scorer — then picks the argmax-z window, that window's
+# most-changed sketch, the sketch's greedily-chosen pair columns, the
+# top-3 accounts per pair by focus score, and their trailing-average
+# past positions (`AA-AR.py:251-266`). Every stage is declarative; the
+# one-row "best" relation flows by broadcast join, not collect.
+# ---------------------------------------------------------------------------
+def _routing_hashed_sql() -> str:
+    from .iforest import _PTS_CTE
+    from .sketch import _sketch_hashed_cte
+
+    lpts_sql = _PTS_CTE + "\n    SELECT window_start, account, pair_id, x, y FROM lpts"
+    return (
+        _sketch_hashed_cte()
+        + f""",
+    lp AS ({lpts_sql}),
+    rwins AS (
+        SELECT window_start, ROW_NUMBER() OVER (ORDER BY window_start) AS wn
+        FROM (SELECT DISTINCT window_start FROM sv)
+    ),
+    v6 AS (
+        SELECT s.window_start, w.wn, s.sketch_id,
+               CAST(s.value AS DECIMAL(18,6)) AS v
+        FROM sv s JOIN rwins w ON w.window_start = s.window_start
+    ),
+    rhist AS (
+        SELECT *, CAST(SUM(v) OVER (PARTITION BY sketch_id ORDER BY window_start
+                       ROWS BETWEEN {BACK_WS} PRECEDING AND 2 PRECEDING)
+                  AS DECIMAL(18,6)) AS h
+        FROM v6
+    ),
+    rranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY
+                  (h = 0 AND v > 0) DESC,
+                  CASE WHEN h <> 0 THEN CAST(v AS DOUBLE) / CAST(h AS DOUBLE)
+                       END DESC NULLS LAST,
+                  sketch_id) AS srk
+        FROM rhist WHERE wn >= {BACK_WS + 1}
+    ),
+    ragg AS (
+        SELECT window_start,
+               CAST(SUM(CAST(h * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS dot,
+               CAST(SUM(CAST(h * h AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss_ev,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss_cur,
+               MAX(CASE WHEN srk = 1 THEN sketch_id END) AS max_sketch
+        FROM rranked GROUP BY window_start
+    ),
+    rz AS (
+        SELECT window_start, max_sketch,
+               CASE WHEN ss_ev > 0 AND ss_cur > 0 THEN
+                   1 - CAST(dot AS DOUBLE)
+                       / (SQRT(CAST(ss_ev AS DOUBLE)) * SQRT(CAST(ss_cur AS DOUBLE)))
+               END AS z
+        FROM ragg
+    ),
+    best AS (
+        SELECT window_start AS win, max_sketch FROM rz
+        QUALIFY ROW_NUMBER() OVER (ORDER BY z DESC NULLS LAST, window_start) = 1
+    ),
+    rpairs AS (
+        SELECT ch.pair_id FROM chosen ch JOIN best b ON ch.sketch_id = b.max_sketch
+    ),
+    top3 AS (
+        SELECT sc.window_start, sc.pair_id, sc.account, sc.score,
+               ROW_NUMBER() OVER (PARTITION BY sc.pair_id
+                                  ORDER BY sc.score DESC, sc.account) AS rk
+        FROM scored sc
+        JOIN best b ON sc.window_start = b.win
+        JOIN rpairs rp ON rp.pair_id = sc.pair_id
+    ),
+    past0 AS (
+        SELECT l.account, l.pair_id, l.x, l.y,
+               ROW_NUMBER() OVER (PARTITION BY l.account, l.pair_id
+                                  ORDER BY l.window_start DESC) AS wrk
+        FROM lp l JOIN best b ON l.window_start < b.win
+    ),
+    rpast AS (
+        SELECT account, pair_id,
+               CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS past_x,
+               CAST(SUM(CAST(y AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS past_y
+        FROM past0 WHERE wrk <= {BACK_WS} GROUP BY account, pair_id
+    )
+    SELECT t.window_start, t.pair_id, t.account, t.score,
+           CAST(t.rk AS BIGINT) AS rk, p.past_x, p.past_y
+    FROM top3 t LEFT JOIN rpast p
+      ON p.account = t.account AND p.pair_id = t.pair_id
+    WHERE t.rk <= 3
+    ORDER BY t.pair_id, t.rk
+    """
+    )
+
+
+@query("attention_routing_hashed", oracle=_routing_hashed_sql())
+def q_attention_routing_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 4 end to end under the exact value-hash (see the block
+    comment above). The SVD-based `attention_routing` keeps the
+    reference's |u₀| direction (rows-only); this twin substitutes the
+    scale-invariant trailing-sum direction so every downstream routing
+    decision — argmax window, most-changed sketch, chosen pairs, top-3
+    accounts, past positions — is cross-engine exact."""
+    from pyspark.sql.window import Window
+
+    from .iforest import _points, shared_maha_scores
+    from .sketch import hashed_sketch_parts
+
+    vals, chosen = hashed_sketch_parts(spark, sf_dir, sketch_num=64)
+    wins = (
+        vals.select("window_start")
+        .distinct()
+        .withColumn("wn", F.row_number().over(Window.orderBy("window_start")))
+    )
+    v6 = vals.join(wins, "window_start").withColumn(
+        "v", F.col("value").cast("decimal(18,6)")
+    )
+    wf = (
+        Window.partitionBy("sketch_id")
+        .orderBy("window_start")
+        .rowsBetween(-BACK_WS, -2)
+    )
+    hist = v6.withColumn("h", F.sum("v").over(wf).cast("decimal(18,6)")).filter(
+        F.col("wn") >= BACK_WS + 1
+    )
+    h, v = F.col("h"), F.col("v")
+    wr = Window.partitionBy("window_start").orderBy(
+        ((h == 0) & (v > 0)).desc(),
+        F.when(h != 0, v.cast("double") / h.cast("double")).desc_nulls_last(),
+        "sketch_id",
+    )
+    ragg = (
+        hist.withColumn("srk", F.row_number().over(wr))
+        .groupBy("window_start")
+        .agg(
+            F.sum((h * v).cast("decimal(38,12)")).cast("decimal(38,12)").alias("dot"),
+            F.sum((h * h).cast("decimal(38,12)")).cast("decimal(38,12)").alias("ss_ev"),
+            F.sum((v * v).cast("decimal(38,12)")).cast("decimal(38,12)").alias("ss_cur"),
+            F.max(F.when(F.col("srk") == 1, F.col("sketch_id"))).alias("max_sketch"),
+        )
+    )
+    z = F.when(
+        (F.col("ss_ev") > 0) & (F.col("ss_cur") > 0),
+        1
+        - F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("ss_ev").cast("double"))
+            * F.sqrt(F.col("ss_cur").cast("double"))
+        ),
+    )
+    best = (
+        ragg.select("window_start", "max_sketch", z.alias("z"))
+        .withColumn(
+            "brk",
+            F.row_number().over(
+                Window.orderBy(F.col("z").desc_nulls_last(), "window_start")
+            ),
+        )
+        .filter(F.col("brk") == 1)
+        .select(F.col("window_start").alias("win"), "max_sketch")
+    )
+    rpairs = chosen.join(
+        F.broadcast(best), chosen.sketch_id == best.max_sketch
+    ).select("pair_id", "win")
+    scored = shared_maha_scores(spark, sf_dir)
+    wt = Window.partitionBy("pair_id").orderBy(F.col("score").desc(), "account")
+    top3 = (
+        scored.join(
+            F.broadcast(rpairs),
+            (scored.pair_id == rpairs.pair_id) & (scored.window_start == rpairs.win),
+        )
+        .select("window_start", scored.pair_id, "account", "score")
+        .withColumn("rk", F.row_number().over(wt).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+    pts = _points(spark, sf_dir)
+    wp = Window.partitionBy("account", "pair_id").orderBy(
+        F.col("window_start").desc()
+    )
+    past = (
+        pts.join(F.broadcast(best.select("win")), pts.window_start < F.col("win"))
+        .withColumn("wrk", F.row_number().over(wp))
+        .filter(F.col("wrk") <= BACK_WS)
+        .groupBy("account", "pair_id")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,8)")).cast("double") / F.count("*")
+            ).alias("past_x"),
+            (
+                F.sum(F.col("y").cast("decimal(18,8)")).cast("double") / F.count("*")
+            ).alias("past_y"),
+        )
+    )
+    return (
+        top3.join(past, ["account", "pair_id"], "left")
+        .select(
+            "window_start", "pair_id", "account", "score", "rk", "past_x", "past_y"
+        )
+        .orderBy("pair_id", "rk")
+    )
+
+
 @query("attention_routing")
 def q_attention_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 4 (`AA-AR.py:251-266`): pick the argmax-z window, the

@@ -277,7 +277,11 @@ def q_anomaly_scores_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAHA_SQL = (
+#: shared CTE chain up to `lpts(window_start, account, pair_id, x, y)` —
+#: the log-scaled nonzero feature-pair points (= `iforest_points`).
+#: Reused by the Mahalanobis oracle and the stage-4 routing twin
+#: (`mining/change.py`).
+_PTS_CTE = (
     WINDOWED_FEATS_CTE
     + """,
     pairs AS (
@@ -294,7 +298,12 @@ _MAHA_SQL = (
         SELECT window_start, account, pair_id,
                ROUND(LOG10(v1 + 1), 8) AS x, ROUND(LOG10(v2 + 1), 8) AS y
         FROM pts WHERE v1 <> 0 AND v2 <> 0
-    ),
+    )"""
+)
+
+_MAHA_SQL = (
+    _PTS_CTE
+    + """,
     dpts AS (
         SELECT window_start, account, pair_id, x, y,
                CAST(x AS DECIMAL(18,8)) AS xd, CAST(y AS DECIMAL(18,8)) AS yd
@@ -333,10 +342,12 @@ _MAHA_SQL = (
 # reuse the CASE-pick fragments from features.py to select v1/v2 by fid
 from ..operators.features import _case_pick  # noqa: E402
 
-_MAHA_SQL = _MAHA_SQL.format(
-    v1=_case_pick("v1", "p.f1").replace(" AS v1", ""),
-    v2=_case_pick("v2", "p.f2").replace(" AS v2", ""),
-)
+_PICKS = {
+    "v1": _case_pick("v1", "p.f1").replace(" AS v1", ""),
+    "v2": _case_pick("v2", "p.f2").replace(" AS v2", ""),
+}
+_MAHA_SQL = _MAHA_SQL.format(**_PICKS)
+_PTS_CTE = _PTS_CTE.format(**_PICKS)
 
 
 @query("anomaly_scores_mahalanobis", oracle=_MAHA_SQL)

@@ -172,9 +172,27 @@ def _cand_pred(pair_id, sketch_id):
     ) < 2
 
 
+def hashed_sketch_parts(
+    spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
+) -> tuple[DataFrame, DataFrame]:
+    """The hashed-sketch pipeline's two reusable relations:
+    (dense sketch values (window_start, sketch_id int, value double),
+    chosen greedy columns (sketch_id, pair_id)). `sketch_values_hashed`
+    returns the first ordered; `attention_routing_hashed` (mining.change)
+    consumes both."""
+    return _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
+
+
 def sketch_values_hashed(
     spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
 ) -> DataFrame:
+    vals, _ = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
+    return vals.orderBy("window_start", "sketch_id")
+
+
+def _sketch_values_hashed_impl(
+    spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
+) -> tuple[DataFrame, DataFrame]:
     """M2 scale path: the ENTIRE pipeline — membership, greedy column
     selection, sketch sums — is one declarative DAG with NO driver-side
     structure (the RNG path collects an O(accounts × 66) matrix and draws
@@ -304,21 +322,20 @@ def sketch_values_hashed(
         .groupBy("window_start", "sketch_id")
         .agg(F.sum("sd").alias("v"))
     )
-    return (
-        grid.join(vals, ["window_start", "sketch_id"], "left")
-        .select(
-            "window_start",
-            F.col("sketch_id").cast("int").alias("sketch_id"),
-            F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("value"),
-        )
-        .orderBy("window_start", "sketch_id")
+    dense = grid.join(vals, ["window_start", "sketch_id"], "left").select(
+        "window_start",
+        F.col("sketch_id").cast("int").alias("sketch_id"),
+        F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("value"),
     )
+    return dense, chosen
 
 
-def _sketch_hashed_sql() -> str:
-    """DuckDB twin of :func:`sketch_values_hashed` (sketch_num=64) — the
-    greedy is unrolled into 3 CTE steps mirroring the Spark DAG; all
-    sums in DECIMAL so the cross-engine argmax is exact."""
+def _sketch_hashed_cte() -> str:
+    """The WITH-chain of the DuckDB twin of :func:`sketch_values_hashed`
+    (sketch_num=64), ending at `chosen`/`grid`/`vals` with no final
+    SELECT — the greedy is unrolled into 3 CTE steps mirroring the Spark
+    DAG; all sums in DECIMAL so the cross-engine argmax is exact. Shared
+    by `sketch_values_hashed` and `attention_routing_hashed`."""
     from .iforest import _MAHA_SQL
 
     maha = _MAHA_SQL.replace("ORDER BY l.window_start, l.pair_id, l.account", "")
@@ -405,12 +422,19 @@ def _sketch_hashed_sql() -> str:
                 JOIN chosen ch ON ch.sketch_id = m.sketch_id
                              AND ch.pair_id = sc.pair_id
         GROUP BY sc.window_start, m.sketch_id
-    )
-    SELECT g.window_start, CAST(g.sketch_id AS INTEGER) AS sketch_id,
-           CAST(COALESCE(v.v, 0) AS DOUBLE) AS value
-    FROM grid g LEFT JOIN vals v ON v.window_start = g.window_start
-                               AND v.sketch_id = g.sketch_id
-    ORDER BY g.window_start, sketch_id
+    ),
+    sv AS (
+        SELECT g.window_start, CAST(g.sketch_id AS INTEGER) AS sketch_id,
+               CAST(COALESCE(v.v, 0) AS DOUBLE) AS value
+        FROM grid g LEFT JOIN vals v ON v.window_start = g.window_start
+                                   AND v.sketch_id = g.sketch_id
+    )"""
+
+
+def _sketch_hashed_sql() -> str:
+    return _sketch_hashed_cte() + """
+    SELECT window_start, sketch_id, value FROM sv
+    ORDER BY window_start, sketch_id
     """
 
 

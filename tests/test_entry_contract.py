@@ -67,8 +67,9 @@ def test_round3_rotation_in_window():
         "media_features_hashed", "media_frame_sample", "ann_lsh_topk",
         "tfidf_top_terms", "chunk_documents", "sample_stratified",
         "topk_per_group", "asof_join_within", "asof_join_nearest",
-        # new round-3 oracle
-        "sketch_change_cosine",
+        # new round-3 oracles
+        "sketch_change_cosine", "attention_routing_hashed",
+        "media_pipeline_real",
         # high-value keeps
         "user_sessions", "stream_value_milestones", "sketch_values_hashed",
         "two_hop_candidates",
@@ -88,7 +89,8 @@ def test_rotated_out_queries_still_registered():
         "union_dedup", "node_universe", "heavy_pairs", "degree_counts",
         "weight_stats", "json_props_extract", "window_event_stats",
         "account_features", "asof_join_attribution", "window_topk_accounts",
-        "connected_components", "ann_cosine_topk",
+        "connected_components", "ann_cosine_topk", "rollup_orders",
+        "profit_by_nation_year",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"
