@@ -172,6 +172,13 @@ def _cand_pred(pair_id, sketch_id):
     ) < 2
 
 
+#: session-scoped cache, same contract as iforest._MAHA_CACHE: the greedy
+#: rounds are eager (localCheckpoint) so two suite queries consuming the
+#: pipeline (sketch_values_hashed, attention_routing_hashed) would pay
+#: them twice; the dense values relation is W×sketch_num — tiny.
+_PARTS_CACHE: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def hashed_sketch_parts(
     spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
 ) -> tuple[DataFrame, DataFrame]:
@@ -180,13 +187,17 @@ def hashed_sketch_parts(
     chosen greedy columns (sketch_id, pair_id)). `sketch_values_hashed`
     returns the first ordered; `attention_routing_hashed` (mining.change)
     consumes both."""
-    return _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
+    key = (id(spark), sf_dir, sketch_num)
+    if key not in _PARTS_CACHE:
+        vals, chosen = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
+        _PARTS_CACHE[key] = (vals.persist(), chosen)
+    return _PARTS_CACHE[key]
 
 
 def sketch_values_hashed(
     spark: SparkSession, sf_dir: str, sketch_num: int = SKETCH_NUM
 ) -> DataFrame:
-    vals, _ = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
+    vals, _ = hashed_sketch_parts(spark, sf_dir, sketch_num)
     return vals.orderBy("window_start", "sketch_id")
 
 
