@@ -138,3 +138,48 @@ def test_multi_degree_dominates_unique_degree(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+class TestCodecProperties:
+    @given(
+        data=st.binary(min_size=0, max_size=2048),
+        width=st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_roundtrip_any_width(self, data, width):
+        """encode→decode recovers the input bytes for every width,
+        including stride-padding widths (w*3 not divisible by 4)."""
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import decode_bmp, encode_bmp_gray24
+
+        bmp = encode_bmp_gray24(data, width=width, max_pixels=1024)
+        img, w, h = decode_bmp(bmp)
+        npix = min(len(data), 1024)
+        assert w == width and h == max(1, -(-npix // width))
+        flat = img[:, :, 0].reshape(-1)
+        assert np.array_equal(
+            flat[:npix], np.frombuffer(data[:npix], np.uint8)
+        )
+        assert (flat[npix:] == 0).all()
+
+    @given(
+        v=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=16,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_resize_nearest_preserves_dtype_and_bounds(self, v):
+        import numpy as np
+
+        from autoaudit_spark.llm.multimodal import resize_nearest
+
+        img = np.array(v * 8, dtype=np.float64).reshape(8, len(v))
+        out = resize_nearest(img, 4)
+        assert out.shape[0] <= 4 and out.shape[1] <= max(4, len(v) and 4)
+        # every output value exists in the input (nearest-neighbor, no blend)
+        assert np.isin(out.reshape(-1), img.reshape(-1)).all()
