@@ -77,6 +77,7 @@ def replay_events_chunked(
     n_chunks: int = 3,
     delay: str = "30 days",
     shuffle_seed: int | None = None,
+    duplicate: bool = False,
 ) -> DataFrame:
     """`events` as a MULTI-micro-batch source: the table split into
     `n_chunks` files replayed one per trigger (maxFilesPerTrigger=1),
@@ -131,6 +132,13 @@ def replay_events_chunked(
         dst = os.path.join(replay_dir, f"chunk{i}.parquet")
         shutil.move(os.path.join(part_dir, src), dst)
         os.utime(dst, (1_000_000 + i * 60, 1_000_000 + i * 60))
+        if duplicate:
+            # byte-identical copy delivered one trigger later — every row
+            # arrives twice ACROSS micro-batch boundaries, so dedup state
+            # must survive the batch barrier to remove it
+            dup = os.path.join(replay_dir, f"chunk{i}_dup.parquet")
+            shutil.copy(dst, dup)
+            os.utime(dup, (1_000_000 + i * 60 + 30, 1_000_000 + i * 60 + 30))
     sent_dir = os.path.join(stage, "sent")
     spark.createDataFrame(
         [(-1, -1, sentinel_ts, 0.0)], "user_id long, event_id long, ts timestamp, value double"
@@ -591,3 +599,34 @@ def q_stream_change_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.timestamp_micros("window_start").alias("window_start"), "z", "max_sketch"
     ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup — the training-pipeline ingest pattern: every row
+# is delivered TWICE across micro-batch boundaries (duplicate=True replay)
+# and `dropDuplicatesWithinWatermark` removes the second arrival through
+# the state store, with state EXPIRING once the watermark passes a key's
+# event time (bounded state — plain dropDuplicates would grow forever on
+# an unbounded stream). Oracle = the source rows exactly once.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM events ORDER BY event_id
+    """,
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup through the live streaming engine: chunked replay with
+    cross-batch duplicate injection → watermark → per-event_id dedup.
+    Every source row must come out exactly once."""
+    stream = replay_events_chunked(
+        spark, sf_dir, n_chunks=3, delay="30 days", duplicate=True
+    )
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .filter(F.col("event_id") >= 0)  # drop the replay sentinel row
+    )
+    out = drain(deduped, "stream_dedup_exact", output_mode="append")
+    return out.select("user_id", "event_id", "ts", "value").orderBy("event_id")
