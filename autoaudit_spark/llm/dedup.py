@@ -766,3 +766,59 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6: edit-distance near-dup — the dedup family member for SMALL edits
+# (typo-level) that shingle/minhash overweights and embedding-cosine
+# underweights. Levenshtein is identical integer math in both engines.
+# The Spark side prunes candidate pairs with the lossless length-band
+# bound |len(a)−len(b)| ≤ k (an edit distance is at least the length
+# difference) — at scale that plus a band join replaces the all-pairs
+# form the oracle uses on its bounded scope.
+# ---------------------------------------------------------------------------
+LEV_MAX = 20
+LEV_PREFIX = 80
+LEV_SCOPE = 200
+
+
+@query(
+    "near_dup_levenshtein",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, substring(text, 1, {LEV_PREFIX}) AS t
+        FROM documents WHERE doc_id < {LEV_SCOPE}
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= {LEV_MAX}
+    ORDER BY id1, id2
+    """,
+)
+def q_near_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: prefix-Levenshtein near-dup pairs ≤ {LEV_MAX} on the first
+    {LEV_SCOPE} docs. The length-band prune is applied BEFORE the O(n²)
+    kernel — lossless, and the join condition Catalyst sees stays an
+    inequality band rather than a full cross product of the corpus."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < LEV_SCOPE)
+        .select("doc_id", F.substring("text", 1, LEV_PREFIX).alias("t"))
+        .withColumn("tl", F.length("t"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.tl") - F.col("b.tl")) <= LEV_MAX),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= LEV_MAX)
+        .orderBy("id1", "id2")
+    )

@@ -756,3 +756,38 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact order-statistic aggregates: PERCENTILE_DISC picks an actual data
+# value (smallest value with cumulative distribution ≥ p — SQL standard),
+# so unlike interpolating percentiles there is no float arithmetic to
+# drift between engines. The scale path for a 100 TB table is
+# approx_percentile (covered rows-only by `approx_distinct_stats`); this
+# is the exact form both engines agree on bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of event value per type (p50/p90/p99)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_vp_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               COUNT(*) AS n
+        FROM _vp_events GROUP BY event_type ORDER BY event_type
+        """
+    )
