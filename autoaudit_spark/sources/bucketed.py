@@ -156,3 +156,55 @@ def q_bucketed_degree_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("account", "n_out", "tot_out", "n_in", "tot_in")
         .orderBy("account")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-format round-trips: the same relation through JSONL (the
+# ubiquitous ingest format — schema'd read, no inference at scale) and
+# ORC (the other columnar container Spark ships a native reader for).
+# The oracle is the parquet-view content: a format layer must never
+# change values. Timestamps ride as epoch micros in JSON (string-free,
+# timezone-proof) and natively in ORC.
+# ---------------------------------------------------------------------------
+_FMT_DIRS: dict[tuple[int, str, str], str] = {}
+
+
+def _events_via_format(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from .tables import load_table
+
+    key = (id(spark), sf_dir, fmt)
+    if key not in _FMT_DIRS:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id",
+            F.unix_micros("ts").alias("ts_us"), "event_type", "value",
+        )
+        path = tempfile.mkdtemp(prefix=f"events_{fmt}_")
+        ev.write.format(fmt).mode("overwrite").save(path)
+        _FMT_DIRS[key] = path
+    schema = "user_id long, event_id long, ts_us long, event_type string, value double"
+    return (
+        spark.read.format(fmt).schema(schema).load(_FMT_DIRS[key])
+        .select(
+            "user_id", "event_id",
+            F.timestamp_micros("ts_us").alias("ts"), "event_type", "value",
+        )
+    )
+
+
+_EVENTS_ORACLE = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events ORDER BY event_id
+    """
+
+
+@query("json_source_roundtrip", oracle=_EVENTS_ORACLE)
+def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: events → JSONL → schema'd read (no inference — at 100 TB
+    schema inference is a full extra scan) → identical relation."""
+    return _events_via_format(spark, sf_dir, "json").orderBy("event_id")
+
+
+@query("orc_source_roundtrip", oracle=_EVENTS_ORACLE)
+def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: events → ORC → native columnar read → identical relation."""
+    return _events_via_format(spark, sf_dir, "orc").orderBy("event_id")
