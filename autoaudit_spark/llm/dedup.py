@@ -798,21 +798,38 @@ LEV_SCOPE = 200
 )
 def q_near_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: prefix-Levenshtein near-dup pairs ≤ {LEV_MAX} on the first
-    {LEV_SCOPE} docs. The length-band prune is applied BEFORE the O(n²)
-    kernel — lossless, and the join condition Catalyst sees stays an
-    inequality band rather than a full cross product of the corpus."""
+    {LEV_SCOPE} docs. The lossless length-band bound
+    |len(a)−len(b)| ≤ LEV_MAX is realised as an EQUI-join on a length
+    bucket of width LEV_MAX: any in-band pair differs by ≤ 1 bucket, so
+    exploding one side to buckets {b−1, b, b+1} and hash-joining on the
+    bucket covers every band pair exactly once (the right side holds one
+    bucket per row; the explode values are distinct). Catalyst plans a
+    hash/sort-merge join — never a BroadcastNestedLoopJoin — so at 100 TB
+    only same-or-adjacent-length-bucket rows ever meet; the abs() band and
+    the Levenshtein threshold remain as post-join predicates."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < LEV_SCOPE)
         .select("doc_id", F.substring("text", 1, LEV_PREFIX).alias("t"))
         .withColumn("tl", F.length("t"))
+        .withColumn("bkt", F.floor(F.col("tl") / LEV_MAX))
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = (
+        d.withColumn(
+            "jbkt",
+            F.explode(
+                F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+            ),
+        )
+        .drop("bkt")
+        .alias("a")
+    )
+    b = d.withColumnRenamed("bkt", "jbkt").alias("b")
     return (
-        a.join(
-            b,
+        a.join(b, F.col("a.jbkt") == F.col("b.jbkt"))
+        .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.tl") - F.col("b.tl")) <= LEV_MAX),
+            & (F.abs(F.col("a.tl") - F.col("b.tl")) <= LEV_MAX)
         )
         .select(
             F.col("a.doc_id").alias("id1"),

@@ -20,6 +20,8 @@ A deterministic alternate scorer with identical operator shape —
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -254,17 +256,20 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sketch_values_hashed) and the T3 skeleton all consume the same
 #: (window, account, pair, score) relation; materializing it once per
 #: (session, sf_dir) removes the repeated ~10 s feature→score pipeline
-#: (round-2 verdict, "Next round" #4). Keyed by id(spark) — sessions
-#: live for the whole process here; worst case after a session teardown
-#: is a harmless stale entry that a new session id never hits.
-_MAHA_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: (round-2 verdict, "Next round" #4). Keyed WEAKLY on the session
+#: object (not id(spark) — CPython id reuse could alias a new session to
+#: a dead one's persisted relations); entries die with the session.
+_MAHA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _MAHA_CACHE.get((id(spark), sf_dir))
+    per_session = _MAHA_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
     if df is None:
         df = mahalanobis_scores(_points(spark, sf_dir)).persist()
-        _MAHA_CACHE[(id(spark), sf_dir)] = df
+        per_session[sf_dir] = df
     return df
 
 

@@ -20,6 +20,8 @@ reference's own data scale, routine at small n).
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -176,7 +178,9 @@ def _cand_pred(pair_id, sketch_id):
 #: rounds are eager (localCheckpoint) so two suite queries consuming the
 #: pipeline (sketch_values_hashed, attention_routing_hashed) would pay
 #: them twice; the dense values relation is W×sketch_num — tiny.
-_PARTS_CACHE: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
+_PARTS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, int], tuple[DataFrame, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def hashed_sketch_parts(
@@ -186,12 +190,13 @@ def hashed_sketch_parts(
     (dense sketch values (window_start, sketch_id int, value double),
     chosen greedy columns (sketch_id, pair_id)). `sketch_values_hashed`
     returns the first ordered; `attention_routing_hashed` (mining.change)
-    consumes both."""
-    key = (id(spark), sf_dir, sketch_num)
-    if key not in _PARTS_CACHE:
+    consumes both. Weak-keyed on the session (see iforest._MAHA_CACHE)."""
+    per_session = _PARTS_CACHE.setdefault(spark, {})
+    key = (sf_dir, sketch_num)
+    if key not in per_session:
         vals, chosen = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
-        _PARTS_CACHE[key] = (vals.persist(), chosen)
-    return _PARTS_CACHE[key]
+        per_session[key] = (vals.persist(), chosen)
+    return per_session[key]
 
 
 def sketch_values_hashed(

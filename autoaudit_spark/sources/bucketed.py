@@ -22,8 +22,10 @@ the engine-level capability a 100 TB deployment swaps in.
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,8 +35,14 @@ from .tables import EDGES_SQL, edges
 
 N_BUCKETS = 8
 
-#: (session id, sf_dir) → catalog table-name pair already written
-_WRITTEN: dict[tuple[int, str], tuple[str, str]] = {}
+# Session-scoped caches keyed on the SparkSession OBJECT (weakly), not
+# id(spark): CPython can reuse an id after GC, which would alias a new
+# session to a dead one's catalog tables / temp paths. WeakKeyDictionary
+# entries die with the session instead.
+_WRITTEN: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_TAG = itertools.count()
 
 
 def bucketed_degree_tables(
@@ -43,19 +51,26 @@ def bucketed_degree_tables(
     """Write (once per session+sf) and read back the two co-bucketed
     per-account aggregate tables. `sortBy` on the bucket key additionally
     lets the merge join skip its sorts on a real cluster."""
-    key = (id(spark), sf_dir)
-    if key not in _WRITTEN:
+    per_session = _WRITTEN.setdefault(spark, {})
+    if sf_dir not in per_session:
         e = edges(spark, sf_dir)
-        tag = abs(hash(key)) % 10**8
+        tag = next(_TAG)
         names = (f"acct_out_{tag}", f"acct_in_{tag}")
+        # DECIMAL(18,2) before SUM on BOTH engines: float summation order
+        # differs between Spark partial aggregation and DuckDB, so a raw
+        # double sum can land either side of a 2dp rounding boundary.
         rels = (
             e.groupBy(F.col("src").alias("account")).agg(
                 F.count("*").alias("n_out"),
-                F.round(F.sum("weight"), 2).alias("tot_out"),
+                F.round(F.sum(F.col("weight").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("tot_out"),
             ),
             e.groupBy(F.col("dst").alias("account")).agg(
                 F.count("*").alias("n_in"),
-                F.round(F.sum("weight"), 2).alias("tot_in"),
+                F.round(F.sum(F.col("weight").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("tot_in"),
             ),
         )
         base = tempfile.mkdtemp(prefix="bucketed_")
@@ -69,12 +84,14 @@ def bucketed_degree_tables(
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-        _WRITTEN[key] = names
-    out_name, in_name = _WRITTEN[key]
+        per_session[sf_dir] = names
+    out_name, in_name = per_session[sf_dir]
     return spark.table(out_name), spark.table(in_name)
 
 
-_PARTITIONED: dict[tuple[int, str], str] = {}
+_PARTITIONED: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
@@ -82,8 +99,8 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     HIVE-PARTITIONED by event_type — the layout that lets a typed query
     read only its directories. At 100 TB, partition pruning is the
     difference between scanning one event type and scanning the table."""
-    key = (id(spark), sf_dir)
-    if key not in _PARTITIONED:
+    per_session = _PARTITIONED.setdefault(spark, {})
+    if sf_dir not in per_session:
         from .tables import load_table
 
         path = tempfile.mkdtemp(prefix="events_by_type_")
@@ -93,8 +110,8 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .parquet(path)
         )
-        _PARTITIONED[key] = path
-    return _PARTITIONED[key]
+        per_session[sf_dir] = path
+    return per_session[sf_dir]
 
 
 @query(
@@ -132,10 +149,12 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH edges AS ({EDGES_SQL}),
     o AS (SELECT src AS account, COUNT(*) AS n_out,
-                 ROUND(SUM(weight), 2) AS tot_out
+                 CAST(ROUND(SUM(CAST(weight AS DECIMAL(18,2))), 2) AS DOUBLE)
+                     AS tot_out
           FROM edges GROUP BY src),
     i AS (SELECT dst AS account, COUNT(*) AS n_in,
-                 ROUND(SUM(weight), 2) AS tot_in
+                 CAST(ROUND(SUM(CAST(weight AS DECIMAL(18,2))), 2) AS DOUBLE)
+                     AS tot_in
           FROM edges GROUP BY dst)
     SELECT o.account, o.n_out, o.tot_out, i.n_in, i.tot_in
     FROM o JOIN i ON o.account = i.account
@@ -166,24 +185,27 @@ def q_bucketed_degree_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change values. Timestamps ride as epoch micros in JSON (string-free,
 # timezone-proof) and natively in ORC.
 # ---------------------------------------------------------------------------
-_FMT_DIRS: dict[tuple[int, str, str], str] = {}
+_FMT_DIRS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _events_via_format(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     from .tables import load_table
 
-    key = (id(spark), sf_dir, fmt)
-    if key not in _FMT_DIRS:
+    per_session = _FMT_DIRS.setdefault(spark, {})
+    key = (sf_dir, fmt)
+    if key not in per_session:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "event_id",
             F.unix_micros("ts").alias("ts_us"), "event_type", "value",
         )
         path = tempfile.mkdtemp(prefix=f"events_{fmt}_")
         ev.write.format(fmt).mode("overwrite").save(path)
-        _FMT_DIRS[key] = path
+        per_session[key] = path
     schema = "user_id long, event_id long, ts_us long, event_type string, value double"
     return (
-        spark.read.format(fmt).schema(schema).load(_FMT_DIRS[key])
+        spark.read.format(fmt).schema(schema).load(per_session[key])
         .select(
             "user_id", "event_id",
             F.timestamp_micros("ts_us").alias("ts"), "event_type", "value",

@@ -492,24 +492,31 @@ def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stateful_change_scores(
     sketches: DataFrame, n_sketch: int, back_ws: int = 4
 ) -> DataFrame:
-    """`applyInPandasWithState` over (window_start, sketch_id, value):
-    state = the trailing sketch triples not yet scored; as soon as a
+    """`applyInPandasWithState` over (window_start, sketch_id, value),
+    KEYED BY `stream_id`: each independent sketch stream carries its own
+    state row and scores its own windows (a single shared key would
+    interleave unrelated streams' histories — NOTES r3 limitation 1). An
+    input without a `stream_id` column is treated as one stream (id 0).
+    State = the trailing sketch triples not yet scored; as soon as a
     window's sketch column is complete AND it has back_ws complete
     predecessors, its change score is emitted (same math as
     mining.change.change_scores_from_matrix — SVD of the trailing
     history, cosine distance, argmax ratio).
 
-    State is bounded: completed-and-scored windows older than the deepest
-    lookback are pruned, so the store holds O(back_ws · n_sketch) floats
-    per key regardless of stream length."""
+    State is bounded PER KEY: completed-and-scored windows older than the
+    deepest lookback are pruned, so the store holds O(back_ws · n_sketch)
+    floats per stream regardless of stream length."""
     from ..mining.change import change_scores_from_matrix
 
-    out_schema = "window_start long, z double, max_sketch integer"
+    out_schema = (
+        "stream_id long, window_start long, z double, max_sketch integer"
+    )
     state_schema = (
         "ws array<long>, sid array<integer>, val array<double>, last_ws long"
     )
 
     def score(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        stream_id = int(key[0])
         ws, sid, val, last_ws = (
             state.get if state.exists else ([], [], [], -(1 << 62))
         )
@@ -552,18 +559,19 @@ def stateful_change_scores(
 
         state.update((ws, sid, val, last_ws))
         if rows:
-            yield pd.DataFrame(rows, columns=["window_start", "z", "max_sketch"])
+            yield pd.DataFrame(
+                [(stream_id, w, z, mx) for w, z, mx in rows],
+                columns=["stream_id", "window_start", "z", "max_sketch"],
+            )
 
-    return (
-        sketches.withColumn("k", F.lit(0))
-        .groupBy("k")
-        .applyInPandasWithState(
-            score,
-            StructType.fromDDL(out_schema),
-            StructType.fromDDL(state_schema),
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    if "stream_id" not in sketches.columns:
+        sketches = sketches.withColumn("stream_id", F.lit(0).cast("long"))
+    return sketches.groupBy("stream_id").applyInPandasWithState(
+        score,
+        StructType.fromDDL(out_schema),
+        StructType.fromDDL(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 
@@ -596,6 +604,7 @@ def q_stream_change_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_change_scores",
         output_mode="append",
     )
+    # single-stream input → one state key (stream_id 0); drop it
     return out.select(
         F.timestamp_micros("window_start").alias("window_start"), "z", "max_sketch"
     ).orderBy("window_start")

@@ -54,24 +54,30 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round3_rotation_in_window():
-    """Round-3 rotation (r2 verdict 'Next round' #2): every query that had
-    never received a driver row — led by pagerank (a round-1 FAIL whose
-    fix had only local evidence) — must now sit inside the checked window,
-    along with the new M3-routing oracle and the r2 must-stay set."""
+def test_round4_rotation_in_window():
+    """Round-4 rotation (r3 verdict 'Next round' #1): the 11 queries that
+    had never received a driver row move in, the stable-green r1/r2 pool
+    cycles back in, and every query whose code changed this round stays
+    in-window to re-gate."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # never driver-checked before round 3
-        "pagerank", "near_dup_minhash_hashed", "near_dup_simhash_hashed",
-        "dedup_retention", "corpus_filter", "doc_fingerprint_hashed",
-        "media_features_hashed", "media_frame_sample", "ann_lsh_topk",
-        "tfidf_top_terms", "chunk_documents", "sample_stratified",
-        "topk_per_group", "asof_join_within", "asof_join_nearest",
-        # new round-3 oracles
-        "sketch_change_cosine", "attention_routing_hashed",
-        "media_pipeline_real",
-        # high-value keeps
-        "user_sessions", "stream_value_milestones", "sketch_values_hashed",
+        # never driver-checked before round 4
+        "two_hop_salted", "bucketed_degree_join", "partition_pruned_scan",
+        "ann_int8_topk", "stream_dedup_exact", "value_percentiles",
+        "near_dup_levenshtein", "text_normalize", "corpus_token_budget",
+        "json_source_roundtrip", "orc_source_roundtrip",
+        # stable-green rotation pool (last driver row r1/r2)
+        "filter_project", "scalar_math", "log_bin_means", "global_argmax",
+        "union_dedup", "node_universe", "heavy_pairs", "degree_counts",
+        "weight_stats", "json_props_extract", "window_event_stats",
+        "account_features", "asof_join_attribution", "window_topk_accounts",
+        "connected_components", "profit_by_nation_year", "rollup_orders",
+        "revenue_by_nation", "date_functions", "intersect_except_users",
+        "cube_events", "salted_user_totals", "ann_cosine_topk",
+        # re-gate this round's code changes
+        "pagerank", "sketch_values_hashed", "attention_routing_hashed",
+        "anomaly_scores_mahalanobis", "media_pipeline_real",
+        "near_dup_minhash_hashed",
         "two_hop_candidates",
     ]
     missing = [n for n in must_have if n not in q]
@@ -85,12 +91,17 @@ def test_rotated_out_queries_still_registered():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     rotated_out = [
-        "filter_project", "scalar_math", "log_bin_means", "global_argmax",
-        "union_dedup", "node_universe", "heavy_pairs", "degree_counts",
-        "weight_stats", "json_props_extract", "window_event_stats",
-        "account_features", "asof_join_attribution", "window_topk_accounts",
-        "connected_components", "ann_cosine_topk", "rollup_orders",
-        "profit_by_nation_year",
+        "near_dup_simhash_hashed", "doc_fingerprint_hashed", "ann_lsh_topk",
+        "tfidf_top_terms", "chunk_documents", "sample_stratified",
+        "topk_per_group", "asof_join_within", "asof_join_nearest",
+        "dedup_exact", "near_dup_jaccard", "near_dup_embedding",
+        "ann_ivf_topk", "token_stats", "term_frequencies", "quality_scores",
+        "lang_id", "multimodal_assemble", "stream_sketch_sums",
+        "stream_value_milestones", "user_sessions", "background_edges",
+        "inout_zero_fill", "pricing_summary", "sink_accounts",
+        "direction_mapped_edges", "windowed_features", "feature_pairs",
+        "iforest_points", "trailing_window_avg", "window_alignment",
+        "range_join_event_context", "powerlaw_fit", "focus_plot_sum",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

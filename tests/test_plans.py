@@ -210,6 +210,19 @@ class TestRound3Plans:
         below_join = "\n".join(tree.splitlines()[join_line:])
         assert "Exchange" not in below_join, below_join
 
+    def test_levenshtein_band_join_is_equi_join(self, spark, q):
+        """The length-band prune must reach Catalyst as an equi-key
+        (bucket of width LEV_MAX), not an inequality-only condition — an
+        inequality band plans a BroadcastNestedLoopJoin that still
+        evaluates every pair, which is a scale-killer unbounded."""
+        p = plan(q["near_dup_levenshtein"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p
+        assert "jbkt" in p  # the bucket key is the join key
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or (
+            "ShuffledHashJoin" in p
+        ), p
+
     def test_partitioned_write_prunes_directories(self, spark, q):
         """event_type IN (...) against the partitionBy(event_type) layout
         must prune at the DIRECTORY level (PartitionFilters), not filter

@@ -68,6 +68,91 @@ class TestStatefulChangeScores:
             assert stream[w][0] == pytest.approx(z, rel=1e-9)
             assert stream[w][1] == mx
 
+    def test_two_interleaved_streams_score_independently(self, spark, tmp_path):
+        """State is keyed by stream_id: two sketch streams with DIFFERENT
+        histories, interleaved across micro-batches, must each reproduce
+        their own batch scores (a shared key would merge the histories
+        and corrupt both), and the state store must hold exactly one
+        bounded row per stream."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+        from autoaudit_spark.mining.change import change_scores_from_matrix
+        from autoaudit_spark.streaming.windowed import stateful_change_scores
+
+        n_sketch, back_ws, n_win = 4, 4, 12
+        windows = [w * 1_000_000 for w in range(n_win)]
+
+        def mat(stream):
+            m = np.zeros((n_win, n_sketch))
+            for i in range(n_win):
+                for s in range(n_sketch):
+                    m[i, s] = float((i * 7 + s * 3 + stream * 5) % 11) + 1.0
+            return m
+
+        mats = {0: mat(0), 1: mat(1)}
+        expected = {
+            sid: change_scores_from_matrix(windows, m, back_ws)
+            for sid, m in mats.items()
+        }
+        # the two histories genuinely differ — merging them would show
+        assert expected[0] != expected[1]
+
+        rows = [
+            (sid, windows[i], s, float(mats[sid][i, s]))
+            for sid in (0, 1)
+            for i in range(n_win)
+            for s in range(n_sketch)
+        ]
+        # 3 micro-batches, each carrying a window range of BOTH streams
+        stream_dir = tmp_path / "sketches"
+        stream_dir.mkdir()
+        for b, lo, hi in ((0, 0, 4), (1, 4, 8), (2, 8, 12)):
+            chunk = [
+                r for r in rows if windows[lo] <= r[1] < windows[hi - 1] + 1
+            ]
+            tmp = tmp_path / f"b{b}"
+            spark.createDataFrame(
+                chunk,
+                "stream_id long, window_start long, sketch_id int, value double",
+            ).coalesce(1).write.parquet(str(tmp))
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dest = stream_dir / f"{b}.parquet"
+            shutil.copy(tmp / part, dest)
+            os.utime(dest, (1_700_000_000 + b * 100,) * 2)
+
+        sdf = (
+            spark.readStream.schema(
+                "stream_id long, window_start long, sketch_id int, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+        scored = stateful_change_scores(sdf, n_sketch=n_sketch, back_ws=back_ws)
+        ck = tempfile.mkdtemp(prefix="ckpt_two_streams_")
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("two_stream_scores")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_rows == 2  # one bounded state row per stream key
+
+        got: dict[int, dict[int, tuple[float, int]]] = {0: {}, 1: {}}
+        for r in spark.table("two_stream_scores").collect():
+            got[r["stream_id"]][r["window_start"]] = (r["z"], r["max_sketch"])
+        for sid, exp in expected.items():
+            assert set(got[sid]) == {w for w, _, _ in exp}
+            for w, z, mx in exp:
+                assert got[sid][w][0] == pytest.approx(z, rel=1e-9)
+                assert got[sid][w][1] == mx
+
 
 class TestWatermarkLateData:
     def test_very_late_rows_dropped_in_append_mode(self, spark, tmp_path):
