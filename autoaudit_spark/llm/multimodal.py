@@ -156,11 +156,30 @@ def decode_wav(payload: bytes) -> tuple[int, int, str]:
         return w.getnframes(), w.getnchannels(), "wav"
 
 
+def _decode_pil(payload: bytes) -> tuple[int, int, str] | None:
+    """Optional-dependency kernel for compressed formats (JPEG/PNG/GIF/…):
+    decode via Pillow when it is importable, None when it isn't. Runs
+    INSIDE the same mapInPandas Arrow batch as the native kernels — on a
+    cluster image with Pillow installed the compressed path lights up
+    with zero plumbing changes."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, (im.format or "unknown").lower()
+    except Exception:
+        return None  # undecodable bytes → caller's clear raise-path
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int, str]:
-    """REAL decode kernel for the formats decodable without external
-    codecs: BMP (24-bit uncompressed), PGM/PPM (binary netpbm), PCM WAV.
-    Compressed formats still need PIL/ffmpeg and raise with a clear
-    message — wire a codec on a cluster that has the libs."""
+    """REAL decode kernel: BMP (24-bit uncompressed), PGM/PPM (binary
+    netpbm), PCM WAV natively; JPEG/PNG/GIF via Pillow when importable
+    (`_decode_pil`). Compressed payloads without Pillow raise with a
+    clear message — wire a codec on a cluster that has the libs."""
     magic = bytes(payload[:8])
     if magic[:2] == b"BM":
         _, w, h = decode_bmp(payload)
@@ -170,6 +189,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         return w, h, "pgm" if magic[:2] == b"P5" else "ppm"
     if magic[:4] == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
         return decode_wav(payload)
+    decoded = _decode_pil(payload)
+    if decoded is not None:
+        return decoded
     known = {
         b"\xff\xd8": "jpeg", b"\x89PN": "png", b"GIF8": "gif",
     }

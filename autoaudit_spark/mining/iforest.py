@@ -93,6 +93,14 @@ def _forest_paths(X: np.ndarray, idx: np.ndarray, rng: np.random.RandomState,
         for k in range(d):
             np.minimum.at(lo[:, k], g_s, Xs[:, k])
             np.maximum.at(hi[:, k], g_s, Xs[:, k])
+        # empty slots of the uniform id space keep (±inf) extents; zero
+        # them explicitly — they are never routed to, but inf−inf in the
+        # split-point arithmetic below would emit NaN RuntimeWarnings
+        # that could mask a real regression
+        empty = sizes == 0
+        if empty.any():
+            lo[empty] = 0.0
+            hi[empty] = 0.0
         splittable = (hi > lo).any(axis=1)
         is_leaf = (sizes <= 1) | (depth == depth_limit) | ~splittable
 
@@ -276,7 +284,14 @@ def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("anomaly_scores_iforest")
 def q_anomaly_scores_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: seeded NumPy Isolation Forest per (window, pair) — rows-only
-    check (nondeterministic-by-algorithm; semantics pinned by unit tests)."""
+    check (nondeterministic-by-algorithm; semantics pinned by unit tests).
+
+    Score-stream note: the round-3 forest-batched vectorization changed
+    the RNG consumption order vs the old per-tree loop (subsample draws
+    up-front; split draws sized over the uniform node-id space), so for
+    the same seed the emitted scores DIFFER from rounds 1–2. That is safe
+    precisely because this query is rows-only checked — never value-hash
+    compare its output against pre-r3 captures."""
     return anomaly_scores(_points(spark, sf_dir)).orderBy(
         "window_start", "pair_id", "account"
     )

@@ -160,6 +160,12 @@ def q_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (s_rate .995), 20% candidate columns (d_rate .8).
 _HSEED = 7
 
+#: optional session conf: shuffle-partition count for ONLY the greedy
+#: selection rounds of the hashed sketch pipeline (their relations are
+#: parameter-sized — sketches×candidates — so task overhead, not data,
+#: dominates at bench SFs). Unset ⇒ the session's scale-correct setting.
+GREEDY_PARTITIONS_CONF = "spark.autoaudit.sketch.greedyShufflePartitions"
+
 
 def _member_pred(account, sketch_id):
     return (
@@ -282,6 +288,19 @@ def _sketch_values_hashed_impl(
     # `sums` relation; each round's pick is a window-filter argmax. Every
     # intermediate relation is O(sketches×cands) or O(members) — tiny at
     # any data scale (the data-sized inputs, sums/sc6, are persisted).
+    #
+    # The greedy rounds' reduce keys are members×sums-sized: at the bench
+    # SFs the session's shuffle-partition count dominates their wall time
+    # (3 sequential eager jobs × per-partition task overhead), while on a
+    # real cluster the scale-correct session setting is the right one.
+    # GREEDY_PARTITIONS_CONF (unset by default = session setting) lets a
+    # small-SF harness shrink ONLY these rounds; result values are
+    # partition-count-independent by construction (DECIMAL sums are
+    # order-free, picks are argmax over exact values).
+    gp = spark.conf.get(GREEDY_PARTITIONS_CONF, None)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if gp is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", gp)
     sums_cp = sums.select(
         "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
     )
@@ -328,6 +347,10 @@ def _sketch_values_hashed_impl(
         remaining = remaining.join(
             pick, ["sketch_id", "pair_id"], "left_anti"
         )
+    if gp is not None:
+        # restore BEFORE the data-sized vals aggregation below — only the
+        # parameter-sized greedy rounds may run narrow
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     chosen = F.broadcast(chosen)
 

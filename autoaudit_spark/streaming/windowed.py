@@ -71,6 +71,33 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None
     return normalize_event_ts(reader.parquet(sf_dir))
 
 
+#: units Spark's CalendarInterval accepts that map to a FIXED duration —
+#: month/year are calendar-relative and deliberately absent (raise)
+_DELAY_UNITS = {
+    "microsecond": datetime.timedelta(microseconds=1),
+    "millisecond": datetime.timedelta(milliseconds=1),
+    "second": datetime.timedelta(seconds=1),
+    "minute": datetime.timedelta(minutes=1),
+    "hour": datetime.timedelta(hours=1),
+    "day": datetime.timedelta(days=1),
+    "week": datetime.timedelta(weeks=1),
+}
+
+
+def _parse_delay(delay: str) -> datetime.timedelta:
+    """Watermark-delay string → timedelta, raising on anything it does
+    not understand (a silent default would decouple the replay sentinel
+    from the real watermark and strand buffered rows)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]+?)s?\s*", delay.lower())
+    if m and m.group(2) in _DELAY_UNITS:
+        return int(m.group(1)) * _DELAY_UNITS[m.group(2)]
+    raise ValueError(
+        f"unsupported watermark delay {delay!r}: expected '<n> "
+        f"{'/'.join(_DELAY_UNITS)}[s]' (calendar units like month are "
+        "not fixed-length and cannot bound the replay sentinel)"
+    )
+
+
 def replay_events_chunked(
     spark: SparkSession,
     sf_dir: str,
@@ -115,10 +142,11 @@ def replay_events_chunked(
 
     replay_dir = tempfile.mkdtemp(prefix="events_replay_")
     # sentinel ts = max + 2×delay + 1d so the final watermark
-    # (sentinel − delay) clears every real row by a full delay margin
-    m = re.match(r"(\d+)\s*day", delay)
-    delay_days = int(m.group(1)) if m else 30
-    sentinel_ts = hi + datetime.timedelta(days=2 * delay_days + 1)
+    # (sentinel − delay) clears every real row by a full delay margin.
+    # The sentinel margin MUST be coupled to the actual watermark delay:
+    # an unrecognized unit silently under-margined would leave buffered
+    # tails undrained at replay end, so anything unparseable raises.
+    sentinel_ts = hi + 2 * _parse_delay(delay) + datetime.timedelta(days=1)
 
     stage = tempfile.mkdtemp(prefix="events_replay_stage_")
     for i in range(n_chunks):

@@ -446,6 +446,33 @@ class TestRealCodecs:
         with _pytest.raises(NotImplementedError, match="jpeg"):
             decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
+    def test_png_decodes_with_pil_or_raises_cleanly(self):
+        """Optional-Pillow path: a VALID 1×1 PNG decodes when Pillow is
+        importable; without it the same payload raises the documented
+        NotImplementedError. The test is green either way, so it keeps
+        passing on a cluster image that ships Pillow."""
+        import base64
+
+        import pytest as _pytest
+
+        from autoaudit_spark.llm.multimodal import decode_image_real
+
+        png = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m"
+            "P8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+        )
+        try:
+            import PIL  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        if has_pil:
+            assert decode_image_real(png) == (1, 1, "png")
+        else:
+            with _pytest.raises(NotImplementedError, match="png"):
+                decode_image_real(png)
+
     def test_resize_nearest_known_mapping(self):
         import numpy as np
 

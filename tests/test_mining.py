@@ -39,6 +39,20 @@ class TestIForest:
         s2 = iforest_scores(np.array([[0.0, 0.0], [1.0, 1.0]]), seed=0)
         assert len(s2) == 2
 
+    def test_degenerate_extents_warning_free(self):
+        """Heavily tied data drives splits whose children are empty or
+        unsplittable; the ±inf placeholder extents of empty node slots
+        must be guarded (not left to emit inf−inf NaN RuntimeWarnings
+        that would mask a real numeric regression)."""
+        import warnings
+
+        X = np.zeros((120, 2))
+        X[:5] = np.random.RandomState(9).normal(0, 1, (5, 2))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            s = iforest_scores(X, seed=4)
+        assert np.all(np.isfinite(s))
+
 
 class TestSketch:
     def test_permutation_deterministic_and_shaped(self):

@@ -154,6 +154,25 @@ class TestStatefulChangeScores:
                 assert got[sid][w][1] == mx
 
 
+class TestDelayParsing:
+    def test_known_units_and_raise_on_calendar(self):
+        """The replay sentinel must be coupled to the real watermark
+        delay: fixed-duration units parse, calendar units raise (a
+        silent 30-day default would strand buffered tails for larger
+        delays in other units)."""
+        import datetime
+
+        from autoaudit_spark.streaming.windowed import _parse_delay
+
+        assert _parse_delay("30 days") == datetime.timedelta(days=30)
+        assert _parse_delay("1 day") == datetime.timedelta(days=1)
+        assert _parse_delay("2 weeks") == datetime.timedelta(weeks=2)
+        assert _parse_delay("90 minutes") == datetime.timedelta(minutes=90)
+        for bad in ("2 months", "1 year", "fortnight", "10"):
+            with pytest.raises(ValueError):
+                _parse_delay(bad)
+
+
 class TestWatermarkLateData:
     def test_very_late_rows_dropped_in_append_mode(self, spark, tmp_path):
         """T2: multi-batch replay (maxFilesPerTrigger=1). Batch 0 spans
