@@ -608,3 +608,76 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .orderBy(F.col("quality").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The 100 TB form of the token-budget cap (NOTES r3 §6): instead of a
+# GLOBAL running sum over every document (one total-order window — the
+# one thing that cannot scale), aggregate tokens per quality level,
+# cumulate over the LEVELS (a parameter-sized relation: quality is a
+# 6dp-rounded score with a handful of distinct values; a real pipeline
+# buckets a continuous score the same way), and keep whole levels while
+# the cumulative total fits. Two aggregation passes + a broadcast
+# semi-join — no global sort of the corpus, same selection semantics at
+# whole-level granularity (the boundary level is excluded, documented).
+# ---------------------------------------------------------------------------
+QUANTILE_BUDGET = 27_000
+
+
+@query(
+    "corpus_budget_quantile",
+    oracle=f"""
+    WITH {QUALITY_CTE},
+    leveled AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(ROUND(quality * 1000, 0) AS BIGINT) AS qb
+        FROM quality
+    ),
+    levels AS (
+        SELECT qb, CAST(SUM(n_tokens) AS BIGINT) AS level_tokens
+        FROM leveled GROUP BY qb
+    ),
+    kept AS (
+        SELECT qb FROM (
+            SELECT qb, CAST(SUM(level_tokens) OVER (ORDER BY qb DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM levels
+        ) WHERE cum <= {QUANTILE_BUDGET}
+    )
+    SELECT l.doc_id, l.n_tokens, l.quality
+    FROM leveled l JOIN kept USING (qb)
+    ORDER BY l.quality DESC, l.doc_id
+    """,
+)
+def q_corpus_budget_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold token-budget cap, scale path: per-level token
+    sums (one shuffle over data), cumulative over the tiny level relation
+    (window over ≤ #levels rows — parameter-sized, not data-sized),
+    broadcast semi-join back. Selects whole quality levels while the
+    running total fits QUANTILE_BUDGET; `corpus_token_budget` is the
+    exact-boundary twin this replaces at 100 TB."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    leveled = quality_metrics(docs).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.round(F.col("quality") * 1000, 0).cast("long").alias("qb"),
+    )
+    levels = leveled.groupBy("qb").agg(
+        F.sum("n_tokens").cast("long").alias("level_tokens")
+    )
+    w = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kept = (
+        levels.withColumn("cum", F.sum("level_tokens").over(w).cast("long"))
+        .filter(F.col("cum") <= QUANTILE_BUDGET)
+        .select("qb")
+    )
+    return (
+        leveled.join(F.broadcast(kept), "qb")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy(F.col("quality").desc(), "doc_id")
+    )

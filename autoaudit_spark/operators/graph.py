@@ -299,6 +299,50 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(adjacency(spark, sf_dir)).orderBy("node")
 
 
+@query(
+    "triangle_count",
+    oracle=f"""
+    {_ADJ_CTE},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the undirected simple graph: canonical
+    a<b edges, each triangle a<b<c counted exactly once via two equi-
+    joins ((a,b)⋈(b,c)⋈(a,c)) — the standard distributed formulation.
+
+    Scale posture: the canonical a<b orientation already bounds wedge
+    generation by the LOWER endpoint's canonical out-degree; the classic
+    refinement at 100 TB is degree-ordering (orient each edge from the
+    lower-degree endpoint, so every wedge pivot is a low-degree vertex —
+    O(E^1.5) work regardless of hubs) — same two equi-joins, one extra
+    degree broadcast, applied when a degree profile shows hubs."""
+    adj = adjacency(spark, sf_dir)
+    und = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
     """Power iteration as repeated join+aggregate: rank_{t+1}(v) =
     (1−d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling_mass/N).

@@ -264,3 +264,96 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered multi-stage conversion (signup → view →
+# click → purchase, each stage strictly after the previous). The classic
+# product-analytics query; neither the reference nor plain SQL windows
+# express it directly (stage k's filter depends on stage k−1's result).
+# ---------------------------------------------------------------------------
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3, s4.t4,
+           CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4
+                     WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: t_k = earliest stage-k event STRICTLY after
+    t_{k−1}; `reached` = deepest consecutive stage. ONE shuffle: events
+    group to a per-user ts-sorted array, and a single JVM-side
+    `aggregate` (higher-order fold) walks it carrying the (t1..t4) state
+    — no per-stage join cascade, no Python. The oracle spells the
+    equivalent sequential-min CTE chain (stage k = MIN(ts) > t_{k−1},
+    which the in-order fold computes by construction; strict > makes tie
+    order irrelevant).
+
+    Scale posture: the per-user array is bounded by one user's event
+    count. For pathological single-key actors at 100 TB, pre-aggregate
+    to (user, stage, day, min_ts) first — same fold over a bounded
+    array; the 4-stage join cascade (the oracle's shape) is the
+    fallback, at 4 shuffles instead of 1."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(1, 5)]
+    )
+
+    def step(s, e):
+        def stage(prev_t, cur_t, name):
+            cond = cur_t.isNull() & (e["event_type"] == name)
+            if prev_t is not None:
+                cond = cond & prev_t.isNotNull() & (e["ts"] > prev_t)
+            return F.when(cond, e["ts"]).otherwise(cur_t)
+
+        t1 = stage(None, s["t1"], "signup")
+        # conditions read s[...] — the PRE-step state — so an element
+        # never satisfies two stages at once
+        t2 = stage(s["t1"], s["t2"], "view")
+        t3 = stage(s["t2"], s["t3"], "click")
+        t4 = stage(s["t3"], s["t4"], "purchase")
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    folded = per_user.select(
+        "user_id", F.aggregate("evs", init, step).alias("f")
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.t1").alias("t1"),
+        F.col("f.t2").alias("t2"),
+        F.col("f.t3").alias("t3"),
+        F.col("f.t4").alias("t4"),
+        F.when(F.col("f.t4").isNotNull(), 4)
+        .when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .when(F.col("f.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reached"),
+    ).orderBy("user_id")

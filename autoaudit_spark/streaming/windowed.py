@@ -105,6 +105,7 @@ def replay_events_chunked(
     delay: str = "30 days",
     shuffle_seed: int | None = None,
     duplicate: bool = False,
+    include_type: bool = False,
 ) -> DataFrame:
     """`events` as a MULTI-micro-batch source: the table split into
     `n_chunks` files replayed one per trigger (maxFilesPerTrigger=1),
@@ -123,9 +124,10 @@ def replay_events_chunked(
 
     from ..sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    cols = ["user_id", "event_id", "ts", "value"] + (
+        ["event_type"] if include_type else []
     )
+    ev = load_table(spark, sf_dir, "events").select(*cols)
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     span_us = max(
         1, int((hi - lo).total_seconds() * 1_000_000) + 1
@@ -168,9 +170,15 @@ def replay_events_chunked(
             shutil.copy(dst, dup)
             os.utime(dup, (1_000_000 + i * 60 + 30, 1_000_000 + i * 60 + 30))
     sent_dir = os.path.join(stage, "sent")
-    spark.createDataFrame(
-        [(-1, -1, sentinel_ts, 0.0)], "user_id long, event_id long, ts timestamp, value double"
-    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    schema = "user_id long, event_id long, ts timestamp, value double" + (
+        ", event_type string" if include_type else ""
+    )
+    sentinel_row = (-1, -1, sentinel_ts, 0.0) + (
+        ("sentinel",) if include_type else ()
+    )
+    spark.createDataFrame([sentinel_row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(sent_dir)
     src = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
     dst = os.path.join(replay_dir, "zz_sentinel.parquet")
     shutil.move(os.path.join(sent_dir, src), dst)
@@ -178,9 +186,7 @@ def replay_events_chunked(
     shutil.rmtree(stage, ignore_errors=True)
 
     return (
-        spark.readStream.schema(
-            "user_id long, event_id long, ts timestamp, value double"
-        )
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(replay_dir)
     )
@@ -667,3 +673,111 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain(deduped, "stream_dedup_exact", output_mode="append")
     return out.select("user_id", "event_id", "ts", "value").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join — the enrichment pattern: the event stream joins a
+# static dimension (customer) without ANY stream-side shuffle for the
+# join (the static side broadcasts; only the aggregation exchanges), then
+# aggregates per segment in complete mode across micro-batches.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family: live micro-batched stream ⋈ broadcast static dimension →
+    complete-mode segment aggregate. DECIMAL money math so incremental
+    (cross-batch) accumulation is order-independent and hash-matches the
+    one-shot batch oracle exactly."""
+    from ..sources.tables import load_table
+
+    stream = replay_events_chunked(spark, sf_dir, n_chunks=3, delay="30 days")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.filter(F.col("event_id") >= 0)  # drop the replay sentinel
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tot_value"),
+        )
+    )
+    out = drain(agg, "stream_static_join", output_mode="complete")
+    return out.orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join — event-time interval self-join: every click within
+# one day AFTER a view by the same user. Both sides watermarked; the time
+# bound lets the engine expire join state (without it a stream-stream
+# join buffers forever). The classic attribution primitive.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+    ORDER BY view_id, click_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family: stream-stream interval join through the live engine —
+    the same chunked replay filtered into a view stream and a click
+    stream (a genuine self-join of one streaming source), joined on
+    user within [view_ts, view_ts + 1 day]. Join state is bounded by
+    watermark + interval; the sentinel row (filtered by type) still
+    advances both watermarks so buffered state drains at replay end."""
+    ev = replay_events_chunked(
+        spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 days")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 days")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    out = drain(joined, "stream_stream_join", output_mode="append")
+    return out.orderBy("view_id", "click_id")

@@ -31,6 +31,7 @@ HEADLINE = [
     "pricing_summary",        # relational: scan + group agg (TPC-H Q1 shape)
     "profit_by_nation_year",  # relational: star join, 3 broadcast dims
     "two_hop_candidates",     # graph: self-join + agg + having (flagship)
+    "two_hop_salted",         # graph: skew-salted twin (BASELINE.md r4 skew evidence)
     "relabel_reorder",        # graph: double broadcast relabel join
     "windowed_features",      # temporal: sliding windows × 12-feature agg
     "anomaly_scores_mahalanobis",  # mining: per (window,pair) scoring

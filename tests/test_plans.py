@@ -223,6 +223,29 @@ class TestRound3Plans:
             "ShuffledHashJoin" in p
         ), p
 
+    def test_funnel_is_single_shuffle_jvm_side(self, spark, q):
+        """The funnel fold must stay a JVM higher-order function over ONE
+        per-user aggregation — no Python evaluation, no join cascade."""
+        p = plan(q["funnel_stages"](spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Join" not in p
+        body = p.split("Sort", 1)[0]
+        # one aggregate exchange; the only other Exchange is the orderBy
+        assert body.count("Exchange") <= 1, body
+
+    def test_triangle_count_uses_equi_joins(self, spark, q):
+        p = plan(q["triangle_count"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_quantile_budget_has_no_global_data_sort(self, spark, q):
+        """The scale-path budget cap must not window over the corpus —
+        only the parameter-sized level relation may hit a single
+        partition."""
+        p = plan(q["corpus_budget_quantile"](spark, SF))
+        assert "BatchEvalPython" not in p
+        assert "BroadcastHashJoin" in p  # kept-levels semi-join broadcasts
+
     def test_partitioned_write_prunes_directories(self, spark, q):
         """event_type IN (...) against the partitionBy(event_type) layout
         must prune at the DIRECTORY level (PartitionFilters), not filter

@@ -1,0 +1,181 @@
+"""Skew evidence probe (round-3 verdict, "Next round" #8).
+
+Builds a deliberately hub-skewed adjacency at the bench scale factor —
+a fraction of all edges is redirected INTO one hub node, and a block of
+out-edges is attached to it, so the two-hop self-join's middle key has a
+single hot reducer — then drives it through BOTH join forms:
+
+- unsalted flagship shape (``two_hop_counts``), AQE skew-join on
+  (the session default), and
+- explicit salting (``two_hop_counts_salted``): hub in-edges scatter
+  over 8 sub-keys, out-edges replicate ×8.
+
+Reports wall time for each and the PER-TASK SHUFFLE LOAD distribution:
+rows each of the 32 reduce partitions would receive for the join,
+computed engine-side as ``pmod(hash(join_key), 32)`` histograms (task ≈
+reduce partition; row counts are the partition-size metric that is
+deterministic and engine-comparable — byte sizes scale linearly).
+Verifies the two forms agree bit-identically on the skewed fixture, then
+prints ONE JSON line for BASELINE.md.
+
+Usage: python tools/skewprobe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from autoaudit_spark.operators.graph import two_hop_counts, two_hop_counts_salted
+from autoaudit_spark.session import get_spark
+from autoaudit_spark.sources import adjacency
+
+HUB = -77           # synthetic hub node id (outside the real id space)
+IN_FRACTION = 0.20  # fraction of all edges redirected into the hub
+OUT_EDGES = 64      # distinct out-edges attached to the hub
+PARTITIONS = 32     # reduce-side task count to histogram against
+SALT_BUCKETS = 8
+
+
+def hub_skewed_adjacency(adj):
+    """Redirect IN_FRACTION of edges' dst to HUB (deterministic hash
+    pick), attach OUT_EDGES hub→k edges; dedup to stay a simple graph."""
+    redirected = adj.withColumn(
+        "dst",
+        F.when(
+            F.pmod(F.hash("src", "dst"), F.lit(100)) < int(IN_FRACTION * 100),
+            F.lit(HUB).cast("long"),
+        ).otherwise(F.col("dst")),
+    )
+    spark = adj.sparkSession
+    hub_out = spark.range(OUT_EDGES).select(
+        F.lit(HUB).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    return redirected.unionByName(hub_out).distinct()
+
+
+def partition_load(adj, salted: bool):
+    """Rows per reduce partition for the two-hop join's shuffle: both
+    join inputs keyed as the join keys them, histogrammed by
+    pmod(hash(key), PARTITIONS) — the load a 32-task reduce stage sees."""
+    if salted:
+        a = adj.select(
+            F.col("dst").alias("mid"),
+            F.pmod(F.hash("src", "dst"), F.lit(SALT_BUCKETS)).alias("salt"),
+        )
+        b = adj.select(
+            F.col("src").alias("mid"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))
+            ).alias("salt"),
+        )
+        keyed = a.unionByName(b).select(
+            F.pmod(F.hash("mid", "salt"), F.lit(PARTITIONS)).alias("p")
+        )
+    else:
+        keyed = (
+            adj.select(F.col("dst").alias("mid"))
+            .unionByName(adj.select(F.col("src").alias("mid")))
+            .select(F.pmod(F.hash("mid"), F.lit(PARTITIONS)).alias("p"))
+        )
+    counts = sorted(
+        r["n"] for r in keyed.groupBy("p").agg(F.count("*").alias("n")).collect()
+    )
+    # partitions with zero rows still exist as tasks
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    return {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+
+def join_work_per_task(adj, salted: bool):
+    """JOIN-OUTPUT pairs each reduce task materializes — the real hot-key
+    metric (a hub's work is in-degree × out-degree on its key, which
+    input-row histograms understate)."""
+    outd = adj.groupBy(F.col("src").alias("mid")).agg(
+        F.count("*").alias("nout")
+    )
+    if salted:
+        ind = adj.groupBy(
+            F.col("dst").alias("mid"),
+            F.pmod(F.hash("src", "dst"), F.lit(SALT_BUCKETS)).alias("salt"),
+        ).agg(F.count("*").alias("nin"))
+        work = ind.join(outd, "mid").select(
+            F.pmod(F.hash("mid", "salt"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("nin") * F.col("nout")).alias("w"),
+        )
+    else:
+        ind = adj.groupBy(F.col("dst").alias("mid")).agg(
+            F.count("*").alias("nin")
+        )
+        work = ind.join(outd, "mid").select(
+            F.pmod(F.hash("mid"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("nin") * F.col("nout")).alias("w"),
+        )
+    counts = sorted(
+        r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
+    )
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    return {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("skewprobe")
+    spark.range(1).count()
+
+    adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
+    n_edges = adj.count()
+    hub_in = adj.filter(F.col("dst") == HUB).count()
+
+    t0 = time.monotonic()
+    unsalted = two_hop_counts(adj)
+    unsalted.write.format("noop").mode("overwrite").save()
+    t_unsalted = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    salted = two_hop_counts_salted(adj)
+    salted.write.format("noop").mode("overwrite").save()
+    t_salted = round(time.monotonic() - t0, 2)
+
+    rows_a = {tuple(r) for r in unsalted.collect()}
+    rows_b = {tuple(r) for r in salted.collect()}
+    assert rows_a == rows_b, "salted result diverged from flagship"
+
+    print(
+        json.dumps(
+            {
+                "metric": "two_hop_skew_probe",
+                "sf_dir": sf_dir,
+                "edges": n_edges,
+                "hub_in_edges": hub_in,
+                "wall_sec": {"unsalted_aqe": t_unsalted, "salted": t_salted},
+                "shuffle_rows_per_task": {
+                    "unsalted": partition_load(adj, salted=False),
+                    "salted": partition_load(adj, salted=True),
+                },
+                "join_pairs_per_task": {
+                    "unsalted": join_work_per_task(adj, salted=False),
+                    "salted": join_work_per_task(adj, salted=True),
+                },
+                "result_rows": len(rows_a),
+                "results_identical": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
