@@ -791,3 +791,113 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _vp_events GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — the wide-table reshape (long event stream → one row per user
+# with a column per event type). Spark's pivot with EXPLICIT values: at
+# scale the implicit form pays an extra distinct scan to discover the
+# column set, so a production pipeline always pins it.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with pinned columns, one shuffle (pivot compiles
+    to conditional aggregates — same plan as the oracle's FILTER form);
+    empty cells zero-filled to match COUNT FILTER semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-function suite — the ranking/distribution window functions a
+# SQL surface must provide (row_number exists elsewhere; this pins rank,
+# dense_rank, ntile, percent_rank, cume_dist, lag, lead in one relation).
+# ---------------------------------------------------------------------------
+@query(
+    "window_function_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           LAG(event_id) OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rnk, event_id
+    """,
+)
+def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic-window battery over (user, ts) orderings. ONE window
+    spec → one shuffle + one sort serves all seven functions (Catalyst
+    collapses same-spec windows into a single Window node).
+    percent_rank/cume_dist are IEEE-exact cross-engine ((rank−1)/(n−1)
+    and rank/n in double)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    ).orderBy("user_id", "rnk", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form behind cube/rollup (both registered
+# elsewhere): explicit set list + GROUPING() disambiguation of the
+# aggregate NULL vs a data NULL.
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM {src}
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    ORDER BY g_type, g_bucket, event_type, user_bucket
+"""
+
+
+@query(
+    "grouping_sets_events",
+    oracle=_GROUPING_SETS_SQL.format(src="events"),
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (identical text runs on both
+    engines — the engine IS a SQL engine, not only a DataFrame API).
+    One shuffle: Spark expands the sets with a single Expand node, not
+    one scan per set."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(_GROUPING_SETS_SQL.format(src="events_gs"))

@@ -54,3 +54,4 @@ def load_all() -> None:
     from .llm import dedup, similarity, text, multimodal  # noqa: F401
     from .sources import bucketed  # noqa: F401
     from .streaming import windowed  # noqa: F401
+    from .functions import udtf  # noqa: F401
