@@ -106,6 +106,7 @@ def replay_events_chunked(
     shuffle_seed: int | None = None,
     duplicate: bool = False,
     include_type: bool = False,
+    sentinel_types: tuple[str, ...] = ("sentinel",),
 ) -> DataFrame:
     """`events` as a MULTI-micro-batch source: the table split into
     `n_chunks` files replayed one per trigger (maxFilesPerTrigger=1),
@@ -173,10 +174,18 @@ def replay_events_chunked(
     schema = "user_id long, event_id long, ts timestamp, value double" + (
         ", event_type string" if include_type else ""
     )
-    sentinel_row = (-1, -1, sentinel_ts, 0.0) + (
-        ("sentinel",) if include_type else ()
-    )
-    spark.createDataFrame([sentinel_row], schema).coalesce(1).write.mode(
+    # One sentinel row per requested type. Consumers that FILTER by type
+    # before a stateful operator must pass their kept types here: Catalyst
+    # pushes the type filter below the EventTimeWatermark node, so a
+    # sentinel of a filtered-out type never reaches the watermark and
+    # buffered state (outer-join rows, timers) would never drain.
+    # Sentinel event_ids are negative and distinct — consumers drop them
+    # with `event_id >= 0` on the drained result.
+    sentinel_rows = [
+        (-1, -(i + 1), sentinel_ts, 0.0) + ((t,) if include_type else ())
+        for i, t in enumerate(sentinel_types)
+    ]
+    spark.createDataFrame(sentinel_rows, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(sent_dir)
     src = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
@@ -745,27 +754,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user within [view_ts, view_ts + 1 day]. Join state is bounded by
     watermark + interval; the sentinel row (filtered by type) still
     advances both watermarks so buffered state drains at replay end."""
-    ev = replay_events_chunked(
-        spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
-    )
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "30 days")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "30 days")
-    )
+    views, clicks = _typed_view_click_streams(spark, sf_dir)
     joined = views.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
@@ -780,4 +769,68 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
     out = drain(joined, "stream_stream_join", output_mode="append")
-    return out.orderBy("view_id", "click_id")
+    # sentinel view×click self-match (user −1) drops here, post-drain
+    return out.filter(F.col("view_id") >= 0).orderBy("view_id", "click_id")
+
+
+def _typed_view_click_streams(spark: SparkSession, sf_dir: str):
+    """Two typed sub-streams of ONE watermarked replay. The replay emits
+    a far-future sentinel row PER KEPT TYPE ('view' and 'click'): the
+    type filter is pushed below the EventTimeWatermark node by Catalyst,
+    so only a sentinel that SURVIVES the filter advances each branch's
+    watermark — without it, outer-join state never expires and unmatched
+    rows never emit. Sentinels carry user_id −1 / negative event_ids;
+    consumers drop them from the drained result with `... >= 0`."""
+    ev = replay_events_chunked(
+        spark,
+        sf_dir,
+        n_chunks=3,
+        delay="30 days",
+        include_type=True,
+        sentinel_types=("view", "click"),
+    ).withWatermark("ts", "30 days")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return views, clicks
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+    WHERE v.event_type = 'view'
+    ORDER BY view_id, click_id
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 outer form: views WITHOUT a click within a day must still
+    emit (null click columns) — the engine holds them in join state and
+    releases them only once the watermark proves no match can arrive.
+    The far-future sentinel (filtered by type, but advancing both
+    watermarks) is what lets the bounded replay flush that state; a real
+    stream flushes continuously."""
+    views, clicks = _typed_view_click_streams(spark, sf_dir)
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 DAY")),
+        "left_outer",
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    out = drain(joined, "stream_stream_left_join", output_mode="append")
+    # the sentinel view row drops here, post-drain (matched or not)
+    return out.filter(F.col("view_id") >= 0).orderBy("view_id", "click_id")
