@@ -53,15 +53,16 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # The hashed-sketch greedy rounds reduce over parameter-sized
-    # relations (sketches×candidates); at bench SFs their wall time is
-    # task overhead, so run ONLY those rounds at 8 shuffle partitions
-    # (engine default stays the scale-correct session setting; values
-    # are partition-count-independent — DECIMAL sums, exact argmax;
-    # verified exact against the DuckDB oracle with this conf set).
-    # Measured at sf0.1: sketch_values_hashed 38.1 s → 22.5 s cold.
-    from autoaudit_spark.mining.sketch import GREEDY_PARTITIONS_CONF
-
-    spark.conf.set(GREEDY_PARTITIONS_CONF, "8")
+    # relations (sketches×candidates), so they may run at few shuffle
+    # partitions without affecting values (DECIMAL sums, exact argmax;
+    # verified exact against the DuckDB oracle with the conf set).
+    # MEASURED HONESTLY at sf0.1 (warm JVM, repeated A/B): the setting
+    # is a wash — greedy wall time is 3 sequential rounds of plan
+    # analysis + broadcast latency, not reduce-task count (a cold-JVM
+    # first run is ~2× slower regardless of the conf; an early 38→22 s
+    # reading was warm-up, not partitions). The conf stays available
+    # for harnesses that want it; bench runs the scale-correct default.
+    from autoaudit_spark.mining.sketch import GREEDY_PARTITIONS_CONF  # noqa: F401
 
     # Warm the JVM + file listing so q1 doesn't pay session startup.
     spark.range(1).count()
