@@ -230,3 +230,14 @@ def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-family: events → ORC → native columnar read → identical relation."""
     return _events_via_format(spark, sf_dir, "orc").orderBy("event_id")
+
+
+@query("csv_source_roundtrip", oracle=_EVENTS_ORACLE)
+def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: events → CSV → schema'd read → identical relation
+    (the reference's own ingest format, `AA-AR.py:286-287` /
+    `smurf_generator.py:45`, as a round-trip). Doubles survive because
+    Spark writes shortest-round-trip decimal text; timestamps ride as
+    epoch-micros longs (text timestamps would re-parse through a
+    pattern — lossy and tz-dependent)."""
+    return _events_via_format(spark, sf_dir, "csv").orderBy("event_id")

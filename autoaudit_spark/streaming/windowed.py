@@ -834,3 +834,124 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain(joined, "stream_stream_left_join", output_mode="append")
     # the sentinel view row drops here, post-drain (matched or not)
     return out.filter(F.col("view_id") >= 0).orderBy("view_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# T3-family: streaming funnel — the batch funnel_stages fold as a
+# stateful operator. Stage transitions are emitted the moment the
+# watermark proves them final (a transition folded from watermark-final
+# rows in event-time order can never be retracted), so the append-mode
+# stream is exactly the batch result unpivoted.
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGE_TYPES = ("signup", "view", "click", "purchase")
+
+
+def funnel_stream(events: DataFrame, delay: str = "30 days") -> DataFrame:
+    """State per user = (t1..t4 micros, buffered not-yet-final rows).
+    Arrivals buffer; rows below the watermark fold in (ts, event_id)
+    order with the same strict-> stage conditions as the batch fold
+    (tie order within equal ts provably cannot change the outcome);
+    each newly set stage emits (user_id, stage, ts_us). Bounded state:
+    the buffer holds only above-watermark rows, the folded state is 4
+    longs."""
+    out_schema = "user_id long, stage int, ts_us long"
+    state_schema = (
+        "t1 long, t2 long, t3 long, t4 long, "
+        "b_eid array<long>, b_ts array<long>, b_type array<string>"
+    )
+    NOT_SET = -(1 << 62)
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        t, b_eid, b_ts, b_type = (
+            (list(state.get[:4]), *state.get[4:])
+            if state.exists
+            else ([NOT_SET] * 4, [], [], [])
+        )
+        t = [int(x) for x in t]
+        buf = list(
+            zip((int(x) for x in b_eid), (int(x) for x in b_ts), b_type)
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(e), int(ts), str(et))
+                    for e, ts, et in zip(
+                        pdf["event_id"], pdf["ts_us"], pdf["event_type"]
+                    )
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = sorted(
+            (r for r in buf if r[1] < wm_us), key=lambda r: (r[1], r[0])
+        )
+        buf = [r for r in buf if r[1] >= wm_us]
+
+        rows = []
+        for _eid, ts_us, et in final:
+            for k, stage_type in enumerate(_FUNNEL_STAGE_TYPES):
+                if et != stage_type or t[k] != NOT_SET:
+                    continue
+                if k == 0 or (t[k - 1] != NOT_SET and ts_us > t[k - 1]):
+                    t[k] = ts_us
+                    rows.append((int(key[0]), k + 1, ts_us))
+                break
+
+        state.update(
+            (t[0], t[1], t[2], t[3],
+             [r[0] for r in buf], [r[1] for r in buf], [r[2] for r in buf])
+        )
+        if buf:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "stage", "ts_us"])
+
+    return (
+        events.withWatermark("ts", delay)
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+            "event_type", "ts",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            StructType.fromDDL(out_schema),
+            StructType.fromDDL(state_schema),
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@query(
+    "stream_funnel_stages",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id),
+    stages AS (
+        SELECT user_id, 1 AS stage, t1 AS ts FROM s1
+        UNION ALL SELECT user_id, 2, t2 FROM s2
+        UNION ALL SELECT user_id, 3, t3 FROM s3
+        UNION ALL SELECT user_id, 4, t4 FROM s4
+    )
+    SELECT user_id, CAST(stage AS INTEGER) AS stage, epoch_us(ts) AS ts_us
+    FROM stages ORDER BY user_id, stage
+    """,
+)
+def q_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch funnel through the live engine: chunked replay →
+    watermark-buffered per-user stage fold → append rows per reached
+    stage. Value-hash-checked against the batch funnel's stage times
+    unpivoted — a stateful streaming operator under the FULL oracle,
+    not a rows-only check."""
+    stream = replay_events_chunked(
+        spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
+    )
+    out = drain(
+        funnel_stream(stream), "stream_funnel_stages", output_mode="append"
+    )
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id", "stage")

@@ -107,3 +107,47 @@ def test_range_join_half_open_bounds(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["n"] == 2 and out[0]["v"] == 9.0
+
+
+class TestFunnelSemantics:
+    def test_strict_ordering_and_ties(self, spark):
+        """Pin the funnel's tie semantics against a crafted fixture: a
+        stage event at EXACTLY the previous stage's time must not count
+        (strict >), an out-of-order stage must not count, and the
+        earliest qualifying event wins."""
+        import datetime
+
+        from autoaudit_spark.operators.windows import q_funnel_stages  # noqa: F401
+        from autoaudit_spark.registry import QUERIES
+
+        base = datetime.datetime(2024, 1, 1)
+        t = lambda m: base + datetime.timedelta(minutes=m)
+        rows = [
+            # user 1: full funnel, with a click BEFORE its view (ignored)
+            (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "view"),
+            (1, t(3), "click"), (1, t(4), "purchase"),
+            # user 2: view at EXACTLY signup time — strict > rejects it
+            (2, t(0), "signup"), (2, t(0), "view"),
+            # user 3: two views after signup — earliest wins
+            (3, t(0), "signup"), (3, t(5), "view"), (3, t(1), "view"),
+            # user 4: no signup at all
+            (4, t(0), "view"), (4, t(1), "click"),
+        ]
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="funnel_fixture_")
+        spark.createDataFrame(
+            [
+                (u, i, ts, et, 1.0)
+                for i, (u, ts, et) in enumerate(rows)
+            ],
+            "user_id long, event_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+        out = {r["user_id"]: r for r in QUERIES["funnel_stages"](spark, d).collect()}
+        assert out[1]["reached"] == 4
+        assert out[1]["t2"] == t(2) and out[1]["t3"] == t(3)
+        assert out[2]["reached"] == 1 and out[2]["t2"] is None
+        assert out[3]["reached"] == 2 and out[3]["t2"] == t(1)
+        assert out[4]["reached"] == 0 and out[4]["t1"] is None
