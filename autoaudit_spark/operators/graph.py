@@ -489,3 +489,73 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms become oracle-able under the per-round decimal-
     quantization discipline (see `pagerank`)."""
     return pagerank(adjacency(spark, sf_dir)).orderBy("node")
+
+
+@query(
+    "node_jaccard",
+    oracle=f"""
+    {_ADJ_CTE},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst
+    ),
+    nbr AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+    common AS (
+        SELECT x.node AS u, y.node AS v, COUNT(*) AS c
+        FROM nbr x JOIN nbr y ON x.nb = y.nb AND x.node < y.node
+        GROUP BY x.node, y.node HAVING COUNT(*) >= {MIN_PATHS}
+    )
+    SELECT c.u, c.v, CAST(c.c AS BIGINT) AS n_common,
+           CAST(c.c AS DOUBLE) / (du.d + dv.d - c.c) AS jaccard
+    FROM common c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+    ORDER BY jaccard DESC, u, v
+    """,
+)
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity over the undirected simple graph:
+    |N(u)∩N(v)| / |N(u)∪N(v)| for pairs sharing ≥ {MIN_PATHS} neighbors
+    — the graph-native near-duplicate detector (two accounts moving
+    money through the same counterparties).
+
+    Shape: wedge join on the shared neighbor (same skeleton as the
+    two-hop flagship — only existing edges shuffle), HAVING-pruned
+    BEFORE the degree joins so the pair relation entering them is
+    already candidate-sized. The division is a single IEEE op on exact
+    integers — bit-identical cross-engine. Same hub caveat as J1;
+    `two_hop_salted`'s salting applies verbatim at 100 TB."""
+    adj = adjacency(spark, sf_dir)
+    und = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
+    x, y = nbr.alias("x"), nbr.alias("y")
+    common = (
+        x.join(y, (F.col("x.nb") == F.col("y.nb")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= MIN_PATHS)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("long").alias("n_common"),
+            (
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+    )

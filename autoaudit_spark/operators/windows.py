@@ -357,3 +357,84 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reached"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the other canonical product-analytics matrix: users
+# grouped by signup week (cohort), activity counted per week offset.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(date_diff('day', c.cohort_week,
+                              date_trunc('week', e.ts)) // 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN cohort c USING (user_id)
+        WHERE e.ts >= c.cohort_week
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size
+              FROM cohort GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: per (signup-week cohort, week offset), the
+    count and fraction of cohort members active that week. Three
+    shuffles total (cohort min, distinct activity, final agg); the
+    cohort relation is user-sized and broadcasts back onto the event
+    stream. `date_trunc('week')` is ISO-Monday in both engines, and the
+    offset is computed from truncated weeks so both engines do the same
+    integer day arithmetic; retention = one IEEE division of exact
+    integers."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
