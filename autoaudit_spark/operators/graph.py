@@ -559,3 +559,94 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard").desc(), "u", "v")
     )
+
+
+K_CORE_K = 6
+K_CORE_ROUNDS = 12
+#: strong-tie threshold: only pairs with >= this many parallel edges
+#: (repeated interactions) enter the core computation — the derived
+#: graph is near-complete on DISTINCT pairs, which would make any small
+#: k trivially keep everything
+K_CORE_MIN_MULT = 3
+
+
+@query(
+    "k_core",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= {K_CORE_MIN_MULT}
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    gen AS (
+        SELECT 0 AS r, (SELECT LIST(node) FROM nodes) AS members
+        UNION ALL
+        SELECT r + 1,
+               (SELECT COALESCE(LIST(n), []) FROM (
+                    SELECT s.a AS n
+                    FROM sym s
+                    WHERE list_contains(g.members, s.a)
+                      AND list_contains(g.members, s.b)
+                    GROUP BY s.a
+                    HAVING COUNT(*) >= {K_CORE_K}
+               ))
+        FROM gen g WHERE g.r < {K_CORE_ROUNDS}
+    )
+    SELECT UNNEST(members) AS node FROM gen WHERE r = {K_CORE_ROUNDS}
+    ORDER BY node
+    """,
+)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_CORE_K}-core of the undirected simple graph: iteratively peel
+    nodes with in-core degree < k. Both engines run EXACTLY
+    {K_CORE_ROUNDS} peel rounds (a converged set is a fixpoint, so
+    extra rounds are no-ops — fixed rounds make the iterative operator
+    value-hash comparable without a convergence side-channel; the
+    peel count needed is bounded by graph degeneracy, far below
+    {K_CORE_ROUNDS} here, asserted by a fixpoint test).
+
+    Spark shape: per round, one semi-join of the symmetric edge list
+    against the surviving node set (broadcast — node-sized), one degree
+    aggregate, one filter; `localCheckpoint` truncates the iterative
+    lineage exactly as pagerank does. The DuckDB twin carries the member
+    set as a LIST through a recursive CTE (the standard single-recursive-
+    reference restriction forbids joining the working table twice).
+    The input is the STRONG-TIE graph (pairs with ≥ K_CORE_MIN_MULT
+    parallel edges): the distinct-pair graph is near-complete at test
+    SFs and every small k would trivially keep all nodes."""
+    from ..sources import edges as edges_src
+
+    e = edges_src(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= K_CORE_MIN_MULT)
+        .select("a", "b")
+    )
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    core = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    for _ in range(K_CORE_ROUNDS):
+        in_core = (
+            sym.join(F.broadcast(core), sym.a == core.node)
+            .drop("node")
+            .join(
+                F.broadcast(core.withColumnRenamed("node", "b_node")),
+                F.col("b") == F.col("b_node"),
+            )
+            .groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= K_CORE_K)
+            .select(F.col("a").alias("node"))
+        )
+        core = in_core.localCheckpoint()
+    sym.unpersist()
+    return core.orderBy("node")

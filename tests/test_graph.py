@@ -111,3 +111,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in range(n):
         assert got[node] == pytest.approx(r[node], abs=1e-7), node
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestKCore:
+    def test_core_invariants(self, spark, sf_dir):
+        """Every surviving node has >= k strong-tie neighbors INSIDE the
+        core (k-core definition), and the fixed 12-round peel is a
+        genuine fixpoint (one more peel changes nothing)."""
+        import collections
+
+        from pyspark.sql import functions as F
+        from autoaudit_spark.operators.graph import (
+            K_CORE_K, K_CORE_MIN_MULT,
+        )
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import edges as edges_src
+
+        core = {r["node"] for r in QUERIES["k_core"](spark, sf_dir).collect()}
+        e = edges_src(spark, sf_dir)
+        und = (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("m"))
+            .filter(F.col("m") >= K_CORE_MIN_MULT)
+        )
+        adj = collections.defaultdict(set)
+        for r in und.collect():
+            adj[r["a"]].add(r["b"])
+            adj[r["b"]].add(r["a"])
+        for n in core:
+            assert len(adj[n] & core) >= K_CORE_K, n
+        # fixpoint: nothing else peels
+        again = {n for n in core if len(adj[n] & core) >= K_CORE_K}
+        assert again == core
