@@ -438,3 +438,172 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap-fill — regularize an event stream to a
+# fixed daily grid per user, zero-filling silent days (the A7 zero-fill
+# discipline applied to the TIME axis; every downstream window/trailing
+# operator assumes a gapless grid).
+# ---------------------------------------------------------------------------
+@query(
+    "resample_gap_fill",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+               CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS tot_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           COALESCE(d.tot_value, 0.0) AS tot_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ORDER BY g.user_id, g.day
+    """,
+)
+def q_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample over each user's own [min, max] day span:
+    `sequence(d0, d1, 1 day)` exploded to the grid (JVM-side — the grid
+    is generated, never shuffled), daily aggregates LEFT-joined on,
+    gaps zero-filled via coalesce (A7 semantics). DECIMAL money math so
+    the per-day sums hash cross-engine. Scale: the grid explode is
+    map-only and proportional to user-days; the single shuffle is the
+    daily aggregate."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("tot_value"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("tot_value", F.lit(0.0)).alias("tot_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concurrency sweep-line — peak simultaneous sessions: every session
+# contributes +1 at start and −1 at end (half-open [start, end)), the
+# running sum over boundary order IS the concurrency curve.
+# ---------------------------------------------------------------------------
+@query(
+    "session_concurrency",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 1 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    spans AS (
+        SELECT user_id, session_id, MIN(ts) AS s,
+               MAX(ts) + INTERVAL 1 HOUR AS e
+        FROM sess GROUP BY user_id, session_id
+    ),
+    bounds AS (
+        SELECT s AS ts, 1 AS delta FROM spans
+        UNION ALL SELECT e, -1 FROM spans
+    ),
+    curve AS (
+        SELECT ts, delta,
+               CAST(SUM(delta) OVER (ORDER BY ts, delta
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+        FROM bounds
+    )
+    SELECT ts, CAST(delta AS BIGINT) AS delta, concurrent
+    FROM curve ORDER BY ts, delta, concurrent
+    """,
+)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency curve over user sessions (gap>1h sessionization, end =
+    last event + gap, half-open): boundary deltas ordered by (ts, delta)
+    — ends (−1) sort before starts (+1) at the same instant, so a
+    session ending exactly when another starts never double-counts —
+    with the running sum as the live session count.
+
+    Scale note: the final running sum is a single total-order window
+    over BOUNDARY rows (2 per session, not per event). For 100 TB,
+    partition the sweep by day and prefix-offset each partition with the
+    previous days' net sum (two passes, no global sort of events); the
+    boundary relation here is session-sized, orders of magnitude below
+    the event stream."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(order)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 3_600_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    bounds = spans.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bounds.select(
+            "ts",
+            F.col("delta").cast("long").alias("delta"),
+            F.sum("delta").over(sweep).cast("long").alias("concurrent"),
+        )
+        .orderBy("ts", "delta", "concurrent")
+    )
