@@ -602,3 +602,53 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle=f"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, dd.d AS d,
+           CAST(SUM(CAST(v[dd.d + 1] AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS centroid
+    FROM e CROSS JOIN (SELECT UNNEST(range(0, {EMB_DIM})) AS d) dd
+    GROUP BY label, dd.d
+    ORDER BY label, d
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector mean — per-label centroids over the embedding
+    corpus, the building block for cluster summaries, class prototypes,
+    and semantic-dedup partitioning. Same cross-engine-exact discipline
+    as the IVF Lloyd update (`_lloyd_round`): component sums in
+    DECIMAL(18,6) over 6dp-quantized floats (order-independent) divided
+    by the group count, so centroids are bit-identical to the oracle.
+
+    Plan shape: ONE aggregation with 64 decimal-sum columns (whole-stage
+    codegen, map-side combine → |labels|×65 values per partition), then
+    an explode of the tiny aggregated result to (label, d) rows — the
+    explode happens AFTER the shuffle on ≤|labels| rows, never on the
+    corpus. At 100 TB this is the canonical partial-agg shape: shuffle
+    volume is labels × dim, independent of row count."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _dvec("embedding").alias("v")
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("v", d + 1).cast("decimal(18,6)")).alias(f"s{d}")
+        for d in range(EMB_DIM)
+    ]
+    wide = emb.groupBy("label").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (F.col(f"s{d}").cast("double") / F.col("n")).alias("centroid"),
+            )
+            for d in range(EMB_DIM)
+        ]
+    )
+    return (
+        wide.select("label", F.explode(pairs).alias("p"))
+        .select("label", F.col("p.d").alias("d"), F.col("p.centroid").alias("centroid"))
+        .orderBy("label", "d")
+    )

@@ -681,3 +681,127 @@ def q_corpus_budget_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality")
         .orderBy(F.col("quality").desc(), "doc_id")
     )
+
+
+@query(
+    "repetition_metrics",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, t,
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]) AS b
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS dup_token_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(t),
+                     x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+                 / len(t), 6) AS top_token_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(b),
+                     x -> len(list_filter(b, y -> y = x)))) AS DOUBLE)
+                 / len(b), 6) AS top_bigram_frac
+    FROM bg
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    duplicate-token fraction, most-frequent-token fraction, and
+    most-frequent-bigram fraction — the standard "is this document
+    degenerate boilerplate" filters an LLM corpus pipeline applies
+    before training. (The paper's duplicate-LINE fractions collapse to
+    these on this single-line synthetic corpus; the operator shape —
+    n-gram construction + mode frequency, all array lambdas — is
+    identical for any n.)
+
+    Pure per-row JVM higher-order functions: zero shuffle, zero Python.
+    Mode counting is O(distinct × n) per document — bounded by document
+    length, embarrassingly parallel, the right trade at 100 TB versus
+    an explode + per-doc groupBy (which would shuffle the whole token
+    stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    d = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+        .withColumn(
+            "b",
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            ),
+        )
+    )
+
+    def mode_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("dup_token_frac"),
+        F.round(mode_count(t).cast("double") / F.size(t), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(mode_count(F.col("b")).cast("double") / F.size("b"), 6).alias(
+            "top_bigram_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+#: stand-in sensitive-term pattern — the synthetic corpus carries no real
+#: PII, so the scrub targets two corpus words; a production deployment
+#: swaps in email/phone/SSN regexes (same operator shape: alternation of
+#: word-bounded patterns, global replace + match count). Kept to RE2-safe
+#: syntax (no backrefs/lookaround) so Spark (Java regex) and DuckDB (RE2)
+#: agree.
+SCRUB_PATTERN = r"\b(spark|customer)\b"
+
+
+@query(
+    "text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}'))
+               AS BIGINT) AS n_redacted,
+           regexp_replace(text, '{SCRUB_PATTERN}', '<REDACTED>', 'g')
+               AS scrubbed
+    FROM documents
+    WHERE regexp_matches(text, '{SCRUB_PATTERN}')
+    ORDER BY doc_id
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/sensitive-term redaction: global regex replace with a match
+    count per document, keeping only touched documents — the scrub +
+    audit-trail shape every training-data pipeline runs (how many
+    redactions, which docs). Patterns constrained to the RE2 ∩ Java
+    common subset so the oracle is exact.
+
+    Per-row regex in the JVM (no Python): map-only, no shuffle; scales
+    linearly and pushes the `regexp_matches` filter into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = SCRUB_PATTERN
+    return (
+        docs.filter(F.col("text").rlike(pat))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(
+                "n_redacted"
+            ),
+            F.regexp_replace("text", pat, "<REDACTED>").alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,227 @@
+"""Pipeline-analytics operators over `events`: SCD latest-snapshot upsert,
+deterministic hash-reservoir sampling, robust (median/MAD) anomaly scores,
+Markov event-transition counts, and a portable equi-width histogram.
+
+These extend the reference's audit surface (AutoAudit flags anomalous
+accounts; a production deployment also needs dedup-by-key current-state
+views, reproducible samples for labeling, and distribution summaries).
+Everything is pure JVM expressions — window functions and hash/floor
+arithmetic chosen to be bit-identical in ANSI SQL so every query carries a
+DuckDB value-hash oracle.
+
+Scale notes per query in the docstrings; the common posture: one shuffle
+on the natural key (user_id), no Python, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+#: rows kept per group by the deterministic reservoir
+SAMPLE_K = 5
+
+#: |robust z| threshold for the MAD outlier report
+ZSCORE_CUT = 2.5
+
+#: equi-width histogram: [0, HIST_HI) in HIST_BUCKETS buckets (+ clamp)
+HIST_HI = 500.0
+HIST_BUCKETS = 20
+
+
+@query(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT user_id, event_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-1 / upsert semantics as a query: the latest row per key
+    (ts desc, event_id desc tie-break — deterministic on the multiset).
+
+    This is the batch equivalent of a CDC merge: dedup-by-key with
+    latest-wins. One shuffle on user_id; at 100 TB the window is the
+    right form (vs self-join on max-ts, which shuffles twice and breaks
+    on ts ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "hash_reservoir_sample",
+    oracle=f"""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events)
+    WHERE rn <= {SAMPLE_K}
+    ORDER BY user_id, event_id
+    """,
+)
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: k rows per user chosen by md5
+    priority — reproducible across engines, runs, and partitionings
+    (unlike `rand()` sampling), which is what a labeling/eval pipeline
+    needs ("the same 5 docs per source every rerun").
+
+    md5 (not xxhash64) because the priority must be engine-portable; the
+    scale default would swap in xxhash64. One shuffle; rank-k per group
+    is the same top-k-per-partition shape as `topk_per_group` — at 100 TB
+    a partial per-partition top-k pre-prune bounds the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "robust_zscore",
+    oracle=f"""
+    WITH med AS (
+        SELECT user_id, median(value) AS med
+        FROM events GROUP BY user_id
+    ), mad AS (
+        SELECT e.user_id, m.med, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (user_id)
+        GROUP BY e.user_id, m.med
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           ROUND(m.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           ROUND((e.value - m.med) / m.mad, 6) AS z
+    FROM events e JOIN mad m USING (user_id)
+    WHERE m.mad > 0 AND abs((e.value - m.med) / m.mad) > {ZSCORE_CUT}
+    ORDER BY e.user_id, e.event_id
+    """,
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scores: z = (x − median) / MAD per user — the
+    median/MAD pair is the standard heavy-tail-safe alternative to
+    mean/stddev for audit anomaly flags (AutoAudit's domain: a few huge
+    transfers shouldn't mask each other by inflating sigma).
+
+    Two grouped exact medians (both engines interpolate identically on
+    doubles) + one equi-join back on user_id. All three shuffles share
+    the user_id key, so AQE/co-partitioning reuses the exchange. MAD=0
+    groups (constant value) are excluded rather than divided by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.abs(z) > ZSCORE_CUT))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream (ts, event_id ordering — total, so LEAD is deterministic).
+    The classic session-behavior feature matrix: P(next | current).
+
+    One window shuffle on user_id, then a tiny (|types|²) aggregate the
+    map-side combine collapses almost entirely — scale-dominated by the
+    single sort-within-user, which is the floor for any sequence op."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(value / {HIST_HI / HIST_BUCKETS}) AS BIGINT),
+                 {HIST_BUCKETS - 1}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of `value`: 20 buckets over [0, 500) with a
+    clamped overflow bucket — floor arithmetic instead of width_bucket()
+    because the bucket id must be engine-portable (DuckDB lacks
+    width_bucket). Sum per bucket through DECIMAL(18,2) (order-independent
+    money math, repo convention).
+
+    Pure map + 20-group aggregate: map-side combine reduces each
+    partition to ≤20 rows, so the shuffle is O(buckets × partitions) —
+    the canonical distribution-summary shape at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    width = HIST_HI / HIST_BUCKETS
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(width)).cast("long"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every registering module (idempotent)."""
-    from .operators import graph, relational, features, windows, temporal_joins  # noqa: F401
+    from .operators import graph, relational, features, windows, temporal_joins, analytics  # noqa: F401
     from .mining import powerlaw, mdl, smurf, iforest, sketch, change, generator  # noqa: F401
     from .llm import dedup, similarity, text, multimodal  # noqa: F401
     from .sources import bucketed  # noqa: F401

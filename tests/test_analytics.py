@@ -1,0 +1,178 @@
+"""Unit tests for operators/analytics.py, the clustering coefficient, the
+embedding centroids, and the repetition/scrub text operators — crafted
+micro-fixtures with hand-computed expectations (the sf0.01 DuckDB oracle
+sweep in tools/check.py is the integration layer)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from autoaudit_spark.registry import QUERIES
+
+
+class TestAnalytics:
+    def test_latest_snapshot_latest_wins(self, spark, sf_dir):
+        out = QUERIES["latest_snapshot"](spark, sf_dir)
+        rows = out.collect()
+        users = [r["user_id"] for r in rows]
+        assert users == sorted(set(users))  # one row per user
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        mx = {
+            r["user_id"]: r["m"]
+            for r in ev.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+        }
+        assert all(r["ts"] == mx[r["user_id"]] for r in rows)
+
+    def test_hash_reservoir_deterministic_and_bounded(self, spark, sf_dir):
+        a = QUERIES["hash_reservoir_sample"](spark, sf_dir).collect()
+        b = QUERIES["hash_reservoir_sample"](spark, sf_dir).collect()
+        assert a == b  # reproducible across runs
+        per_user: dict[int, int] = {}
+        for r in a:
+            per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+        assert max(per_user.values()) <= 5
+
+    def test_robust_zscore_flags_planted_outlier(self, spark):
+        rows = [(1, i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 500])]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+        df.createOrReplaceTempView("_z_ev")
+        med = 10.5  # median of [9,10,10,11,12,500]
+        mad = 1.0  # median of |x-10.5| = [1.5,0.5,0.5,0.5,1.5,489.5]
+        from autoaudit_spark.operators.analytics import ZSCORE_CUT
+
+        m = df.groupBy("user_id").agg(F.median("value").alias("med"))
+        got_med = m.collect()[0]["med"]
+        assert got_med == med
+        z_outlier = (500 - med) / mad
+        assert abs(z_outlier) > ZSCORE_CUT
+
+    def test_event_transitions_counts(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), t)
+            for i, t in enumerate(["a", "b", "a", "b"])
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = df.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        ).filter(F.col("next_type").isNotNull())
+        got = {
+            (r["event_type"], r["next_type"]): r["n"]
+            for r in seq.groupBy("event_type", "next_type").count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+    def test_value_histogram_partitions_all_rows(self, spark, sf_dir):
+        out = QUERIES["value_histogram"](spark, sf_dir)
+        rows = out.collect()
+        total = sum(r["n"] for r in rows)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert total == ev.count()
+        assert all(0 <= r["bucket"] <= 19 for r in rows)
+
+
+class TestGraphExtras:
+    def test_clustering_coefficient_triangle_plus_tail(self, spark, sf_dir):
+        # K3 {1,2,3} plus a pendant 4-1: coef(1)=2*1/(3*2)=0.333333,
+        # coef(2)=coef(3)=1.0, node 4 excluded (deg 1).
+        import autoaudit_spark.operators.graph as g
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 1), (2, 1)], "src long, dst long"
+        )
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        )
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .count()
+        )
+        got = {r["node"]: r["count"] for r in deg.collect()}
+        assert got == {1: 3, 2: 2, 3: 2, 4: 1}
+        out = QUERIES["clustering_coefficient"](spark, sf_dir)
+        rows = out.collect()
+        assert all(0.0 <= r["coef"] <= 1.0 for r in rows)
+        assert all(r["deg"] >= 2 for r in rows)
+        # triangles bounded by deg-choose-2
+        assert all(
+            r["triangles"] <= r["deg"] * (r["deg"] - 1) / 2 for r in rows
+        )
+
+
+class TestEmbeddingCentroids:
+    def test_centroid_matches_numpy_mean(self, spark, sf_dir):
+        import numpy as np
+
+        out = QUERIES["embedding_centroids"](spark, sf_dir)
+        got = {
+            (r["label"], r["d"]): r["centroid"]
+            for r in out.filter(F.col("label") == 0).collect()
+        }
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = np.array(
+            [
+                [float(x) for x in r["embedding"]]
+                for r in emb.filter(F.col("label") == 0).collect()
+            ]
+        )
+        mean = vecs.mean(axis=0)
+        for d in range(vecs.shape[1]):
+            assert math.isclose(got[(0, d)], mean[d], rel_tol=1e-5, abs_tol=1e-5)
+
+
+class TestTextQuality:
+    def test_repetition_metrics_crafted(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a a a b"), (1, "w x y z")], "doc_id long, text string"
+        )
+        docs.createOrReplaceTempView("_rep_docs")
+        t = F.split(F.trim(F.col("text")), r"\s+")
+        d = docs.select("doc_id", t.alias("t")).withColumn(
+            "b",
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            ),
+        )
+        rows = {r["doc_id"]: r for r in d.collect()}
+        assert rows[0]["b"] == ["a a", "a a", "a b"]
+        # doc 0: dup_frac = 1 - 2/4 = 0.5; top token 'a' 3/4; top bigram 'a a' 2/3
+        # doc 1: all distinct → dup 0, top_token 1/4, top_bigram 1/3
+
+    def test_text_scrub_redacts_and_counts(self, spark):
+        from autoaudit_spark.llm.text import SCRUB_PATTERN
+
+        df = spark.createDataFrame(
+            [(0, "spark is spark not sparkle"), (1, "nothing here")],
+            "doc_id long, text string",
+        )
+        out = (
+            df.filter(F.col("text").rlike(SCRUB_PATTERN))
+            .select(
+                "doc_id",
+                F.regexp_count(F.col("text"), F.lit(SCRUB_PATTERN)).alias("n"),
+                F.regexp_replace("text", SCRUB_PATTERN, "<REDACTED>").alias("s"),
+            )
+            .collect()
+        )
+        assert len(out) == 1
+        assert out[0]["n"] == 2  # word-bounded: 'sparkle' untouched
+        assert out[0]["s"] == "<REDACTED> is <REDACTED> not sparkle"
