@@ -225,3 +225,158 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Benford expected first-digit fractions log10(1+1/d), 6dp — compiled as
+#: literals into BOTH engines' plans so the deviation arithmetic is
+#: bit-identical (no runtime log10).
+BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in BENFORD.items()
+) + " END"
+
+
+@query(
+    "benford_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT regexp_extract(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+                              '([1-9])', 1) AS digit
+        FROM events WHERE value > 0
+    ), counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac,
+           {_BENFORD_CASE} AS benford,
+           ROUND(abs(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                     - {_BENFORD_CASE}), 6) AS deviation
+    FROM counts
+    ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit — THE classic
+    accounting-fraud screen (fabricated amounts over-sample digits 5–9;
+    AutoAudit's domain per `README.md:58-62` accounting/financial
+    datasets). Digit extraction goes through DECIMAL(18,2)→string so
+    both engines see identical text (no float-formatting divergence),
+    then the first [1-9] via RE2∩Java-safe regex.
+
+    Map + 9-group aggregate with map-side combine; the `SUM(n) OVER ()`
+    total runs on the 9 aggregated rows, not the corpus — O(1) whatever
+    the scale. Expected fractions are compiled literals, so frac and
+    deviation are pure deterministic double ops."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.regexp_extract(
+                F.col("value").cast("decimal(18,2)").cast("string"),
+                "([1-9])",
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, p in BENFORD.items() for x in (F.lit(str(d)), F.lit(p))]
+        ),
+        F.col("digit"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    frac = F.col("n").cast("double") / total
+    return counts.select(
+        "digit",
+        "n",
+        F.round(frac, 6).alias("frac"),
+        expected.alias("benford"),
+        F.round(F.abs(frac - expected), 6).alias("deviation"),
+    ).orderBy("digit")
+
+
+#: burst flag threshold (mean + BURST_SIGMA·σ of the user's daily rate)
+BURST_SIGMA = 3.0
+
+#: minimum observed days before a user's rate distribution is trusted
+BURST_MIN_DAYS = 3
+
+
+@query(
+    "burst_detection",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS sx,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+        FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, d.day, d.cnt,
+           ROUND(CAST(s.sx AS DOUBLE) / s.n_days, 6) AS mean_daily,
+           ROUND(sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n_days)
+                      / s.n_days), 6) AS sd_daily
+    FROM daily d JOIN stats s USING (user_id)
+    WHERE s.n_days >= {BURST_MIN_DAYS}
+      AND d.cnt > CAST(s.sx AS DOUBLE) / s.n_days
+                  + {BURST_SIGMA} * sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx
+                                          / s.n_days) / s.n_days)
+    ORDER BY d.user_id, d.day
+    """,
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-burst flags: days where a user's event count exceeds
+    their own mean + 3σ daily rate — the temporal-anomaly complement to
+    `robust_zscore` (value axis) in the audit stack. Variance comes from
+    EXACT integer sums (Σx, Σx²) with a pinned double formula, so the
+    threshold — and hence the flag set — is bit-identical across engines
+    (engine-native var_pop implementations differ in fp accumulation
+    order). Gap days count as absent, not zero; `resample_gap_fill` is
+    the zero-filled feed when that semantics is wanted.
+
+    Two aggregations + one join, all keyed on user_id — a single
+    exchange under AQE exchange reuse. Daily pre-aggregation shrinks the
+    join input to users×days regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n_days"))
+        / F.col("n_days")
+    )
+    return (
+        daily.join(stats, "user_id")
+        .filter(
+            (F.col("n_days") >= BURST_MIN_DAYS)
+            & (F.col("cnt") > mean + F.lit(BURST_SIGMA) * sd)
+        )
+        .select(
+            "user_id",
+            "day",
+            "cnt",
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(sd, 6).alias("sd_daily"),
+        )
+        .orderBy("user_id", "day")
+    )

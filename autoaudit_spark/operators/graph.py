@@ -745,3 +745,208 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "edge_reciprocity",
+    oracle=f"""
+    {_ADJ_CTE},
+    dir AS (SELECT src, dst FROM adj WHERE src <> dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM dir r WHERE r.src = d.dst AND r.dst = d.src)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+           ROUND(CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM dir r WHERE r.src = d.dst AND r.dst = d.src)
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS reciprocity
+    FROM dir d
+    """,
+)
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity: the fraction of distinct edges u→v
+    whose reverse v→u also exists — money flowing straight back is a
+    laundering-loop primitive (the 2-cycle special case of
+    `temporal_cycles`), and graph-level reciprocity is the audit
+    baseline those flags are judged against.
+
+    One self-equi-join on the swapped key (left-semi, so matched edges
+    count once), then a global aggregate — two shuffles on edge keys,
+    no explode, scales as the edge list."""
+    adj = adjacency(spark, sf_dir)
+    d = adj.filter(F.col("src") != F.col("dst"))
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = d.join(rev, ["src", "dst"], "left_semi")
+    return (
+        d.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(recip.agg(F.count("*").cast("long").alias("n_recip")))
+        .select(
+            "n_edges",
+            F.col("n_recip").alias("n_reciprocal"),
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+    {_ADJ_CTE},
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY node
+    ),
+    pairs AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        UNION ALL
+        SELECT db.deg, da.deg
+        FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM pairs
+    )
+    SELECT n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+    FROM s
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over every undirected edge counted in both
+    orientations. Negative values — hubs attached to leaves — are the
+    smurf-star signature at graph level, the aggregate counterpart of
+    AutoAudit's per-pattern MDL blocks.
+
+    Cross-engine-exact because every correlation input (n, Σx, Σy, Σxy,
+    Σx², Σy²) is an exact integer sum; the final Pearson formula runs in
+    double with a pinned operation order. Two broadcast-sized degree
+    joins + one global aggregate; the pair relation is 2|E| rows,
+    map-side-combined to six numbers."""
+    adj = adjacency(spark, sf_dir)
+    und = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.withColumnsRenamed({"node": "a", "deg": "dx"})
+    db = deg.withColumnsRenamed({"node": "b", "deg": "dy"})
+    joined = und.join(da, "a").join(db, "b")
+    pairs = joined.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = F.sqrt(nd * F.col("sx2") - sxd * F.col("sx")) * F.sqrt(
+        nd * F.col("sy2") - syd * F.col("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+#: temporal-cycle report horizon: cycles completing within this many
+#: microseconds of the first hop (fast round-trips are the suspicious ones)
+CYCLE_SPAN_US = 2 * 86_400_000_000
+
+
+@query(
+    "temporal_cycles",
+    oracle=f"""
+    WITH edges AS ({EDGES_SQL}),
+    fe AS (
+        SELECT src, dst, min(ts) AS ts
+        FROM edges WHERE src <> dst GROUP BY src, dst
+    )
+    SELECT e1.src AS a, e2.src AS b, e3.src AS c,
+           e1.ts AS ts1, e3.ts AS ts3,
+           epoch_us(e3.ts) - epoch_us(e1.ts) AS span_us
+    FROM fe e1
+    JOIN fe e2 ON e2.src = e1.dst AND e2.ts > e1.ts
+    JOIN fe e3 ON e3.src = e2.dst AND e3.dst = e1.src AND e3.ts > e2.ts
+    WHERE e1.src <> e2.dst
+      AND epoch_us(e3.ts) - epoch_us(e1.ts) <= {CYCLE_SPAN_US}
+    ORDER BY a, b, c
+    """,
+)
+def q_temporal_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 3-cycles a→b→c→a with strictly increasing first-
+    transaction timestamps, completing within 2 days — the canonical
+    round-tripping / layering pattern an auditor hunts for (money leaves
+    and returns through two intermediaries). Strict ts ordering picks
+    exactly ONE rotation per cycle (the one starting at the earliest
+    edge), so no canonicalization dedup is needed.
+
+    Edges are first collapsed to first-contact (src,dst,min ts) — the
+    multigraph never enters the joins. Two equi-joins on node keys with
+    the time predicates as cheap post-filters; the span bound prunes the
+    third join's output. Same skeleton as `triangle_count`, so the
+    degree-orientation hub refinement applies; at 100 TB the additional
+    lever is partitioning fe by src (both joins key on it)."""
+    from ..sources import edges as edges_src
+
+    edges_df = edges_src(spark, sf_dir)
+    fe = (
+        edges_df.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    e1, e2, e3 = fe.alias("e1"), fe.alias("e2"), fe.alias("e3")
+    span = F.unix_micros(F.col("e3.ts")) - F.unix_micros(F.col("e1.ts"))
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.dst"))
+            & (F.col("e2.ts") > F.col("e1.ts")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e2.dst"))
+            & (F.col("e3.dst") == F.col("e1.src"))
+            & (F.col("e3.ts") > F.col("e2.ts")),
+        )
+        .filter(
+            (F.col("e1.src") != F.col("e2.dst")) & (span <= CYCLE_SPAN_US)
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e2.src").alias("b"),
+            F.col("e3.src").alias("c"),
+            F.col("e1.ts").alias("ts1"),
+            F.col("e3.ts").alias("ts3"),
+            span.alias("span_us"),
+        )
+        .orderBy("a", "b", "c")
+    )

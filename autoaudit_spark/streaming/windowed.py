@@ -955,3 +955,52 @@ def q_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_stream(stream), "stream_funnel_stages", output_mode="append"
     )
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "stage")
+
+
+# ---------------------------------------------------------------------------
+# Streaming latest-snapshot — the CDC "current state" view maintained
+# incrementally: max_by over a (ts, event_id) ordering struct in complete
+# mode. The streaming twin of batch `latest_snapshot` (X22), same oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT user_id, event_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_stream_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family: latest-wins current-state view maintained by the live
+    engine — `max_by(row, (ts, event_id))` per user in complete mode, so
+    each micro-batch upserts arriving keys incrementally (the aggregate
+    state is one row per key, the minimum possible). Ordering struct
+    (ts, event_id) reproduces the batch window's latest-wins tie-break
+    bit-for-bit, so the one-shot ROW_NUMBER oracle hash-matches.
+
+    Scale: state size is O(|keys|), independent of stream length;
+    complete-mode output would be swapped for update-mode + sink upsert
+    on a real deployment (same state, smaller emission)."""
+    stream = replay_events_chunked(
+        spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
+    )
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    row = F.struct("event_id", "event_type", "value", "ts")
+    agg = (
+        stream.filter(F.col("event_id") >= 0)  # drop the replay sentinel
+        .groupBy("user_id")
+        .agg(F.max_by(row, ordkey).alias("r"))
+    )
+    out = drain(agg, "stream_latest_snapshot", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
+        F.col("r.ts").alias("ts"),
+    ).orderBy("user_id")

@@ -176,3 +176,72 @@ class TestTextQuality:
         assert len(out) == 1
         assert out[0]["n"] == 2  # word-bounded: 'sparkle' untouched
         assert out[0]["s"] == "<REDACTED> is <REDACTED> not sparkle"
+
+
+class TestAuditBatch:
+    def test_benford_fracs_sum_to_one(self, spark, sf_dir):
+        rows = QUERIES["benford_digits"](spark, sf_dir).collect()
+        assert {r["digit"] for r in rows} <= set("123456789")
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+        # expected fracs are the Benford constants
+        import math
+
+        for r in rows:
+            want = round(math.log10(1 + 1 / int(r["digit"])), 6)
+            assert r["benford"] == want
+
+    def test_burst_detection_planted(self, spark):
+        import datetime as dt
+
+        rows = []
+        for day in range(10):
+            n = 100 if day == 5 else 2  # planted burst on day 5
+            for i in range(n):
+                rows.append(
+                    (
+                        1,
+                        day * 1000 + i,
+                        dt.datetime(2024, 1, 1 + day, 12, i // 60, i % 60),
+                    )
+                )
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        from pyspark.sql import functions as F
+
+        daily = df.groupBy(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        ).agg(F.count("*").cast("long").alias("cnt"))
+        stats = daily.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("cnt").alias("sx"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+        )
+        mean = F.col("sx").cast("double") / F.col("n")
+        sd = F.sqrt(
+            (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        )
+        flagged = (
+            daily.join(stats, "user_id")
+            .filter(F.col("cnt") > mean + 3.0 * sd)
+            .collect()
+        )
+        assert len(flagged) == 1 and flagged[0]["cnt"] == 100
+
+    def test_reciprocity_crafted(self, spark, sf_dir):
+        out = QUERIES["edge_reciprocity"](spark, sf_dir).collect()[0]
+        assert 0 <= out["n_reciprocal"] <= out["n_edges"]
+        assert 0.0 <= out["reciprocity"] <= 1.0
+
+    def test_assortativity_in_range(self, spark, sf_dir):
+        out = QUERIES["degree_assortativity"](spark, sf_dir).collect()[0]
+        assert -1.0 <= out["assortativity"] <= 1.0
+        assert out["n_pairs"] % 2 == 0  # both orientations counted
+
+    def test_temporal_cycles_ordering_and_span(self, spark, sf_dir):
+        from autoaudit_spark.operators.graph import CYCLE_SPAN_US
+
+        rows = QUERIES["temporal_cycles"](spark, sf_dir).collect()
+        for r in rows[:50]:
+            assert r["ts1"] < r["ts3"]
+            assert 0 < r["span_us"] <= CYCLE_SPAN_US
+            assert len({r["a"], r["b"], r["c"]}) == 3  # genuine 3-cycle
