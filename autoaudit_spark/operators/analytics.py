@@ -380,3 +380,182 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "type_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ), t AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS total,
+               SUM(CAST(ROUND(c * log2(c), 6) AS DECIMAL(18,6))) AS sclog
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, total,
+           ROUND(log2(total) - CAST(sclog AS DOUBLE) / total, 6) AS entropy
+    FROM t
+    ORDER BY user_id
+    """,
+)
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bots/smurf mules hammer one action →
+    entropy ≈ 0; organic users spread out). Uses the identity
+    H = log2(T) − Σc·log2(c)/T so only integer-argument log2 appears;
+    each Σ term is 6dp-quantized to DECIMAL before summation (double
+    addition is not associative — an unquantized SUM would flake with
+    aggregation order), and log2 is the one libm function verified
+    bit-identical across both engines (ln is NOT — last-ulp divergence).
+
+    Two aggregations sharing the user_id key, |types| rows per user in
+    between — the second agg is over a relation 5× smaller than the
+    events scan."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 6).cast("decimal(18,6)")
+        ).alias("sclog"),
+    )
+    return t.select(
+        "user_id",
+        "total",
+        F.round(
+            F.log2("total") - F.col("sclog").cast("double") / F.col("total"), 6
+        ).alias("entropy"),
+    ).orderBy("user_id")
+
+
+@query(
+    "chisq_type_segment",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS seg, e.event_type AS typ,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    ), m AS (
+        SELECT seg, typ, o,
+               CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS rt,
+               CAST(SUM(o) OVER (PARTITION BY typ) AS BIGINT) AS ct,
+               CAST(SUM(o) OVER () AS BIGINT) AS t
+        FROM o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(ROUND(
+               (o - CAST(rt AS DOUBLE) * ct / t)
+               * (o - CAST(rt AS DOUBLE) * ct / t)
+               / (CAST(rt AS DOUBLE) * ct / t), 6) AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS chi2
+    FROM m
+    """,
+)
+def q_chisq_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test between event type and customer market
+    segment — the statistical screen behind "does behavior differ by
+    segment" audit questions. Observed counts are exact integers;
+    expected counts and per-cell terms run in pinned-order double, each
+    cell 6dp-quantized to DECIMAL before the final sum (order-free).
+
+    The contingency table is |segments|×|types| (25 cells) — the window
+    totals and χ² fold run on the aggregated relation, so everything
+    after the first groupBy is O(1) whatever the event volume. The
+    customer dim joins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("seg", F.col("event_type").alias("typ"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    m = o.select(
+        "seg",
+        "typ",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).cast("long").alias("rt"),
+        F.sum("o").over(Window.partitionBy("typ")).cast("long").alias("ct"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("t"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("t")
+    cell = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    return m.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(cell).cast("double"), 6).alias("chi2"),
+    )
+
+
+#: rolling-active window length in days (WAU-7)
+ROLLING_DAYS = 7
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM daily),
+    cover AS (
+        SELECT CAST(UNNEST(generate_series(day, day + INTERVAL {ROLLING_DAYS - 1} DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS cday,
+               user_id
+        FROM daily
+    )
+    SELECT d.day,
+           CAST((SELECT COUNT(*) FROM daily x WHERE x.day = d.day) AS BIGINT)
+               AS dau,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM days d JOIN cover c ON c.cday = d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLLING_DAYS}-day distinct active users per day (DAU +
+    WAU) — the canonical engagement rollup. Spark-first shape: instead
+    of a range join (day BETWEEN d-6 AND d → nested-loop), each (day,
+    user) activity row EXPLODES to the ≤7 future grid days it covers,
+    turning the range condition into an equi-join/groupBy on cday —
+    hash-partitioned, scale-safe, 7× row amplification bounded by the
+    window constant. Days past the observed range drop in the grid
+    semi-join.
+
+    distinct-user daily pre-aggregation first, so the explode runs on
+    users×days rows, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    cover = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), ROLLING_DAYS - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cday"),
+        "user_id",
+    )
+    wau = (
+        cover.join(days.withColumnRenamed("day", "cday"), "cday")
+        .groupBy("cday")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .withColumnRenamed("cday", "day")
+    )
+    dau = daily.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )

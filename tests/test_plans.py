@@ -252,3 +252,52 @@ class TestRound3Plans:
         rows after a full scan."""
         p = plan(q["partition_pruned_scan"](spark, SF))
         assert re.search(r"PartitionFilters: \[.*event_type.*IN", p), p
+
+
+class TestR4AnalyticsBatch:
+    def test_text_scrub_pushes_filter_and_stays_jvm(self, spark, q):
+        p = plan(q["text_scrub"](spark, SF))
+        assert "PushedFilters: [" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_repetition_metrics_is_shuffle_free(self, spark, q):
+        # per-row array lambdas only; the single Exchange allowed is the
+        # final orderBy's range partitioning
+        p = plan(q["repetition_metrics"](spark, SF))
+        assert len(re.findall(r"Arguments: hashpartitioning", p)) == 0
+        assert "rangepartitioning" in p.lower()
+        assert "BatchEvalPython" not in p
+
+    def test_embedding_centroids_single_agg_exchange(self, spark, q):
+        # one hash exchange for the label aggregate (+ the orderBy range
+        # exchange); the explode must sit ABOVE the aggregate
+        p = plan(q["embedding_centroids"](spark, SF))
+        assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+
+    def test_benford_total_is_post_aggregate(self, spark, q):
+        # the SUM() OVER () total runs on the 9-row digit aggregate: the
+        # window's exchange must be SinglePartition over the agg output
+        p = plan(q["benford_digits"](spark, SF))
+        assert "Window" in p and "HashAggregate" in p
+        assert p.index("HashAggregate") < p.index("Window") or "SinglePartition" in p
+
+    def test_chisq_broadcasts_customer_dim(self, spark, q):
+        p = plan(q["chisq_type_segment"](spark, SF))
+        assert "BroadcastHashJoin" in p
+
+    def test_temporal_cycles_uses_equi_joins(self, spark, q):
+        # time predicates ride as post-conditions on hash/SMJ equi-joins;
+        # a nested-loop join here would be quadratic in edges
+        p = plan(q["temporal_cycles"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    def test_rolling_active_users_has_no_range_join(self, spark, q):
+        # the trailing window is an explode + equi-join, not a BETWEEN
+        # nested-loop
+        p = plan(q["rolling_active_users"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        assert "Generate explode" in p or "explode" in p
+
+    def test_latest_snapshot_single_shuffle(self, spark, q):
+        p = plan(q["latest_snapshot"](spark, SF))
+        assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
