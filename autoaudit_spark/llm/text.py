@@ -805,3 +805,70 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+               AS term
+        FROM documents
+    ), cnt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+    perdoc AS (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(log2(c.c), 6) AS DECIMAL(18,6))) AS slog
+        FROM toks k JOIN cnt c USING (term)
+        GROUP BY k.doc_id
+    )
+    SELECT p.doc_id, p.n,
+           ROUND(log2(tot.t) - CAST(p.slog AS DOUBLE) / p.n, 6)
+               AS mean_nll
+    FROM perdoc p CROSS JOIN tot
+    ORDER BY p.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity proxy: per-document mean negative
+    log-likelihood under the corpus's own unigram model — the classic
+    "how surprising is this document" quality signal (KenLM-style
+    filtering with the model degenerated to unigrams; rare-word salads
+    score high, boilerplate scores low). mean_nll = log2(T) −
+    Σlog2(C(w))/n, so only integer-argument log2 appears (bit-identical
+    cross-engine — see `type_entropy`), with each Σ term 6dp-DECIMAL
+    quantized for order-free summation.
+
+    Two shuffles: term-count aggregate, then the token→count equi-join
+    re-aggregated per doc. The global total T is a broadcast 1-row
+    cross join. At 100 TB the count relation is vocabulary-sized —
+    orders smaller than the token stream — and the join hashes on term
+    with map-side combine on both aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(F.col("text")), F.lower)).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    perdoc = (
+        toks.join(cnt, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.log2("c"), 6).cast("decimal(18,6)")).alias("slog"),
+        )
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                F.log2("t") - F.col("slog").cast("double") / F.col("n"), 6
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -559,3 +559,55 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "dau", "wau")
         .orderBy("day")
     )
+
+
+#: columns profiled by `profile_columns` — one per major type family
+PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM lineitem"""
+        for c in PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary — row count, null count, exact distinct
+    cardinality per column (one column per type family: key, measure,
+    categorical, timestamp). The first query every pipeline runs against
+    a new dataset; the approximate twin at 100 TB is
+    `approx_distinct_stats` (HLL), this is the exact form.
+
+    Spark-first shape: ONE pass computes all metrics as a single
+    multi-distinct aggregate (Catalyst expands the distinct columns into
+    one Expand + two-level aggregate — still a single scan), then the
+    1-row result UNPIVOTS via `stack` into the per-column report. The
+    unpivot runs on one row; the scan is never widened or repeated per
+    column (the naive per-column UNION ALL rescans the table 4×)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(
+            (F.count("*") - F.count(c)).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(c).cast("long").alias(f"dist_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_null, n_distinct)",
+        )
+        .select("column_name", "n_rows", "n_null", "n_distinct")
+        .orderBy("column_name")
+    )

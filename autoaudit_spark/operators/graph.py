@@ -950,3 +950,96 @@ def q_temporal_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b", "c")
     )
+
+
+#: negative-sampling parameters: J candidate draws per node, K kept
+NEG_DRAWS = 8
+NEG_KEEP = 3
+_NEG_SEED = 77
+
+
+@query(
+    "negative_edge_sample",
+    oracle=f"""
+    {_ADJ_CTE},
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM adj UNION ALL SELECT dst FROM adj)
+    ),
+    cand AS (
+        SELECT n.node AS src, j.j,
+               ((n.node * 2654435761 + j.j * 97 + {_NEG_SEED}) % 1000003)
+                   % 150 AS dst
+        FROM nodes n
+        CROSS JOIN (SELECT UNNEST(range({NEG_DRAWS})) AS j) j
+    ),
+    valid AS (
+        SELECT c.src, c.j, c.dst
+        FROM cand c
+        JOIN nodes v ON v.node = c.dst
+        WHERE c.dst <> c.src
+          AND NOT EXISTS (SELECT 1 FROM adj a
+                          WHERE a.src = c.src AND a.dst = c.dst)
+    ),
+    dedup AS (
+        SELECT src, j, dst FROM (
+            SELECT src, j, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY j) AS r1
+            FROM valid) WHERE r1 = 1
+    )
+    SELECT src, dst, CAST(j AS BIGINT) AS draw
+    FROM (
+        SELECT src, dst, j,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY j) AS r2
+        FROM dedup) WHERE r2 <= {NEG_KEEP}
+    ORDER BY src, dst
+    """,
+)
+def q_negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling: up to K non-edges per node,
+    drawn by modular hash — the training-data counterpart of the graph
+    operators (link-prediction / GNN training needs negatives sampled
+    reproducibly, not via rand()). Candidates are generated MAP-SIDE
+    (node × J arithmetic, no N² cross join), validated against the node
+    universe, and anti-joined against the real edge set; dedup and top-K
+    are two windows over node-keyed, J-bounded relations.
+
+    At 100 TB: candidate volume is |V|×J rows (linear), the anti-join
+    hashes on the edge key, and nothing enumerates non-edges blindly —
+    the standard trick for sampling the O(N²) complement in O(N·J)."""
+    adj = adjacency(spark, sf_dir)
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .unionAll(adj.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    j = spark.range(NEG_DRAWS).select(F.col("id").alias("j"))
+    cand = nodes.crossJoin(F.broadcast(j)).select(
+        F.col("node").alias("src"),
+        "j",
+        (
+            (F.col("node") * 2654435761 + F.col("j") * 97 + _NEG_SEED)
+            % 1000003
+            % 150
+        ).alias("dst"),
+    )
+    valid = (
+        cand.filter(F.col("dst") != F.col("src"))
+        .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .join(adj, ["src", "dst"], "left_anti")
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("src", "dst").orderBy("j")
+    dedup = (
+        valid.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") == 1)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("src").orderBy("j")
+    return (
+        dedup.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= NEG_KEEP)
+        .select("src", "dst", F.col("j").cast("long").alias("draw"))
+        .orderBy("src", "dst")
+    )

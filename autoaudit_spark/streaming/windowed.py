@@ -1004,3 +1004,78 @@ def q_stream_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.value").alias("value"),
         F.col("r.ts").alias("ts"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch CDC materialization — the sink-side merge pattern: every
+# micro-batch upserts into a parquet "current state" table (read-modify-
+# write with latest-wins). This is what a deployment without a
+# transactional table format does; with Delta/Iceberg the foreachBatch
+# body becomes MERGE INTO and the rest is unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT user_id, event_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family: foreachBatch upsert materialization — each micro-batch
+    merges into an on-disk parquet snapshot (read current → union batch
+    → latest-wins per key → write next version). Unlike
+    `stream_latest_snapshot` (engine-held aggregation state) the state
+    here lives in the SINK, which is how production pipelines persist a
+    CDC current-state table the rest of the warehouse can read
+    mid-stream. Versioned directories sidestep the read-while-overwrite
+    hazard; a transactional format (Delta/Iceberg MERGE) collapses the
+    body to one statement with the same plan shape.
+
+    Latest-wins uses the same (ts, event_id) max_by tie-break as the
+    batch window oracle, applied WITHIN each merge — associative, so
+    the incremental fold equals the one-shot ROW_NUMBER result
+    bit-for-bit."""
+    import shutil
+
+    stream = replay_events_chunked(
+        spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
+    )
+    base = tempfile.mkdtemp(prefix="upsert_state_")
+    state = {"ver": 0}
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    row = F.struct("event_id", "event_type", "value", "ts")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        b = batch.filter(F.col("event_id") >= 0).select(*cols)
+        cur_dir = f"{base}/v{state['ver']}"
+        if state["ver"] > 0:
+            cur = batch.sparkSession.read.parquet(cur_dir)
+            b = b.unionByName(cur)
+        merged = (
+            b.groupBy("user_id")
+            .agg(F.max_by(row, ordkey).alias("r"))
+            .select("user_id", "r.*")
+        )
+        state["ver"] += 1
+        merged.write.mode("overwrite").parquet(f"{base}/v{state['ver']}")
+
+    ck = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(f"{base}/v{state['ver']}").select(*cols)
+    out = final.orderBy("user_id").localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return out

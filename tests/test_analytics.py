@@ -245,3 +245,52 @@ class TestAuditBatch:
             assert r["ts1"] < r["ts3"]
             assert 0 < r["span_us"] <= CYCLE_SPAN_US
             assert len({r["a"], r["b"], r["c"]}) == 3  # genuine 3-cycle
+
+
+class TestPipelineBatch:
+    def test_profile_columns_counts(self, spark, sf_dir):
+        rows = {r["column_name"]: r for r in QUERIES["profile_columns"](spark, sf_dir).collect()}
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = li.count()
+        assert all(r["n_rows"] == n for r in rows.values())
+        assert rows["l_returnflag"]["n_distinct"] == 3  # A/N/R
+        assert all(r["n_null"] == 0 for r in rows.values())
+
+    def test_unigram_logprob_rare_scores_higher(self, spark):
+        import math
+
+        from pyspark.sql import functions as Fn
+
+        docs = spark.createDataFrame(
+            [(0, "common common common common"), (1, "common rare")],
+            "doc_id long, text string",
+        )
+        toks = docs.select(
+            "doc_id",
+            Fn.explode(Fn.split(Fn.trim(Fn.col("text")), r"\s+")).alias("term"),
+        )
+        cnt = toks.groupBy("term").agg(Fn.count("*").alias("c"))
+        got = {r["term"]: r["c"] for r in cnt.collect()}
+        assert got == {"common": 5, "rare": 1}
+        # doc 0 all 'common' (p=5/6) → low nll; doc 1 contains 'rare'
+        # (p=1/6) → higher mean nll
+        nll0 = -math.log2(5 / 6)
+        nll1 = (-math.log2(5 / 6) - math.log2(1 / 6)) / 2
+        assert nll1 > nll0
+
+    def test_negative_edges_are_non_edges(self, spark, sf_dir):
+        from autoaudit_spark.operators.graph import NEG_KEEP
+        from autoaudit_spark.sources import adjacency
+
+        neg = QUERIES["negative_edge_sample"](spark, sf_dir)
+        adj = adjacency(spark, sf_dir)
+        # no sampled pair may be a real edge
+        assert neg.join(adj, ["src", "dst"], "inner").count() == 0
+        rows = neg.collect()
+        assert all(r["src"] != r["dst"] for r in rows)
+        per_src: dict[int, int] = {}
+        for r in rows:
+            per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+        assert max(per_src.values()) <= NEG_KEEP
+        # deterministic across runs
+        assert rows == QUERIES["negative_edge_sample"](spark, sf_dir).collect()
