@@ -839,3 +839,78 @@ def q_near_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= LEV_MAX)
         .orderBy("id1", "id2")
     )
+
+
+#: containment threshold — max-directional |A∩B|/min(|A|,|B|) cut
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "containment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+        WHERE len(t) >= {SHINGLE_K}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc1, i.doc2,
+           ROUND(CAST(i.both AS DOUBLE) / s1.sz, 6) AS c12,
+           ROUND(CAST(i.both AS DOUBLE) / s2.sz, 6) AS c21
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE CAST(i.both AS DOUBLE) / LEAST(s1.sz, s2.sz)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc1, doc2
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 asymmetric variant: shingle CONTAINMENT C(A→B) = |A∩B|/|A| —
+    the measure that catches a short document embedded inside a long one
+    (quote farms, boilerplate wrappers), which symmetric Jaccard misses
+    because the union is dominated by the larger doc. Reported in both
+    directions; the pair qualifies when the max-directional containment
+    (= intersection over the SMALLER set) clears the threshold.
+
+    Same equi-join-on-shingle skeleton as `near_dup_jaccard` (this is
+    the bounded oracle form; at scale the candidate pairs come from the
+    MinHash-LSH buckets and this ratio is computed only on candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("doc_id", "doc1")
+    b = sh.withColumnRenamed("doc_id", "doc2")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("both"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"})
+    both_d = F.col("both").cast("double")
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(
+            both_d / F.least("sz1", "sz2") >= CONTAINMENT_THRESHOLD
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.round(both_d / F.col("sz1"), 6).alias("c12"),
+            F.round(both_d / F.col("sz2"), 6).alias("c21"),
+        )
+        .orderBy("doc1", "doc2")
+    )

@@ -872,3 +872,55 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: feature-hashing dimensionality (HashingTF equivalent)
+HTF_BUCKETS = 64
+
+
+@query(
+    "hashing_tf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+               AS term
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_ARITH_TOK_SQL.format(tok='term')} % {HTF_BUCKETS}
+               AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (HashingTF): terms fold into a fixed 64-bucket
+    vocabulary by hash — the vocabulary-free featurization every
+    large-scale text classifier uses (no dictionary to build, ship, or
+    shuffle). Portable polynomial hash here so the oracle is exact;
+    the scale default swaps xxhash64 (same plan, wider hash).
+
+    Plan shape: term frequencies aggregate FIRST (docs×terms, map-side
+    combined), the per-character polynomial hash then runs only on the
+    DISTINCT terms (vocabulary-sized — orders smaller than the token
+    stream) and joins back on term, and the final (doc_id, bucket) sum
+    collapses to ≤64 rows per doc. Hash work scales with |vocab|, not
+    corpus size — the same reason term dictionaries are built on
+    distinct terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    vocab = tf.select("term").distinct().select(
+        "term", (arith_token_hash(F.col("term")) % HTF_BUCKETS).alias("bucket")
+    )
+    return (
+        tf.join(vocab, "term")
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("n").cast("long").alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -611,3 +611,62 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_rows", "n_null", "n_distinct")
         .orderBy("column_name")
     )
+
+
+#: minimum run length reported by `event_runs`
+RUN_MIN_LEN = 3
+
+
+@query(
+    "event_runs",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS rnt
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM seq
+    GROUP BY user_id, event_type, rn - rnt
+    HAVING COUNT(*) >= {RUN_MIN_LEN}
+    ORDER BY user_id, start_ts
+    """,
+)
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding: maximal streaks of the SAME
+    event type per user (rn − rn_per_type is constant within a streak —
+    the classic islands idiom), reporting runs of ≥3. Repetitive-action
+    streaks (N identical transfers in a row) are a first-order audit
+    flag, and RLE is the general sequence-compression primitive.
+
+    Both ROW_NUMBERs ride the SAME (user_id | ts, event_id) sort, so
+    Catalyst collapses them into one window stage over one exchange —
+    a second shuffle only for the post-group HAVING aggregate keyed by
+    the island id."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .filter(F.col("run_len") >= RUN_MIN_LEN)
+        .select("user_id", "event_type", "run_len", "start_ts", "end_ts")
+        .orderBy("user_id", "start_ts")
+    )

@@ -294,3 +294,71 @@ class TestPipelineBatch:
         assert max(per_src.values()) <= NEG_KEEP
         # deterministic across runs
         assert rows == QUERIES["negative_edge_sample"](spark, sf_dir).collect()
+
+
+class TestSequenceAndSimilarity:
+    def test_event_runs_islands_crafted(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        types = ["a", "a", "a", "b", "a", "a", "b", "b", "b", "b"]
+        df = spark.createDataFrame(
+            [
+                (1, i, t0 + dt.timedelta(minutes=i), t)
+                for i, t in enumerate(types)
+            ],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        from pyspark.sql import Window
+
+        w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        runs = (
+            df.select(
+                "event_type",
+                (
+                    F.row_number().over(w_all) - F.row_number().over(w_typ)
+                ).alias("grp"),
+            )
+            .groupBy("event_type", "grp")
+            .count()
+            .collect()
+        )
+        got = sorted((r["event_type"], r["count"]) for r in runs)
+        # runs: aaa, b, aa, bbbb
+        assert got == [("a", 2), ("a", 3), ("b", 1), ("b", 4)]
+
+    def test_containment_catches_subset_jaccard_misses(self, spark):
+        from autoaudit_spark.llm.dedup import shingles
+
+        short = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 5-shingles
+        long = short + " " + " ".join(f"w{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(0, short), (1, long)], "doc_id long, text string"
+        )
+        sh = shingles(docs)
+        sizes = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        both = (
+            sh.withColumnRenamed("doc_id", "d1")
+            .join(sh.withColumnRenamed("doc_id", "d2"), "shingle")
+            .filter(F.col("d1") < F.col("d2"))
+            .count()
+        )
+        # containment of the short doc is total; jaccard is small
+        c = both / sizes[0]
+        j = both / (sizes[0] + sizes[1] - both)
+        assert c == 1.0 and j < 0.2
+
+    def test_hashing_tf_bucket_range_and_mass(self, spark, sf_dir):
+        from autoaudit_spark.llm.text import HTF_BUCKETS
+
+        rows = QUERIES["hashing_tf"](spark, sf_dir).collect()
+        assert all(0 <= r["bucket"] < HTF_BUCKETS for r in rows)
+        # total tf mass equals the token count
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_tokens = docs.select(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert sum(r["tf"] for r in rows) == n_tokens
