@@ -555,3 +555,62 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry arithmetic unit-tested)."""
     mm = multimodal_table(spark, sf_dir)
     return resize_media(mm).orderBy("doc_id")
+
+
+@query(
+    "media_features_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER)
+                     % 240 AS INTEGER) AS width,
+           CAST(16 + CAST(('0x' || substring(sha256(text), 3, 2)) AS INTEGER)
+                     % 240 AS INTEGER) AS height,
+           'fake' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 on the `mapInArrow` tier (Spark 4): the same sha256 fake-decode
+    pipeline as `media_features_hashed`, but the kernel consumes and
+    produces raw `pyarrow.RecordBatch`es — no pandas materialization, no
+    per-column Series boxing. For binary-heavy media payloads this is
+    the preferred path at scale: Arrow buffers pass through zero-copy
+    and the Python side touches only the bytes it reads. Same oracle as
+    the mapInPandas twin, so the driver hash-checks both API tiers."""
+    import pyarrow as pa
+
+    mm = multimodal_table(spark, sf_dir)
+
+    def run(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            payloads = batch.column("payload")
+            w, h, fmt, nb = [], [], [], []
+            for p in payloads:
+                b = p.as_py()
+                a, bb, c = decode_image_fake256(b)
+                w.append(a)
+                h.append(bb)
+                fmt.append(c)
+                nb.append(len(b))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(w, pa.int32()),
+                    pa.array(h, pa.int32()),
+                    pa.array(fmt, pa.string()),
+                    pa.array(nb, pa.int64()),
+                ],
+                names=["doc_id", "width", "height", "format", "payload_bytes"],
+            )
+
+    return (
+        mm.select("doc_id", "payload")
+        .mapInArrow(
+            run,
+            "doc_id long, width int, height int, format string,"
+            " payload_bytes long",
+        )
+        .orderBy("doc_id")
+    )

@@ -901,3 +901,53 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_gs")
     return spark.sql(_GROUPING_SETS_SQL.format(src="events_gs"))
+
+
+# ---------------------------------------------------------------------------
+# X8 on the VariantType tier (Spark 4): semi-structured JSON parsed ONCE
+# into the binary Variant encoding, then typed-path access — the modern
+# replacement for per-access get_json_object string re-parsing.
+# ---------------------------------------------------------------------------
+@query(
+    "variant_props_extract",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(props->>'$.k' AS INTEGER) AS k, value FROM events
+    )
+    SELECT CAST(k // 10 AS BIGINT) AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (VariantType tier): `parse_json` → binary Variant →
+    `variant_get` typed path access, aggregated by decade of the
+    extracted field. Functionally a twin of `json_props_extract`, but
+    the props string is parsed ONCE into Spark 4's Variant encoding and
+    every subsequent access is a typed binary read — at 100 TB, N path
+    accesses over get_json_object re-parse the string N times, while
+    Variant parses once and shreds; this query pins that API tier.
+
+    DECIMAL money sum per repo convention; integer division floors
+    identically in both engines for the non-negative k domain."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    k = v.select(
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"), "value"
+    )
+    return (
+        k.groupBy((F.col("k") / 10).cast("long").alias("k_decade"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tot_value"),
+        )
+        .orderBy("k_decade")
+    )

@@ -52,6 +52,6 @@ def load_all() -> None:
     from .operators import graph, relational, features, windows, temporal_joins, analytics  # noqa: F401
     from .mining import powerlaw, mdl, smurf, iforest, sketch, change, generator  # noqa: F401
     from .llm import dedup, similarity, text, multimodal  # noqa: F401
-    from .sources import bucketed  # noqa: F401
+    from .sources import bucketed, pysource  # noqa: F401
     from .streaming import windowed  # noqa: F401
     from .functions import udtf  # noqa: F401

