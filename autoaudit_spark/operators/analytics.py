@@ -235,9 +235,9 @@ BENFORD = {
     6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
 }
 
-_BENFORD_CASE = "CASE digit " + " ".join(
+_BENFORD_CASE = "CAST(CASE digit " + " ".join(
     f"WHEN '{d}' THEN {p}" for d, p in BENFORD.items()
-) + " END"
+) + " END AS DOUBLE)"
 
 
 @query(

@@ -330,3 +330,73 @@ class TestTransformWithState:
         # this container lacks protobuf; if that ever changes, the
         # registration gate flips on and the query joins the oracle sweep
         assert isinstance(tws_available(), bool)
+
+
+class TestCheckpointRecovery:
+    def test_foreachbatch_resumes_exactly_once(self, spark, sf_dir, tmp_path):
+        """Kill a streaming query mid-replay and restart it from the SAME
+        checkpoint: the micro-batch log must resume without losing or
+        double-counting rows. foreachBatch writes each batch to a
+        batch-id-keyed dir with overwrite — the idempotent-sink pattern
+        that turns at-least-once replay into exactly-once results."""
+        import glob
+        import time as _time
+
+        from pyspark.sql import functions as Fn
+
+        from autoaudit_spark.streaming.windowed import replay_events_chunked
+
+        stream = replay_events_chunked(spark, sf_dir, n_chunks=3, delay="30 days")
+        ck = str(tmp_path / "ck")
+        out = str(tmp_path / "out")
+
+        def write_batch(batch, batch_id):
+            (
+                batch.filter(Fn.col("event_id") >= 0)
+                .select("user_id", "event_id", "value")
+                .write.mode("overwrite")
+                .parquet(f"{out}/batch-{batch_id}")
+            )
+
+        # phase 1: normal trigger, stop after the first committed batch
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) > 0:
+                break
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        n_before = len(glob.glob(f"{out}/batch-*"))
+        assert n_before >= 1  # crashed mid-replay, some batches committed
+
+        # phase 2: SAME checkpoint + sink, drain the rest
+        q2 = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = spark.read.parquet(f"{out}/batch-*")
+        want = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # exactly-once: same row count, same distinct ids, same value sum
+        assert got.count() == want.count()
+        assert (
+            got.select("event_id").distinct().count()
+            == want.select("event_id").distinct().count()
+        )
+        g = got.agg(
+            Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("s")
+        ).collect()[0]["s"]
+        w = want.agg(
+            Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("s")
+        ).collect()[0]["s"]
+        assert g == w
