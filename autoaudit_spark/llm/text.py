@@ -924,3 +924,98 @@ def q_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("tf"))
         .orderBy("doc_id", "bucket")
     )
+
+
+#: GPT-2-style pretokenizer, reduced to the RE2 ∩ Java common subset
+#: (no lookahead — RE2 has none): word / number / punctuation runs with
+#: leading-space absorption, plus whitespace runs.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@query(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_ws,
+           ROUND(CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                      AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS bpe_per_word
+    FROM documents WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pretokenizer (the GPT-2 regex
+    family, reduced to the RE2∩Java-safe subset) alongside the
+    whitespace count — the tokens-per-word ratio is the standard
+    "how expensive is this document in model tokens" estimator a
+    training-budget pipeline needs before it ever runs a real BPE
+    merge table. Map-only per-row regex in the JVM; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    ws = F.size(_tokens(F.col("text")))
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            bpe.cast("long").alias("n_bpe"),
+            ws.cast("long").alias("n_ws"),
+            F.round(bpe.cast("double") / ws, 6).alias("bpe_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: md5-decile split bounds: [0,8) train, 8 val, 9 test
+SPLIT_SEED = "s1"
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('{SPLIT_SEED}' || CAST(doc_id
+                    AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS dec
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN dec < 8 THEN 'train'
+                WHEN dec = 8 THEN 'val' ELSE 'test' END AS split
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by seeded md5
+    decile of the doc id — stable under reruns, re-partitioning, AND
+    corpus growth (a doc's split never changes when other docs arrive,
+    which rand()-based splitting cannot guarantee). The seed string
+    versions the split. Map-only; the hex-prefix→int decile is the
+    engine-portable uniform hash (md5 matches byte-for-byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SEED), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(dec < 8, "train")
+            .when(dec == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -390,3 +390,25 @@ class TestModernAPITiers:
         a = QUERIES["media_features_arrow"](spark, sf_dir).collect()
         b = QUERIES["media_features_hashed"](spark, sf_dir).collect()
         assert a == b
+
+
+class TestTokenBudgetOps:
+    def test_bpe_counts_at_least_ws(self, spark, sf_dir):
+        rows = QUERIES["bpe_token_count"](spark, sf_dir).collect()
+        # the BPE-ish pretokenizer never merges across whitespace, so it
+        # produces at least one token per whitespace word
+        assert all(r["n_bpe"] >= r["n_ws"] for r in rows)
+        assert all(r["bpe_per_word"] >= 1.0 for r in rows)
+
+    def test_dataset_split_deterministic_and_near_80_10_10(self, spark, sf_dir):
+        rows = QUERIES["dataset_split"](spark, sf_dir).collect()
+        again = QUERIES["dataset_split"](spark, sf_dir).collect()
+        assert rows == again
+        n = len(rows)
+        frac = {
+            s: sum(1 for r in rows if r["split"] == s) / n
+            for s in ("train", "val", "test")
+        }
+        assert 0.7 < frac["train"] < 0.9
+        assert 0.04 < frac["val"] < 0.17
+        assert 0.04 < frac["test"] < 0.17
