@@ -304,25 +304,25 @@ def _sketch_values_hashed_impl(
     sums_cp = sums.select(
         "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
     )
+    # INCREMENTAL best state (r4 continuation): `best(sketch, account)`
+    # carries max-over-chosen-columns forward round to round —
+    # best_{t+1} = greatest(best_t, s[account, pick_t]) — instead of
+    # recomputing max over ALL chosen picks from `members` each round.
+    # Identical values (max is associative; DECIMAL comparisons exact —
+    # A/B-verified bit-identical picks at sf0.1), and measured 5-6×
+    # faster on the greedy rounds (16.3 s → 2.5 s at sf0.1 quiet): the
+    # recompute form re-analyzed and re-ran a members⋈chosen⋈sums
+    # groupBy per round, the incremental form is one broadcast-pick
+    # lookup join. localCheckpoint bounds every round's plan at O(1)
+    # depth; the materialized state is the accounts-sized `best`
+    # relation — the same rows the recompute form shuffled per round
+    # anyway, now written once per round instead of recomputed.
     remaining = cands
     chosen: DataFrame | None = None
-    for _ in range(NUM_DST):
-        if chosen is not None:
-            best = (
-                members.join(
-                    F.broadcast(chosen.withColumnRenamed("pair_id", "cp")),
-                    "sketch_id",
-                )
-                .join(sums_cp, ["account", "cp"], "left")
-                .groupBy("sketch_id", "account")
-                .agg(
-                    F.greatest(zero, F.max(F.coalesce(F.col("cs"), zero)))
-                    .cast("decimal(38,6)")
-                    .alias("best")
-                )
-            )
-        else:
-            best = members.select("sketch_id", "account", zero.alias("best"))
+    best = members.select(
+        "sketch_id", "account", zero.alias("best")
+    ).localCheckpoint()
+    for rnd in range(NUM_DST):
         gains = (
             remaining.join(best, "sketch_id", "left")
             .join(sums, ["account", "pair_id"], "left")
@@ -347,6 +347,25 @@ def _sketch_values_hashed_impl(
         remaining = remaining.join(
             pick, ["sketch_id", "pair_id"], "left_anti"
         )
+        if rnd < NUM_DST - 1:
+            # pick is 1 row per sketch → the join preserves best 1:1;
+            # greatest(best, s[pick]) ≥ 0 holds inductively from the
+            # zero-initialised state
+            best = (
+                best.join(
+                    F.broadcast(pick.withColumnRenamed("pair_id", "cp")),
+                    "sketch_id",
+                )
+                .join(sums_cp, ["account", "cp"], "left")
+                .select(
+                    "sketch_id",
+                    "account",
+                    F.greatest(F.col("best"), F.coalesce(F.col("cs"), zero))
+                    .cast("decimal(38,6)")
+                    .alias("best"),
+                )
+                .localCheckpoint()
+            )
     if gp is not None:
         # restore BEFORE the data-sized vals aggregation below — only the
         # parameter-sized greedy rounds may run narrow
