@@ -229,6 +229,14 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash functions differ across engines); the Jaccard verifier is
     oracle-pinned separately."""
     docs = load_table(spark, sf_dir, "documents")
+    # the local testdata ships documents as ONE parquet split, which
+    # would serialize the CPU-heavy shingle derivation onto a single
+    # task; hash-repartition by doc_id first (deterministic, value-free
+    # — at 100 TB the scan already has thousands of splits and this
+    # exchange is balance insurance, not a bottleneck)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh = hashed_shingles(docs).persist()
     sig = minhash_signatures(sh)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
@@ -428,6 +436,9 @@ def q_near_dup_minhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable: polynomial shingle hash, affine permutations,
     arithmetic band folds."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh = hashed_shingles_arith(docs).persist()
     sig = minhash_signatures(sh)
     rpb = MINHASH_PERMS // LSH_BANDS
