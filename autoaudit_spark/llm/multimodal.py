@@ -35,6 +35,12 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a typed metadata struct."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # the local testdata ships documents as ONE single-row-group parquet
+    # file → a 1-task scan stage, which would serialize every downstream
+    # Python/Arrow media kernel; hash-repartition by doc_id (value-free,
+    # deterministic). At 100 TB the scan has thousands of splits and the
+    # media kernels are the expensive stage this exchange keeps balanced.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return (
         docs.join(emb, docs.doc_id == emb.vec_id, "left")
         .select(
