@@ -183,3 +183,88 @@ class TestCodecProperties:
         assert out.shape[0] <= 4 and out.shape[1] <= max(4, len(v) and 4)
         # every output value exists in the input (nearest-neighbor, no blend)
         assert np.isin(out.reshape(-1), img.reshape(-1)).all()
+
+
+class TestR4OperatorProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40)
+    )
+    def test_rle_islands_partition_the_sequence(self, types):
+        """Gaps-and-islands invariants on arbitrary sequences: run
+        lengths sum to n, and consecutive runs never share a type."""
+        runs: list[tuple[str, int]] = []
+        for t in types:
+            if runs and runs[-1][0] == t:
+                runs[-1] = (t, runs[-1][1] + 1)
+            else:
+                runs.append((t, 1))
+        # reference RLE above; the SQL identity below must agree
+        rn_all = list(range(1, len(types) + 1))
+        seen: dict[str, int] = {}
+        groups: dict[tuple[str, int], int] = {}
+        for i, t in enumerate(types):
+            seen[t] = seen.get(t, 0) + 1
+            grp = rn_all[i] - seen[t]
+            groups[(t, grp)] = groups.get((t, grp), 0) + 1
+        assert sorted(groups.values()) == sorted(l for _, l in runs)
+        assert sum(groups.values()) == len(types)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**9))
+    def test_dataset_split_stable_under_growth(self, doc_id):
+        """A doc's split depends only on (seed, doc_id) — adding other
+        docs can never move it (the property rand()-splits lack)."""
+        import hashlib
+
+        from autoaudit_spark.llm.text import SPLIT_SEED
+
+        h = hashlib.md5(f"{SPLIT_SEED}{doc_id}".encode()).hexdigest()
+        dec = int(h[:8], 16) % 10
+        assert 0 <= dec <= 9  # pure function of the id: growth-stable
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.01, max_value=500, allow_nan=False),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_benford_digit_extraction_matches_string_path(self, values):
+        """The DECIMAL→string first-[1-9] digit equals the mathematical
+        first significant digit for the 2dp-positive domain."""
+        import re
+        from decimal import Decimal, ROUND_HALF_UP
+
+        for v in values:
+            d2 = Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+            if d2 <= 0:
+                continue
+            m = re.search(r"[1-9]", str(d2))
+            want = None
+            x = float(d2)
+            while x < 1:
+                x *= 10
+            while x >= 10:
+                x /= 10
+            want = str(int(x))
+            if m:
+                assert m.group(0) == want
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=100), min_size=2, max_size=20)
+    )
+    def test_burst_threshold_from_exact_moments(self, counts):
+        """The pinned-formula sd from integer moment sums equals
+        population stddev computed directly."""
+        import math
+
+        n = len(counts)
+        sx = sum(counts)
+        sxx = sum(c * c for c in counts)
+        var = (sxx - sx * sx / n) / n
+        mean = sx / n
+        direct = sum((c - mean) ** 2 for c in counts) / n
+        assert math.isclose(max(var, 0.0), direct, rel_tol=1e-9, abs_tol=1e-9)
