@@ -652,3 +652,225 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("p.d").alias("d"), F.col("p.centroid").alias("centroid"))
         .orderBy("label", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 scale path #4: Product Quantization (PQ) ANN — the memory-bound
+# regime's standard (IVF bounds WORK per query; PQ bounds BYTES per
+# vector: 64 floats → PQ_M codes). Like IVF, the whole pipeline —
+# per-subspace k-means training included — is exactly reproducible in
+# ANSI SQL via the DECIMAL-mean discipline, so training, encoding, and
+# ADC scoring all sit under one value-hash oracle.
+# ---------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M × PQ_SUB = EMB_DIM)
+PQ_K = 16       # centroids per subspace (codes fit 4 bits)
+PQ_ROUNDS = 1   # Lloyd rounds per subspace
+PQ_TOPK = 5
+
+
+def _pq_d2(x, c):
+    """Squared L2 via the dot identity, pinned operation order
+    ((x·x − 2(x·c)) + c·c) — mirrors the oracle's
+    `list_dot_product(x,x) - 2*list_dot_product(x,c) +
+    list_dot_product(c,c)` exactly."""
+    return _dot(x, x) - F.lit(2.0) * _dot(x, c) + _dot(c, c)
+
+
+def _pq_code_expr(sub, cents_m):
+    """argmin centroid id for one subspace: sort 16 (round(d2,6), cid)
+    structs ascending, take the first — ROUND+cid tie-break identical to
+    the oracle's ROW_NUMBER ORDER BY."""
+    entries = [
+        F.struct(
+            F.round(
+                _pq_d2(sub, F.array(*[F.lit(float(x)) for x in cv])), 6
+            ).alias("d2"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in cents_m
+    ]
+    return F.element_at(F.array_sort(F.array(*entries)), 1)["cid"]
+
+
+def _pq_sub(col, m):
+    return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+
+def pq_train(spark: SparkSession, emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace Lloyd training, model collected to the driver
+    (PQ_M × PQ_K × PQ_SUB floats — parameters, not data). Init = the
+    first PQ_K corpus vectors' subspace slices; each round is ONE
+    aggregation job across all subspaces (per-m assignment expressions
+    unioned, grouped DECIMAL(18,6) component sums / count → bit-identical
+    means, the `_lloyd_round` discipline). Empty clusters keep their
+    previous centroid."""
+    first = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    cents = [
+        [
+            (int(r["vec_id"]), [float(x) for x in r["v"]][m * PQ_SUB:(m + 1) * PQ_SUB])
+            for r in first
+        ]
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ROUNDS):
+        parts = []
+        for m in range(PQ_M):
+            sub = _pq_sub(F.col("v"), m)
+            parts.append(
+                emb.select(
+                    F.lit(m).alias("m"),
+                    _pq_code_expr(sub, cents[m]).alias("cid"),
+                    *[
+                        F.element_at(sub, d + 1).cast("decimal(18,6)").alias(f"x{d}")
+                        for d in range(PQ_SUB)
+                    ],
+                )
+            )
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionAll(p)
+        rows = (
+            un.groupBy("m", "cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"x{d}").alias(f"s{d}") for d in range(PQ_SUB)],
+            )
+            .collect()
+        )
+        got = {
+            (r["m"], r["cid"]): [
+                float(r[f"s{d}"]) / r["n"] for d in range(PQ_SUB)
+            ]
+            for r in rows
+        }
+        cents = [
+            [
+                (cid, got.get((m, cid), cv))
+                for cid, cv in cents[m]
+            ]
+            for m in range(PQ_M)
+        ]
+    return cents
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "list_dot_product(s.x, s.x) - 2*list_dot_product(s.x, c.cv) "
+        "+ list_dot_product(c.cv, c.cv)"
+    )
+    assign = (
+        "SELECT vec_id, m, cid FROM ("
+        " SELECT s.vec_id, s.m, c.cid,"
+        f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m"
+        f"   ORDER BY ROUND({d2}, 6), c.cid) AS rn"
+        " FROM sub s JOIN {cents} c ON c.m = s.m) WHERE rn = 1"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ms AS (SELECT UNNEST(range({PQ_M})) AS m),
+    sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.v, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB})
+                   AS x
+        FROM e CROSS JOIN ms
+    ),
+    c0 AS (SELECT m, vec_id AS cid, x AS cv FROM sub WHERE vec_id < {PQ_K}),
+    a1 AS ({assign.format(cents='c0')}),
+    m1 AS (
+        SELECT a.m, a.cid, dd.d,
+               CAST(SUM(CAST(s.x[dd.d + 1] AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+        CROSS JOIN (SELECT UNNEST(range({PQ_SUB})) AS d) dd
+        GROUP BY a.m, a.cid, dd.d
+    ),
+    cv1 AS (SELECT m, cid, list(mu ORDER BY d) AS mv FROM m1 GROUP BY m, cid),
+    c1 AS (
+        SELECT p.m, p.cid, COALESCE(n.mv, p.cv) AS cv
+        FROM c0 p LEFT JOIN cv1 n ON n.m = p.m AND n.cid = p.cid
+    ),
+    codes AS ({assign.format(cents='c1')}),
+    q AS (SELECT vec_id AS query_id, m, x FROM sub WHERE vec_id < {N_QUERIES}),
+    terms AS (
+        SELECT q.query_id, k.vec_id,
+               CAST(ROUND(list_dot_product(q.x, q.x)
+                          - 2*list_dot_product(q.x, c.cv)
+                          + list_dot_product(c.cv, c.cv), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM codes k
+        JOIN c1 c ON c.m = k.m AND c.cid = k.cid
+        JOIN q ON q.m = k.m
+        WHERE k.vec_id <> q.query_id
+    ),
+    dists AS (
+        SELECT query_id, vec_id, SUM(t) AS dist
+        FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+           CAST(dist AS DOUBLE) AS dist
+    FROM (
+        SELECT query_id, vec_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dist, vec_id) AS rk
+        FROM dists)
+    WHERE rk <= {PQ_TOPK}
+    ORDER BY query_id, rk
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 PQ: train per-subspace codebooks (DECIMAL-exact Lloyd), encode
+    every vector as PQ_M 4-bit codes, score queries by asymmetric
+    distance (exact query subvector vs the code's centroid, summed over
+    subspaces as 6dp DECIMALs — order-free), rank top-k.
+
+    Scale story: the corpus side carries ONLY the codes (PQ_M bytes per
+    vector vs 256 for raw floats — what makes billion-vector indexes
+    RAM-resident); encoding and scoring are map-only against
+    literal/broadcast codebooks (plan has no shuffle until the per-query
+    top-k); at 100 TB this composes with IVF (IVF picks the probe lists,
+    PQ scores inside them — the standard IVFPQ pairing)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    cents = pq_train(spark, emb)
+    codes = emb.select(
+        "vec_id",
+        *[
+            _pq_code_expr(_pq_sub(F.col("v"), m), cents[m]).alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = codes.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = None
+    for m in range(PQ_M):
+        table = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents[m]]
+        )
+        cv = F.element_at(table, F.col(f"c{m}").cast("int") + 1)
+        term = F.round(_pq_d2(_pq_sub(F.col("qv"), m), cv), 6).cast(
+            "decimal(18,6)"
+        )
+        dist = term if dist is None else dist + term
+    scored = joined.select("query_id", "vec_id", dist.alias("dist"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rk"),
+            "vec_id",
+            F.col("dist").cast("double").alias("dist"),
+        )
+        .orderBy("query_id", "rk")
+    )
