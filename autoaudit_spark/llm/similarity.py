@@ -697,14 +697,47 @@ def _pq_sub(col, m):
     return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
 
+def pq_subrows(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, x): the corpus exploded to per-subspace slices — the
+    join-shaped form of the pipeline (mirrors the oracle's `sub` CTE).
+    Chosen over compiling centroids into literal expressions because a
+    16-struct × 8-subspace × 3-aggregate literal tree costs ~10 s of
+    DRIVER plan construction/analysis at ANY data scale; the join form
+    has ONE d2 expression and a broadcast centroid relation instead
+    (executor work is identical — a 16× row fan-out on parameter-sized
+    keys that the window argmin immediately collapses)."""
+    subs = F.array(*[_pq_sub(F.col("v"), m) for m in range(PQ_M)])
+    return emb.select("vec_id", F.posexplode(subs).alias("m", "x"))
+
+
+def _pq_cents_df(spark: SparkSession, cents) -> DataFrame:
+    rows = [(m, cid, cv) for m in range(PQ_M) for cid, cv in cents[m]]
+    return spark.createDataFrame(rows, "m int, cid long, cv array<double>")
+
+
+def _pq_assign(sub: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry per (vec_id, m): broadcast join + window
+    argmin on (round(d2,6), cid) — the oracle's ROW_NUMBER shape."""
+    from pyspark.sql.window import Window
+
+    j = sub.join(F.broadcast(cents_df), "m").withColumn(
+        "d2", F.round(_pq_d2(F.col("x"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid", "x")
+    )
+
+
 def pq_train(spark: SparkSession, emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace Lloyd training, model collected to the driver
     (PQ_M × PQ_K × PQ_SUB floats — parameters, not data). Init = the
     first PQ_K corpus vectors' subspace slices; each round is ONE
-    aggregation job across all subspaces (per-m assignment expressions
-    unioned, grouped DECIMAL(18,6) component sums / count → bit-identical
-    means, the `_lloyd_round` discipline). Empty clusters keep their
-    previous centroid."""
+    assignment join + grouped DECIMAL(18,6) component sums / count
+    (bit-identical means, the `_lloyd_round` discipline). Empty
+    clusters keep their previous centroid."""
     first = emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     cents = [
         [
@@ -713,28 +746,19 @@ def pq_train(spark: SparkSession, emb: DataFrame) -> list[list[tuple[int, list[f
         ]
         for m in range(PQ_M)
     ]
+    sub = pq_subrows(emb)
     for _ in range(PQ_ROUNDS):
-        parts = []
-        for m in range(PQ_M):
-            sub = _pq_sub(F.col("v"), m)
-            parts.append(
-                emb.select(
-                    F.lit(m).alias("m"),
-                    _pq_code_expr(sub, cents[m]).alias("cid"),
-                    *[
-                        F.element_at(sub, d + 1).cast("decimal(18,6)").alias(f"x{d}")
-                        for d in range(PQ_SUB)
-                    ],
-                )
-            )
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionAll(p)
+        a = _pq_assign(sub, _pq_cents_df(spark, cents))
         rows = (
-            un.groupBy("m", "cid")
+            a.groupBy("m", "cid")
             .agg(
                 F.count("*").alias("n"),
-                *[F.sum(f"x{d}").alias(f"s{d}") for d in range(PQ_SUB)],
+                *[
+                    F.sum(
+                        F.element_at("x", d + 1).cast("decimal(18,6)")
+                    ).alias(f"s{d}")
+                    for d in range(PQ_SUB)
+                ],
             )
             .collect()
         )
@@ -745,10 +769,7 @@ def pq_train(spark: SparkSession, emb: DataFrame) -> list[list[tuple[int, list[f
             for r in rows
         }
         cents = [
-            [
-                (cid, got.get((m, cid), cv))
-                for cid, cv in cents[m]
-            ]
+            [(cid, got.get((m, cid), cv)) for cid, cv in cents[m]]
             for m in range(PQ_M)
         ]
     return cents
@@ -824,47 +845,46 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 PQ: train per-subspace codebooks (DECIMAL-exact Lloyd), encode
     every vector as PQ_M 4-bit codes, score queries by asymmetric
     distance (exact query subvector vs the code's centroid, summed over
-    subspaces as 6dp DECIMALs — order-free), rank top-k.
+    subspaces as 6dp DECIMALs — order-free), rank top-k. Every stage is
+    the JOIN form against the broadcast codebook relation (see
+    `pq_subrows` for why literals lose).
 
     Scale story: the corpus side carries ONLY the codes (PQ_M bytes per
     vector vs 256 for raw floats — what makes billion-vector indexes
-    RAM-resident); encoding and scoring are map-only against
-    literal/broadcast codebooks (plan has no shuffle until the per-query
-    top-k); at 100 TB this composes with IVF (IVF picks the probe lists,
-    PQ scores inside them — the standard IVFPQ pairing)."""
+    RAM-resident); encode/score join a parameter-sized broadcast
+    codebook (no shuffle until the per-query top-k); at 100 TB this
+    composes with IVF (IVF picks the probe lists, PQ scores inside them
+    — the standard IVFPQ pairing)."""
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
     )
+    # single-row-group local file -> 1-task scan; spread the fan-out
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     cents = pq_train(spark, emb)
-    codes = emb.select(
-        "vec_id",
-        *[
-            _pq_code_expr(_pq_sub(F.col("v"), m), cents[m]).alias(f"c{m}")
-            for m in range(PQ_M)
-        ],
+    cents_df = _pq_cents_df(spark, cents)
+    sub = pq_subrows(emb)
+    codes = _pq_assign(sub, cents_df).select("vec_id", "m", "cid")
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("x").alias("qx")
     )
-    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    joined = codes.crossJoin(F.broadcast(qs)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    dist = None
-    for m in range(PQ_M):
-        table = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents[m]]
+    terms = (
+        codes.join(F.broadcast(cents_df), ["m", "cid"])
+        .join(F.broadcast(qsub), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_pq_d2(F.col("qx"), F.col("cv")), 6)
+            .cast("decimal(18,6)")
+            .alias("t"),
         )
-        cv = F.element_at(table, F.col(f"c{m}").cast("int") + 1)
-        term = F.round(_pq_d2(_pq_sub(F.col("qv"), m), cv), 6).cast(
-            "decimal(18,6)"
-        )
-        dist = term if dist is None else dist + term
-    scored = joined.select("query_id", "vec_id", dist.alias("dist"))
-    from pyspark.sql.window import Window
-
+    )
+    dists = terms.groupBy("query_id", "vec_id").agg(F.sum("t").alias("dist"))
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        dists.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= PQ_TOPK)
         .select(
             "query_id",
