@@ -417,12 +417,9 @@ def ivf_topk(
     )
 
 
-def _ivf_kmeans_sql(rounds: int = IVF_KMEANS_ROUNDS) -> str:
-    """DuckDB twin of the full train+probe pipeline: one (assign, means,
-    centroid) CTE triple per Lloyd round, then the probe/rank tail. Means
-    are DECIMAL-exact sums over 6dp-quantized components — identical to
-    the Spark side, so the trained centroids (and hence every downstream
-    ranking) are bit-equal."""
+def _ivf_train_parts(rounds: int = IVF_KMEANS_ROUNDS) -> tuple[list, str]:
+    """CTE parts list for the coarse k-means train + assign/probes —
+    shared by the IVF oracle and the IVFPQ composition oracle."""
 
     def cos(a: str, c: str) -> str:
         return (
@@ -474,6 +471,16 @@ def _ivf_kmeans_sql(rounds: int = IVF_KMEANS_ROUNDS) -> str:
         f"probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored "
         f"WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE})"
     )
+    return parts, prev
+
+
+def _ivf_kmeans_sql(rounds: int = IVF_KMEANS_ROUNDS) -> str:
+    """DuckDB twin of the full train+probe pipeline: one (assign, means,
+    centroid) CTE triple per Lloyd round, then the probe/rank tail. Means
+    are DECIMAL-exact sums over 6dp-quantized components — identical to
+    the Spark side, so the trained centroids (and hence every downstream
+    ranking) are bit-equal."""
+    parts, _ = _ivf_train_parts(rounds)
     parts.append(
         f"""cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -890,6 +897,159 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("rk").cast("int").alias("rk"),
             "vec_id",
+            F.col("dist").cast("double").alias("dist"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF coarse train/assign/probe CTEs (shared builder) + the PQ
+    codebook/code CTEs (p_-prefixed, raw-vector codes — same codebooks
+    as `ann_pq_topk`), glued by ADC scoring over only the probed
+    candidates."""
+    parts, _ = _ivf_train_parts()
+    d2 = (
+        "list_dot_product(s.x, s.x) - 2*list_dot_product(s.x, c.cv) "
+        "+ list_dot_product(c.cv, c.cv)"
+    )
+    assign = (
+        "SELECT vec_id, m, cid FROM ("
+        " SELECT s.vec_id, s.m, c.cid,"
+        f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m"
+        f"   ORDER BY ROUND({d2}, 6), c.cid) AS rn"
+        " FROM sub s JOIN {cents} c ON c.m = s.m) WHERE rn = 1"
+    )
+    parts += [
+        f"ms AS (SELECT UNNEST(range({PQ_M})) AS m)",
+        f"""sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.v, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB})
+                   AS x
+        FROM e CROSS JOIN ms)""",
+        f"p_c0 AS (SELECT m, vec_id AS cid, x AS cv FROM sub "
+        f"WHERE vec_id < {PQ_K})",
+        f"p_a1 AS ({assign.format(cents='p_c0')})",
+        f"""p_m1 AS (
+        SELECT a.m, a.cid, dd.d,
+               CAST(SUM(CAST(s.x[dd.d + 1] AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM p_a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+        CROSS JOIN (SELECT UNNEST(range({PQ_SUB})) AS d) dd
+        GROUP BY a.m, a.cid, dd.d)""",
+        "p_cv1 AS (SELECT m, cid, list(mu ORDER BY d) AS mv "
+        "FROM p_m1 GROUP BY m, cid)",
+        "p_c1 AS (SELECT p.m, p.cid, COALESCE(n.mv, p.cv) AS cv "
+        "FROM p_c0 p LEFT JOIN p_cv1 n ON n.m = p.m AND n.cid = p.cid)",
+        f"p_codes AS ({assign.format(cents='p_c1')})",
+        f"""q_sub AS (
+        SELECT vec_id AS query_id, m, x FROM sub
+        WHERE vec_id < {N_QUERIES})""",
+        """cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id)""",
+        """terms AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(ROUND(list_dot_product(q.x, q.x)
+                          - 2*list_dot_product(q.x, c.cv)
+                          + list_dot_product(c.cv, c.cv), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM cand cd
+        JOIN p_codes k ON k.vec_id = cd.neighbor_id
+        JOIN p_c1 c ON c.m = k.m AND c.cid = k.cid
+        JOIN q_sub q ON q.query_id = cd.query_id AND q.m = k.m)""",
+        """dists AS (
+        SELECT query_id, neighbor_id, SUM(t) AS dist
+        FROM terms GROUP BY query_id, neighbor_id)""",
+    ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+               CAST(dist AS DOUBLE) AS dist
+        FROM (
+            SELECT query_id, neighbor_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rk
+            FROM dists)
+        WHERE rk <= {TOP_K} ORDER BY query_id, rk"""
+    )
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 capstone — IVFPQ, the standard billion-scale pairing: the IVF
+    coarse quantizer prunes each query's search to NPROBE inverted
+    lists (~N·nprobe/K candidates), and PQ codes score those candidates
+    by asymmetric distance (PQ_M bytes per vector in memory). Both
+    trainings are the DECIMAL-exact pipelines already oracled standalone
+    (`ann_ivf_topk`, `ann_pq_topk`); this query fuses them under one
+    value-hash. Codes quantize RAW vectors (the memory-layout variant);
+    residual encoding (v − coarse centroid) is the recall refinement at
+    equal bytes, same plan shape.
+
+    Plan: literal-centroid coarse assignment (map-only), broadcast
+    probe/codebook joins, ADC terms summed as order-free DECIMALs, one
+    per-query top-k window — the corpus never shuffles until top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # coarse quantizer (IVF) — literal-expression assignment
+    cents = _collect_centroids(emb)
+    for _ in range(IVF_KMEANS_ROUNDS):
+        cents = _lloyd_round(emb, cents)
+    ranked = _centroid_rank_expr(cents)
+    assign = emb.select(
+        "vec_id", (-F.element_at(ranked, 1)["negcid"]).alias("cid")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, IVF_NPROBE), lambda s: -s["negcid"])
+        ).alias("cid"),
+    )
+    # fine quantizer (PQ) — join-shaped codes over the broadcast codebook
+    pq_cents_df = _pq_cents_df(spark, pq_train(spark, emb))
+    sub = pq_subrows(emb)
+    codes = _pq_assign(sub, pq_cents_df).select(
+        "vec_id", "m", F.col("cid").alias("pcid")
+    )
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("x").alias("qx")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    terms = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(
+            F.broadcast(pq_cents_df.withColumnRenamed("cid", "pcid")),
+            ["m", "pcid"],
+        )
+        .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_d2(F.col("qx"), F.col("cv")), 6)
+            .cast("decimal(18,6)")
+            .alias("t"),
+        )
+    )
+    dists = terms.groupBy("query_id", "neighbor_id").agg(
+        F.sum("t").alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rk"),
+            "neighbor_id",
             F.col("dist").cast("double").alias("dist"),
         )
         .orderBy("query_id", "rk")
