@@ -670,3 +670,122 @@ def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "run_len", "start_ts", "end_ts")
         .orderBy("user_id", "start_ts")
     )
+
+
+@query(
+    "dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS tot_value
+        FROM events GROUP BY 1
+    )
+    SELECT dow, n, tot_value,
+           ROUND(CAST(n AS DOUBLE) * 7 / SUM(n) OVER (), 6) AS load_ratio
+    FROM d ORDER BY dow
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per ISO weekday (Mon=1..Sun=7),
+    event counts, DECIMAL value totals, and the load ratio vs a flat
+    week (ratio 1 = uniform; transaction fraud screens key off
+    off-pattern weekend spikes). The `SUM OVER ()` total runs on the
+    7-row aggregate. ISO weekday bridges the engines' differing
+    dayofweek conventions (Spark Sun=1 vs DuckDB Sun=0) exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("tot_value"),
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return d.select(
+        "dow",
+        "n",
+        "tot_value",
+        F.round(F.col("n").cast("double") * 7 / total, 6).alias("load_ratio"),
+    ).orderBy("dow")
+
+
+#: half-life of the exponential decay, in whole weeks (integer k keeps
+#: 2^-k an EXACT power of two in both engines — no libm pow divergence)
+DECAY_ANCHOR = "2024-12-31"
+
+
+@query(
+    "decayed_user_value",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id,
+               CAST(ROUND(value * pow(2.0,
+                   -CAST(date_diff('day', CAST(ts AS DATE),
+                                   DATE '{DECAY_ANCHOR}') // 7 AS BIGINT)), 6)
+                   AS DECIMAL(18,6)) AS dv
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dv) AS DOUBLE) AS decayed_value
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score: Σ value · 2^(−age_weeks) per
+    user, anchored at a fixed as-of date — the standard
+    exponential-decay feature for churn/risk models (a transfer last
+    week counts double one from a fortnight ago). The exponent is an
+    INTEGER week count, so 2^−k is an exact power of two in both
+    engines (libm pow on fractional exponents diverges in the last
+    ulp); each term is 6dp-DECIMAL quantized so the per-user sum is
+    order-free. One shuffle on user_id, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = F.floor(
+        F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.to_date("ts")) / 7
+    ).cast("long")
+    dv = F.round(
+        F.col("value") * F.pow(F.lit(2.0), -weeks.cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        ev.select("user_id", dv.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("dv").cast("double").alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "grouped_percentiles",
+    oracle="""
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact latency-style percentiles (PERCENTILE_DISC —
+    an actual data value, no interpolation arithmetic to diverge): the
+    grouped form of `value_percentiles`. At 100 TB the exact form is a
+    per-group sort; `approx_distinct_stats` carries the sketch
+    (t-digest-style) alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
