@@ -1043,3 +1043,108 @@ def q_negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", F.col("j").cast("long").alias("draw"))
         .orderBy("src", "dst")
     )
+
+
+#: synchronous label-propagation rounds (fixed — makes the iteration
+#: hash-comparable, the k_core discipline)
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"edges AS ({EDGES_SQL})",
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        """und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst)""",
+        "sym AS (SELECT a AS node, b AS nbr FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        """l0 AS (
+        SELECT node, node AS lbl FROM (
+            SELECT DISTINCT node FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und)))""",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""cnt{r} AS (
+            SELECT s.node, l.lbl, COUNT(*) AS c
+            FROM sym s JOIN l{r - 1} l ON l.node = s.nbr
+            GROUP BY s.node, l.lbl)"""
+        )
+        parts.append(
+            f"""pick{r} AS (
+            SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                           ORDER BY c DESC, lbl) AS rn
+                FROM cnt{r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"l{r} AS (SELECT n.node, COALESCE(p.lbl, n.lbl) AS lbl "
+            f"FROM l{r - 1} n LEFT JOIN pick{r} p USING (node))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, lbl AS label FROM l{LPA_ROUNDS} ORDER BY node"
+    )
+
+
+@query("label_propagation", oracle=_lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) on the
+    undirected simple graph: every node adopts the MODE of its
+    neighbors' labels each round (count desc, lowest-label tie-break —
+    fully deterministic, unlike the randomized original), {LPA_ROUNDS}
+    fixed rounds. The mode update finds dense communities that the
+    min-label `connected_components` (which only finds connectivity)
+    cannot — fraud rings separate from the giant component's hub mesh.
+
+    Per round: one neighbor join + grouped count + per-node argmax
+    window — all keyed on node, exchange-reusable; labels relation is
+    localCheckpoint()ed per round so the iterative plan stays O(1)
+    depth (the k_core/pagerank discipline). Fixed rounds keep the
+    DuckDB twin an unrolled CTE chain."""
+    from pyspark.sql.window import Window
+
+    adj = adjacency(spark, sf_dir)
+    und = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            sym.join(
+                labels.withColumnsRenamed({"node": "nbr", "lbl": "lbl"}),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("label")).orderBy("node")

@@ -91,16 +91,19 @@ class PyArrowEventsDataSource(DataSource):
         return _EventsReader(self.options)
 
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# per-session registration marker on the session OBJECT (repo convention
+# — an id(spark) key could alias a NEW session to a collected one's id
+# and silently skip registration, leaving format("pyarrow_events")
+# unresolvable)
+_REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _ensure_registered(spark: SparkSession) -> None:
-    # dataSource.register is idempotent in effect but repeat calls churn
-    # the registry; track per-session (id() fine here — a stale id only
-    # causes a harmless re-register)
-    if id(spark) not in _REGISTERED:
+    if spark not in _REGISTERED:
         spark.dataSource.register(PyArrowEventsDataSource)
-        _REGISTERED.add(id(spark))
+        _REGISTERED.add(spark)
 
 
 @query(

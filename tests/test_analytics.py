@@ -466,3 +466,49 @@ class TestPQ:
         ).collect()
         for r in codes:
             assert all(0 <= r[f"c{m}"] < PQ_K for m in range(PQ_M))
+
+
+class TestLabelPropagation:
+    def test_lpa_separates_planted_cliques(self, spark):
+        """Two 4-cliques joined by one bridge edge: LPA labels each
+        clique uniformly; min-label components would merge them."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as Fn
+
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges.append((3, 10))  # bridge
+        und = spark.createDataFrame(edges, "a long, b long")
+        sym = und.select(Fn.col("a").alias("node"), Fn.col("b").alias("nbr")).unionAll(
+            und.select(Fn.col("b").alias("node"), Fn.col("a").alias("nbr"))
+        )
+        labels = (
+            sym.select("node").distinct().select("node", Fn.col("node").alias("lbl"))
+        )
+        w = Window.partitionBy("node").orderBy(Fn.col("c").desc(), Fn.col("lbl"))
+        for _ in range(3):
+            cnt = (
+                sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node", "lbl")
+                .agg(Fn.count("*").alias("c"))
+            )
+            pick = (
+                cnt.withColumn("rn", Fn.row_number().over(w))
+                .filter(Fn.col("rn") == 1)
+                .select("node", Fn.col("lbl").alias("new_lbl"))
+            )
+            labels = labels.join(pick, "node", "left").select(
+                "node", Fn.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+        got = {r["node"]: r["lbl"] for r in labels.collect()}
+        c1 = {got[n] for n in range(4)}
+        c2 = {got[n] for n in range(10, 14)}
+        assert len(c1) == 1 and len(c2) == 1  # uniform within cliques
+        assert c1 != c2  # but DIFFERENT across the bridge
+
+    def test_lpa_registered_query_runs(self, spark, sf_dir):
+        rows = QUERIES["label_propagation"](spark, sf_dir).collect()
+        nodes = {r["node"] for r in rows}
+        labels = {r["label"] for r in rows}
+        assert labels <= nodes  # labels are node ids
+        assert len(labels) < len(nodes)  # propagation actually merged
