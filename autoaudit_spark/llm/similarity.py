@@ -1054,3 +1054,178 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Residual variant: PQ codebooks train on (v − coarse centroid)
+    and queries score against per-probed-list residuals — same bytes,
+    tighter quantization cells (the production IVFPQ default)."""
+    parts, prev = _ivf_train_parts()
+    d2 = (
+        "list_dot_product(s.x, s.x) - 2*list_dot_product(s.x, c.cv) "
+        "+ list_dot_product(c.cv, c.cv)"
+    )
+    assign = (
+        "SELECT vec_id, m, cid FROM ("
+        " SELECT s.vec_id, s.m, c.cid,"
+        f"  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m"
+        f"   ORDER BY ROUND({d2}, 6), c.cid) AS rn"
+        " FROM rsub s JOIN {cents} c ON c.m = s.m) WHERE rn = 1"
+    )
+    parts += [
+        f"""res AS (
+        SELECT a.vec_id,
+               list_transform(generate_series(1, {EMB_DIM}),
+                              i -> a.v[i] - cc.cv[i]) AS rv
+        FROM assign a JOIN {prev} cc USING (cid))""",
+        f"ms AS (SELECT UNNEST(range({PQ_M})) AS m)",
+        f"""rsub AS (
+        SELECT r.vec_id, ms.m,
+               list_slice(r.rv, ms.m * {PQ_SUB} + 1,
+                          ms.m * {PQ_SUB} + {PQ_SUB}) AS x
+        FROM res r CROSS JOIN ms)""",
+        f"p_c0 AS (SELECT m, vec_id AS cid, x AS cv FROM rsub "
+        f"WHERE vec_id < {PQ_K})",
+        f"p_a1 AS ({assign.format(cents='p_c0')})",
+        f"""p_m1 AS (
+        SELECT a.m, a.cid, dd.d,
+               CAST(SUM(CAST(s.x[dd.d + 1] AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM p_a1 a JOIN rsub s ON s.vec_id = a.vec_id AND s.m = a.m
+        CROSS JOIN (SELECT UNNEST(range({PQ_SUB})) AS d) dd
+        GROUP BY a.m, a.cid, dd.d)""",
+        "p_cv1 AS (SELECT m, cid, list(mu ORDER BY d) AS mv "
+        "FROM p_m1 GROUP BY m, cid)",
+        "p_c1 AS (SELECT p.m, p.cid, COALESCE(n.mv, p.cv) AS cv "
+        "FROM p_c0 p LEFT JOIN p_cv1 n ON n.m = p.m AND n.cid = p.cid)",
+        f"p_codes AS ({assign.format(cents='p_c1')})",
+        f"""qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(generate_series(1, {EMB_DIM}),
+                              i -> p.qv[i] - cc.cv[i]) AS rqv
+        FROM probes p JOIN {prev} cc USING (cid))""",
+        f"""qrsub AS (
+        SELECT q.query_id, q.cid, ms.m,
+               list_slice(q.rqv, ms.m * {PQ_SUB} + 1,
+                          ms.m * {PQ_SUB} + {PQ_SUB}) AS x
+        FROM qres q CROSS JOIN ms)""",
+        """cand AS (
+        SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.query_id)""",
+        """terms AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(ROUND(list_dot_product(q.x, q.x)
+                          - 2*list_dot_product(q.x, c.cv)
+                          + list_dot_product(c.cv, c.cv), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM cand cd
+        JOIN p_codes k ON k.vec_id = cd.neighbor_id
+        JOIN p_c1 c ON c.m = k.m AND c.cid = k.cid
+        JOIN qrsub q ON q.query_id = cd.query_id AND q.cid = cd.cid
+                    AND q.m = k.m)""",
+        """dists AS (
+        SELECT query_id, neighbor_id, SUM(t) AS dist
+        FROM terms GROUP BY query_id, neighbor_id)""",
+    ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+               CAST(dist AS DOUBLE) AS dist
+        FROM (
+            SELECT query_id, neighbor_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist, neighbor_id) AS rk
+            FROM dists)
+        WHERE rk <= {TOP_K} ORDER BY query_id, rk"""
+    )
+
+
+@query("ann_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle())
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: residual-encoded IVFPQ — the production default. PQ codebooks
+    quantize the RESIDUAL (v − coarse centroid), whose spread is the
+    within-list variance only, so each code cell is tighter than raw-PQ
+    at identical bytes; queries score each probed list against their own
+    per-list residual. Everything (coarse train, residuals, subspace
+    train, ADC) under one value-hash oracle.
+
+    Plan deltas vs `ann_ivfpq_topk`: one broadcast coarse-centroid join
+    to form residuals (zip_with element subtraction — exact float), and
+    ADC terms key on (query, probed-list, m) instead of (query, m)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    cents = _collect_centroids(emb)
+    for _ in range(IVF_KMEANS_ROUNDS):
+        cents = _lloyd_round(emb, cents)
+    coarse_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid long, ccv array<double>"
+    )
+    ranked = _centroid_rank_expr(cents)
+    assign = emb.select(
+        "vec_id", "v", (-F.element_at(ranked, 1)["negcid"]).alias("cid")
+    )
+    res = assign.join(F.broadcast(coarse_df), "cid").select(
+        "vec_id",
+        F.zip_with("v", "ccv", lambda x, y: x - y).alias("v"),
+    )
+    pq_cents_df = _pq_cents_df(spark, pq_train(spark, res))
+    codes = _pq_assign(pq_subrows(res), pq_cents_df).select(
+        "vec_id", "m", F.col("cid").alias("pcid")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, IVF_NPROBE), lambda s: -s["negcid"])
+        ).alias("cid"),
+    )
+    qres = probes.join(F.broadcast(coarse_df), "cid").select(
+        "query_id", "cid", F.zip_with("qv", "ccv", lambda x, y: x - y).alias("rqv")
+    )
+    qrsub = qres.select(
+        "query_id",
+        "cid",
+        F.posexplode(
+            F.array(*[_pq_sub(F.col("rqv"), m) for m in range(PQ_M)])
+        ).alias("m", "qx"),
+    )
+    cand = (
+        assign.select("vec_id", "cid")
+        .join(F.broadcast(probes.select("query_id", "cid")), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cid", F.col("vec_id").alias("neighbor_id"))
+    )
+    terms = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(
+            F.broadcast(pq_cents_df.withColumnRenamed("cid", "pcid")),
+            ["m", "pcid"],
+        )
+        .join(F.broadcast(qrsub), ["query_id", "cid", "m"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pq_d2(F.col("qx"), F.col("cv")), 6)
+            .cast("decimal(18,6)")
+            .alias("t"),
+        )
+    )
+    dists = terms.groupBy("query_id", "neighbor_id").agg(
+        F.sum("t").alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rk"),
+            "neighbor_id",
+            F.col("dist").cast("double").alias("dist"),
+        )
+        .orderBy("query_id", "rk")
+    )

@@ -512,3 +512,19 @@ class TestLabelPropagation:
         labels = {r["label"] for r in rows}
         assert labels <= nodes  # labels are node ids
         assert len(labels) < len(nodes)  # propagation actually merged
+
+
+class TestIVFPQ:
+    def test_ivfpq_variants_shape_and_candidate_discipline(self, spark, sf_dir):
+        """Both IVFPQ variants return ≤k rows per query, never the query
+        itself, and only candidates from the query's probed lists."""
+        for name in ("ann_ivfpq_topk", "ann_ivfpq_residual_topk"):
+            rows = QUERIES[name](spark, sf_dir).collect()
+            per_q: dict[int, list] = {}
+            for r in rows:
+                assert r["neighbor_id"] != r["query_id"]
+                assert r["dist"] >= 0.0
+                per_q.setdefault(r["query_id"], []).append(r["rk"])
+            for q, rks in per_q.items():
+                assert rks == list(range(1, len(rks) + 1))
+                assert len(rks) <= 5
