@@ -348,19 +348,32 @@ def _lloyd_round(
     posexplode row blowup, no second shuffle). The division to means
     happens driver-side on the collected K×(dim+1) numbers: float(exact
     decimal) / int is the same correctly-rounded double as the engines'
-    CAST(sum AS DOUBLE)/COUNT, so cross-engine bit-equality holds."""
-    ranked = _centroid_rank_expr(cents)
+    CAST(sum AS DOUBLE)/COUNT, so cross-engine bit-equality holds.
+
+    TRAINING assignment runs join-shaped against the broadcast centroid
+    relation (same ROUND(cos,6) DESC, cid ordering as the literal rank
+    expression and the oracle's ROW_NUMBER — identical cids): compiling
+    K centroids into literal expressions costs seconds of DRIVER plan
+    construction PER ROUND (the PQ lesson); the literal form stays for
+    the final map-only assignment, where it is the scale feature."""
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid long, cv array<double>"
+    )
     dim = len(cents[0][1])
+    sim = F.round(cosine_sim(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
     aggs = [F.count("*").alias("n")] + [
         F.sum(F.element_at("v", d + 1).cast("decimal(18,6)")).alias(f"s{d}")
         for d in range(dim)
     ]
-    rows = (
-        emb.select((-F.element_at(ranked, 1)["negcid"]).alias("cid"), "v")
-        .groupBy("cid")
-        .agg(*aggs)
-        .collect()
-    )
+    rows = assigned.groupBy("cid").agg(*aggs).collect()
     new = {
         int(r["cid"]): [float(r[f"s{d}"]) / r["n"] for d in range(dim)]
         for r in rows
