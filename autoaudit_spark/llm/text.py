@@ -1019,3 +1019,60 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: context-window capacity (tokens) for sequence packing
+PACK_CAPACITY = 512
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_end - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin,
+           CAST((cum_end - n_tokens) % {PACK_CAPACITY} AS BIGINT)
+               AS offset_in_bin
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing assignment: documents laid end-to-end in
+    deterministic doc_id order, each assigned to the PACK_CAPACITY-token
+    bin its START offset falls in — the streaming-friendly packing an
+    LLM data loader uses (a doc straddling a boundary stays with its
+    start bin; bins overflow by < max_doc_len, absorbed by truncation
+    downstream — exact first-fit packing is inherently sequential and
+    buys little). Integer floor-div/mod are portable.
+
+    The global running sum is a single-partition window — fine at
+    corpus-metadata scale (one BIGINT per doc); at 100 TB the standard
+    decomposition applies: per-shard inner offsets + a broadcast
+    prefix-offset relation of shard totals (the `session_concurrency` /
+    `corpus_budget_quantile` pattern), identical results."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum_end = F.sum("n_tokens").over(w)
+    start = cum_end - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / PACK_CAPACITY).cast("long").alias("bin"),
+        (start % PACK_CAPACITY).cast("long").alias("offset_in_bin"),
+    ).orderBy("doc_id")
