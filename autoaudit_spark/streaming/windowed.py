@@ -1190,3 +1190,38 @@ def q_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if tws_available():  # pragma: no cover - env lacks protobuf
     query("stream_tws_user_totals", oracle=_TWS_ORACLE)(q_stream_tws_user_totals)
+
+
+@query(
+    "stream_value_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family: the equi-width value histogram (X26) maintained
+    incrementally by the live engine — complete-mode grouped aggregate
+    over the chunked replay; counts and DECIMAL sums fold across
+    micro-batches order-independently, so the incremental result
+    hash-matches the one-shot batch oracle. State is O(buckets)."""
+    stream = replay_events_chunked(spark, sf_dir, n_chunks=3, delay="30 days")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(25.0)).cast("long"), F.lit(19)
+    )
+    agg = (
+        stream.filter(F.col("event_id") >= 0)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = drain(agg, "stream_value_histogram", output_mode="complete")
+    return out.orderBy("bucket")
