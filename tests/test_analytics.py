@@ -528,3 +528,31 @@ class TestIVFPQ:
             for q, rks in per_q.items():
                 assert rks == list(range(1, len(rks) + 1))
                 assert len(rks) <= 5
+
+
+class TestObservationAPI:
+    def test_observe_collects_scan_metrics(self, spark, sf_dir):
+        """df.observe — plan-embedded metric collection (the zero-cost
+        way to audit row counts / sums in a production pipeline without
+        a second scan)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as Fn
+
+        obs = Observation("ev_metrics")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = (
+            ev.observe(
+                obs,
+                Fn.count(Fn.lit(1)).alias("n_rows"),
+                Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("tot"),
+            )
+            .groupBy("event_type")
+            .count()
+        )
+        out.collect()
+        got = obs.get
+        assert got["n_rows"] == ev.count()
+        want = ev.agg(
+            Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("t")
+        ).collect()[0]["t"]
+        assert got["tot"] == want
