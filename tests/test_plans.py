@@ -301,3 +301,32 @@ class TestR4AnalyticsBatch:
     def test_latest_snapshot_single_shuffle(self, spark, q):
         p = plan(q["latest_snapshot"](spark, SF))
         assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+
+
+class TestR4LateBatch:
+    def test_pq_scoring_broadcasts_codebook_and_queries(self, spark, q):
+        p = plan(q["ann_pq_topk"](spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_ivfpq_candidates_join_on_list_id(self, spark, q):
+        # the coarse probe join must be an equi-join on cid — candidate
+        # generation may never degenerate to all-pairs
+        p = plan(q["ann_ivfpq_topk"](spark, SF))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_two_hop_temporal_is_equi_join_with_post_filter(self, spark, q):
+        # the ts predicate rides the dst=src hash join, not a theta join
+        p = plan(q["two_hop_temporal"](spark, SF))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_benford_and_histogram_stay_jvm(self, spark, q):
+        for name in ("benford_digits", "value_histogram", "dow_seasonality"):
+            p = plan(q[name](spark, SF))
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_hashing_tf_hashes_distinct_terms_only(self, spark, q):
+        # the per-character polynomial hash must sit above a distinct
+        # aggregate (vocab-sized), not on the exploded token stream
+        p = plan(q["hashing_tf"](spark, SF))
+        assert "HashAggregate" in p
