@@ -241,3 +241,63 @@ def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-micros longs (text timestamps would re-parse through a
     pattern — lossy and tz-dependent)."""
     return _events_via_format(spark, sf_dir, "csv").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# S-family: Morton (Z-order) interleaved sort key — the data-layout lever
+# for MULTI-dimension predicate pruning (what Delta's OPTIMIZE ZORDER does;
+# OSS parquet gets the same effect by sorting on the interleaved key before
+# writing, so per-file/row-group min-max stats are narrow on BOTH columns).
+# The pruning win is MEASURED in tests/test_analytics.py::TestMortonLayout
+# against file-footer stats; this query pins the interleave arithmetic
+# itself cross-engine.
+# ---------------------------------------------------------------------------
+MORTON_USER_BITS = 8   # user_id ∈ [0, 150) fits 8 bits
+MORTON_VAL_BITS = 5    # value bucket ∈ [0, 20) fits 5 bits
+
+
+def _morton_sql(u: str, b: str) -> str:
+    """Engine-portable interleave expression (works verbatim in Spark SQL
+    and DuckDB: shiftleft/shiftright exist in both? — DuckDB uses <<//>>,
+    Spark accepts both function and operator forms; emit operators via
+    each engine's accepted spelling)."""
+    terms = []
+    for i in range(MORTON_USER_BITS):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i + 1})")
+    for i in range(MORTON_VAL_BITS):
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@query(
+    "morton_order_key",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, user_id,
+               LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bucket
+        FROM events
+    )
+    SELECT event_id, user_id, bucket,
+           CAST({_morton_sql('user_id', 'bucket')} AS BIGINT) AS morton
+    FROM b
+    ORDER BY morton, event_id
+    """,
+)
+def q_morton_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: the Z-order sort key — user_id and value-bucket bits
+    interleaved so sorting by it clusters BOTH dimensions at once
+    (points close in Morton order are close in each coordinate). Writing
+    parquet sorted on this key gives every file narrow min-max stats on
+    both columns, so a 2-D predicate prunes files the way a 1-D sort
+    only can for its own column; the measured file-level evidence lives
+    in the test suite. Pure integer bit arithmetic — identical in both
+    engines."""
+    from .tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(19))
+    b = ev.select("event_id", "user_id", bucket.alias("bucket"))
+    morton = F.expr(_morton_sql("user_id", "bucket")).cast("long")
+    return b.select(
+        "event_id", "user_id", "bucket", morton.alias("morton")
+    ).orderBy("morton", "event_id")

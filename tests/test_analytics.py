@@ -556,3 +556,70 @@ class TestObservationAPI:
             Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("t")
         ).collect()[0]["t"]
         assert got["tot"] == want
+
+
+class TestMortonLayout:
+    def test_zorder_prunes_more_files_than_linear_sort(self, spark, tmp_path):
+        """Write events (a) sorted by event_id and (b) sorted by the
+        Morton key, many small files each; count how many files a 2-D
+        predicate (user range × value range) could touch judging ONLY by
+        footer min-max stats — the exact skipping a scan does. The
+        Z-order layout must prune strictly more files."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from autoaudit_spark.sources.bucketed import _morton_sql
+
+        # sf0.01 deliberately (not the sf0.001 fixture): at sf0.001 the
+        # event-time order happens to correlate with user_id, so a plain
+        # event_id sort ALSO yields narrow user stats and both layouts
+        # prune — the comparison only discriminates on decorrelated data
+        sf_dir = "/root/testdata/sf0.01"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            "user_id",
+            F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(19)).alias(
+                "bucket"
+            ),
+        )
+        morton = F.expr(_morton_sql("user_id", "bucket")).cast("long")
+        linear = str(tmp_path / "linear")
+        zorder = str(tmp_path / "zorder")
+        n_files = 20
+        (
+            ev.orderBy("event_id").coalesce(1)
+            .withColumn("morton", morton)
+            .write.option("maxRecordsPerFile", ev.count() // n_files + 1)
+            .parquet(linear)
+        )
+        (
+            ev.orderBy(morton, F.col("event_id")).coalesce(1)
+            .withColumn("morton", morton)
+            .write.option("maxRecordsPerFile", ev.count() // n_files + 1)
+            .parquet(zorder)
+        )
+
+        def candidate_files(path: str) -> tuple[int, int]:
+            total = cand = 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+                ui = schema_names.index("user_id")
+                bi = schema_names.index("bucket")
+                for rg in range(md.num_row_groups):
+                    total += 1
+                    us = md.row_group(rg).column(ui).statistics
+                    bs = md.row_group(rg).column(bi).statistics
+                    # predicate: user_id in [40, 60] AND bucket in [5, 8]
+                    if us.max >= 40 and us.min <= 60 and bs.max >= 5 and bs.min <= 8:
+                        cand += 1
+            return cand, total
+
+        lin_cand, lin_total = candidate_files(linear)
+        z_cand, z_total = candidate_files(zorder)
+        assert lin_total >= 10 and z_total >= 10  # layout actually split
+        # linear sort: every chunk spans the full user/value space →
+        # nothing prunes; Morton clusters both dims → real skipping
+        assert z_cand < lin_cand
+        assert z_cand <= z_total // 2  # at least half the files skipped
