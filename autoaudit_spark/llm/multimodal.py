@@ -202,10 +202,23 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         b"\xff\xd8": "jpeg", b"\x89PN": "png", b"GIF8": "gif",
     }
     fmt = next((v for k, v in known.items() if magic.startswith(k)), "unknown")
-    raise NotImplementedError(
-        f"payload looks like '{fmt}' — compressed codecs (PIL/ffmpeg) are "
-        "not installed in this environment; BMP/PGM/PPM/WAV decode natively"
-    )
+    # distinguish "codec library absent" from "library present but the
+    # payload would not decode" — the wrong message sends an operator
+    # debugging the environment when the DATA is at fault
+    try:
+        import PIL  # noqa: F401
+
+        raise NotImplementedError(
+            f"payload looks like '{fmt}' but PIL could not decode it — "
+            "likely truncated or corrupt payload bytes (PIL IS installed; "
+            "BMP/PGM/PPM/WAV decode natively)"
+        )
+    except ImportError:
+        raise NotImplementedError(
+            f"payload looks like '{fmt}' — compressed codecs (PIL/ffmpeg) "
+            "are not installed in this environment; BMP/PGM/PPM/WAV decode "
+            "natively"
+        ) from None
 
 
 def resize_nearest(img: np.ndarray, box: int) -> np.ndarray:

@@ -20,7 +20,6 @@ A deterministic alternate scorer with identical operator shape —
 
 from __future__ import annotations
 
-import weakref
 
 import numpy as np
 import pandas as pd
@@ -259,21 +258,21 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iforest_points(account_features(edges(spark, sf_dir), window=True))
 
 
-#: session-scoped cache of the persisted Mahalanobis scores relation —
-#: three suite queries (anomaly_scores_mahalanobis, focus_plot_sum,
-#: sketch_values_hashed) and the T3 skeleton all consume the same
-#: (window, account, pair, score) relation; materializing it once per
-#: (session, sf_dir) removes the repeated ~10 s feature→score pipeline
-#: (round-2 verdict, "Next round" #4). Keyed WEAKLY on the session
-#: object (not id(spark) — CPython id reuse could alias a new session to
-#: a dead one's persisted relations); entries die with the session.
-_MAHA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# session-scoped cache of the persisted Mahalanobis scores relation —
+# three suite queries (anomaly_scores_mahalanobis, focus_plot_sum,
+# sketch_values_hashed) and the T3 skeleton all consume the same
+# (window, account, pair, score) relation; materializing it once per
+# (session, sf_dir) removes the repeated ~10 s feature→score pipeline
+# (round-2 verdict, "Next round" #4). The bucket lives ON the session
+# object (session_cache.session_bucket): a module-level
+# WeakKeyDictionary would be immortal here because the cached DataFrame
+# strongly references its session — the weak key could never clear.
 
 
 def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_session = _MAHA_CACHE.setdefault(spark, {})
+    from ..session_cache import session_bucket
+
+    per_session = session_bucket(spark, "maha_scores")
     df = per_session.get(sf_dir)
     if df is None:
         df = mahalanobis_scores(_points(spark, sf_dir)).persist()

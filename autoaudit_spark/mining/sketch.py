@@ -20,7 +20,6 @@ reference's own data scale, routine at small n).
 
 from __future__ import annotations
 
-import weakref
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -180,13 +179,12 @@ def _cand_pred(pair_id, sketch_id):
     ) < 2
 
 
-#: session-scoped cache, same contract as iforest._MAHA_CACHE: the greedy
-#: rounds are eager (localCheckpoint) so two suite queries consuming the
-#: pipeline (sketch_values_hashed, attention_routing_hashed) would pay
-#: them twice; the dense values relation is W×sketch_num — tiny.
-_PARTS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, int], tuple[DataFrame, DataFrame]]]" = (
-    weakref.WeakKeyDictionary()
-)
+# session-scoped cache, same contract as iforest.shared_maha_scores: the
+# greedy rounds are eager (localCheckpoint) so two suite queries consuming
+# the pipeline (sketch_values_hashed, attention_routing_hashed) would pay
+# them twice; the dense values relation is W×sketch_num — tiny. Stored ON
+# the session object (session_cache.session_bucket — a WeakKeyDictionary
+# holding DataFrames can never clear its key).
 
 
 def hashed_sketch_parts(
@@ -197,7 +195,9 @@ def hashed_sketch_parts(
     chosen greedy columns (sketch_id, pair_id)). `sketch_values_hashed`
     returns the first ordered; `attention_routing_hashed` (mining.change)
     consumes both. Weak-keyed on the session (see iforest._MAHA_CACHE)."""
-    per_session = _PARTS_CACHE.setdefault(spark, {})
+    from ..session_cache import session_bucket
+
+    per_session = session_bucket(spark, "sketch_parts")
     key = (sf_dir, sketch_num)
     if key not in per_session:
         vals, chosen = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
@@ -301,75 +301,81 @@ def _sketch_values_hashed_impl(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if gp is not None:
         spark.conf.set("spark.sql.shuffle.partitions", gp)
-    sums_cp = sums.select(
-        "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
-    )
-    # INCREMENTAL best state (r4 continuation): `best(sketch, account)`
-    # carries max-over-chosen-columns forward round to round —
-    # best_{t+1} = greatest(best_t, s[account, pick_t]) — instead of
-    # recomputing max over ALL chosen picks from `members` each round.
-    # Identical values (max is associative; DECIMAL comparisons exact —
-    # A/B-verified bit-identical picks at sf0.1), and measured 5-6×
-    # faster on the greedy rounds (16.3 s → 2.5 s at sf0.1 quiet): the
-    # recompute form re-analyzed and re-ran a members⋈chosen⋈sums
-    # groupBy per round, the incremental form is one broadcast-pick
-    # lookup join. localCheckpoint bounds every round's plan at O(1)
-    # depth; the materialized state is the accounts-sized `best`
-    # relation — the same rows the recompute form shuffled per round
-    # anyway, now written once per round instead of recomputed.
-    remaining = cands
-    chosen: DataFrame | None = None
-    best = members.select(
-        "sketch_id", "account", zero.alias("best")
-    ).localCheckpoint()
-    for rnd in range(NUM_DST):
-        gains = (
-            remaining.join(best, "sketch_id", "left")
-            .join(sums, ["account", "pair_id"], "left")
-            .groupBy("sketch_id", "pair_id")
-            .agg(
-                F.coalesce(
-                    F.sum(F.greatest(F.col("best"), F.coalesce(F.col("s"), zero))),
-                    zero,
-                )
-                .cast("decimal(38,6)")
-                .alias("gain")
-            )
+    # try/finally: the narrowed setting must NEVER leak to the rest of
+    # the session if a greedy-round job dies mid-loop (executor loss,
+    # cancellation) — every later data-sized query would silently run
+    # at the narrow width
+    try:
+        sums_cp = sums.select(
+            "account", F.col("pair_id").alias("cp"), F.col("s").alias("cs")
         )
-        # localCheckpoint truncates the LOGICAL plan at the 64-row pick
-        # (persist only short-circuits execution — Catalyst still
-        # re-analyzes the full nested tree per round, which cost ~7 s of
-        # DRIVER time at any scale). Each round becomes one tiny eager
-        # job over the persisted sums/members; the pick stays on the
-        # executors (no collect).
-        pick = argmax(gains).localCheckpoint()
-        chosen = pick if chosen is None else chosen.unionByName(pick)
-        remaining = remaining.join(
-            pick, ["sketch_id", "pair_id"], "left_anti"
-        )
-        if rnd < NUM_DST - 1:
-            # pick is 1 row per sketch → the join preserves best 1:1;
-            # greatest(best, s[pick]) ≥ 0 holds inductively from the
-            # zero-initialised state
-            best = (
-                best.join(
-                    F.broadcast(pick.withColumnRenamed("pair_id", "cp")),
-                    "sketch_id",
-                )
-                .join(sums_cp, ["account", "cp"], "left")
-                .select(
-                    "sketch_id",
-                    "account",
-                    F.greatest(F.col("best"), F.coalesce(F.col("cs"), zero))
+        # INCREMENTAL best state (r4 continuation): `best(sketch, account)`
+        # carries max-over-chosen-columns forward round to round —
+        # best_{t+1} = greatest(best_t, s[account, pick_t]) — instead of
+        # recomputing max over ALL chosen picks from `members` each round.
+        # Identical values (max is associative; DECIMAL comparisons exact —
+        # A/B-verified bit-identical picks at sf0.1), and measured 5-6×
+        # faster on the greedy rounds (16.3 s → 2.5 s at sf0.1 quiet): the
+        # recompute form re-analyzed and re-ran a members⋈chosen⋈sums
+        # groupBy per round, the incremental form is one broadcast-pick
+        # lookup join. localCheckpoint bounds every round's plan at O(1)
+        # depth; the materialized state is the accounts-sized `best`
+        # relation — the same rows the recompute form shuffled per round
+        # anyway, now written once per round instead of recomputed.
+        remaining = cands
+        chosen: DataFrame | None = None
+        best = members.select(
+            "sketch_id", "account", zero.alias("best")
+        ).localCheckpoint()
+        for rnd in range(NUM_DST):
+            gains = (
+                remaining.join(best, "sketch_id", "left")
+                .join(sums, ["account", "pair_id"], "left")
+                .groupBy("sketch_id", "pair_id")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.greatest(F.col("best"), F.coalesce(F.col("s"), zero))),
+                        zero,
+                    )
                     .cast("decimal(38,6)")
-                    .alias("best"),
+                    .alias("gain")
                 )
-                .localCheckpoint()
             )
-    if gp is not None:
-        # restore BEFORE the data-sized vals aggregation below — only the
-        # parameter-sized greedy rounds may run narrow
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            # localCheckpoint truncates the LOGICAL plan at the 64-row pick
+            # (persist only short-circuits execution — Catalyst still
+            # re-analyzes the full nested tree per round, which cost ~7 s of
+            # DRIVER time at any scale). Each round becomes one tiny eager
+            # job over the persisted sums/members; the pick stays on the
+            # executors (no collect).
+            pick = argmax(gains).localCheckpoint()
+            chosen = pick if chosen is None else chosen.unionByName(pick)
+            remaining = remaining.join(
+                pick, ["sketch_id", "pair_id"], "left_anti"
+            )
+            if rnd < NUM_DST - 1:
+                # pick is 1 row per sketch → the join preserves best 1:1;
+                # greatest(best, s[pick]) ≥ 0 holds inductively from the
+                # zero-initialised state
+                best = (
+                    best.join(
+                        F.broadcast(pick.withColumnRenamed("pair_id", "cp")),
+                        "sketch_id",
+                    )
+                    .join(sums_cp, ["account", "cp"], "left")
+                    .select(
+                        "sketch_id",
+                        "account",
+                        F.greatest(F.col("best"), F.coalesce(F.col("cs"), zero))
+                        .cast("decimal(38,6)")
+                        .alias("best"),
+                    )
+                    .localCheckpoint()
+                )
+    finally:
+        if gp is not None:
+            # restore BEFORE the data-sized vals aggregation below — only
+            # the parameter-sized greedy rounds may run narrow
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     chosen = F.broadcast(chosen)
 

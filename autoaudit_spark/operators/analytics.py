@@ -325,13 +325,14 @@ BURST_MIN_DAYS = 3
     )
     SELECT d.user_id, d.day, d.cnt,
            ROUND(CAST(s.sx AS DOUBLE) / s.n_days, 6) AS mean_daily,
-           ROUND(sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n_days)
-                      / s.n_days), 6) AS sd_daily
+           ROUND(sqrt(GREATEST((s.sxx - CAST(s.sx AS DOUBLE) * s.sx
+                                / s.n_days) / s.n_days, 0.0)), 6) AS sd_daily
     FROM daily d JOIN stats s USING (user_id)
     WHERE s.n_days >= {BURST_MIN_DAYS}
       AND d.cnt > CAST(s.sx AS DOUBLE) / s.n_days
-                  + {BURST_SIGMA} * sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx
-                                          / s.n_days) / s.n_days)
+                  + {BURST_SIGMA} * sqrt(GREATEST((s.sxx
+                      - CAST(s.sx AS DOUBLE) * s.sx / s.n_days)
+                      / s.n_days, 0.0))
     ORDER BY d.user_id, d.day
     """,
 )
@@ -361,9 +362,19 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("n_days")
+    # GREATEST(var, 0): with exact integer moments the variance is
+    # mathematically >= 0, but the double expression can round to -eps
+    # when sx*sx exceeds 2^53 — DuckDB sqrt then RAISES where Spark
+    # returns NaN, so the clamp is a cross-engine parity requirement
     sd = F.sqrt(
-        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n_days"))
-        / F.col("n_days")
+        F.greatest(
+            (
+                F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n_days")
+            )
+            / F.col("n_days"),
+            F.lit(0.0),
+        )
     )
     return (
         daily.join(stats, "user_id")
@@ -723,8 +734,8 @@ DECAY_ANCHOR = "2024-12-31"
     WITH w AS (
         SELECT user_id,
                CAST(ROUND(value * pow(2.0,
-                   -CAST(date_diff('day', CAST(ts AS DATE),
-                                   DATE '{DECAY_ANCHOR}') // 7 AS BIGINT)), 6)
+                   -CAST(floor(date_diff('day', CAST(ts AS DATE),
+                                DATE '{DECAY_ANCHOR}') / 7.0) AS BIGINT)), 6)
                    AS DECIMAL(18,6)) AS dv
         FROM events
     )
@@ -739,9 +750,10 @@ def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, anchored at a fixed as-of date — the standard
     exponential-decay feature for churn/risk models (a transfer last
     week counts double one from a fortnight ago). The exponent is an
-    INTEGER week count, so 2^−k is an exact power of two in both
-    engines (libm pow on fractional exponents diverges in the last
-    ulp); each term is 6dp-DECIMAL quantized so the per-user sum is
+    INTEGER week count — FLOOR(days/7) on both engines (truncating `//`
+    would diverge from floor for post-anchor events), so 2^±k is an
+    exact power of two in both (libm pow on fractional exponents
+    diverges in the last ulp); each term is 6dp-DECIMAL quantized so the per-user sum is
     order-free. One shuffle on user_id, map-side combined."""
     ev = load_table(spark, sf_dir, "events")
     weeks = F.floor(

@@ -21,6 +21,27 @@ MIN_PATHS = 3
 
 _ADJ_CTE = f"WITH edges AS ({EDGES_SQL}), adj AS (SELECT DISTINCT src, dst FROM edges)"
 
+#: canonical undirected simple graph: self-loops dropped, endpoints
+#: ordered a<b, duplicates collapsed — the ONE derivation every
+#: undirected operator (triangles, clustering, assortativity, Jaccard,
+#: LPA, k-core's strong-tie variant) must agree on. Shared here so a
+#: canonicalization change cannot silently desynchronize one oracle.
+_UND_SQL = """und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst
+    )"""
+
+
+def undirected_simple(adj: DataFrame) -> DataFrame:
+    """(a, b) with a < b — the Spark twin of `_UND_SQL`."""
+    return (
+        adj.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
 
 def two_hop_counts(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFrame:
     """Smurf-candidate generation: for every (i, j), the number of directed
@@ -303,10 +324,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count",
     oracle=f"""
     {_ADJ_CTE},
-    und AS (
-        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-        FROM adj WHERE src <> dst
-    )
+    {_UND_SQL}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM und e1
     JOIN und e2 ON e2.a = e1.b
@@ -325,13 +343,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(E^1.5) work regardless of hubs) — same two equi-joins, one extra
     degree broadcast, applied when a degree profile shows hubs."""
     adj = adjacency(spark, sf_dir)
-    und = (
-        adj.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_simple(adj)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     return (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
@@ -495,10 +507,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "node_jaccard",
     oracle=f"""
     {_ADJ_CTE},
-    und AS (
-        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-        FROM adj WHERE src <> dst
-    ),
+    {_UND_SQL},
     nbr AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
     deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
     common AS (
@@ -525,13 +534,7 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — bit-identical cross-engine. Same hub caveat as J1;
     `two_hop_salted`'s salting applies verbatim at 100 TB."""
     adj = adjacency(spark, sf_dir)
-    und = (
-        adj.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_simple(adj)
     nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
@@ -656,10 +659,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clustering_coefficient",
     oracle=f"""
     {_ADJ_CTE},
-    und AS (
-        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-        FROM adj WHERE src <> dst
-    ),
+    {_UND_SQL},
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
             SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
@@ -702,13 +702,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies unchanged here); the credit union triples rows pre-combine
     but map-side combine collapses them before the shuffle."""
     adj = adjacency(spark, sf_dir)
-    und = (
-        adj.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_simple(adj)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -793,10 +787,7 @@ def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree_assortativity",
     oracle=f"""
     {_ADJ_CTE},
-    und AS (
-        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-        FROM adj WHERE src <> dst
-    ),
+    {_UND_SQL},
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
             SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
@@ -838,13 +829,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins + one global aggregate; the pair relation is 2|E| rows,
     map-side-combined to six numbers."""
     adj = adjacency(spark, sf_dir)
-    und = (
-        adj.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_simple(adj)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -969,7 +954,7 @@ _NEG_SEED = 77
     cand AS (
         SELECT n.node AS src, j.j,
                ((n.node * 2654435761 + j.j * 97 + {_NEG_SEED}) % 1000003)
-                   % 150 AS dst
+                   % (SELECT MAX(node) + 1 FROM nodes) AS dst
         FROM nodes n
         CROSS JOIN (SELECT UNNEST(range({NEG_DRAWS})) AS j) j
     ),
@@ -997,7 +982,7 @@ _NEG_SEED = 77
 )
 def q_negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative-edge sampling: up to K non-edges per node,
-    drawn by modular hash — the training-data counterpart of the graph
+    drawn by modular hash over the data-derived id span — the training-data counterpart of the graph
     operators (link-prediction / GNN training needs negatives sampled
     reproducibly, not via rand()). Candidates are generated MAP-SIDE
     (node × J arithmetic, no N² cross join), validated against the node
@@ -1014,14 +999,22 @@ def q_negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     j = spark.range(NEG_DRAWS).select(F.col("id").alias("j"))
-    cand = nodes.crossJoin(F.broadcast(j)).select(
-        F.col("node").alias("src"),
-        "j",
-        (
-            (F.col("node") * 2654435761 + F.col("j") * 97 + _NEG_SEED)
-            % 1000003
-            % 150
-        ).alias("dst"),
+    # candidate modulus = node-id span (max+1), derived from the DATA —
+    # a fixture constant here would bias every negative into one id
+    # block at larger scale factors (sf0.1's ~1500-node universe)
+    mod_df = nodes.agg((F.max("node") + 1).alias("mod"))
+    cand = (
+        nodes.crossJoin(F.broadcast(j))
+        .crossJoin(F.broadcast(mod_df))
+        .select(
+            F.col("node").alias("src"),
+            "j",
+            (
+                (F.col("node") * 2654435761 + F.col("j") * 97 + _NEG_SEED)
+                % 1000003
+                % F.col("mod")
+            ).alias("dst"),
+        )
     )
     valid = (
         cand.filter(F.col("dst") != F.col("src"))
@@ -1108,13 +1101,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     adj = adjacency(spark, sf_dir)
-    und = (
-        adj.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = undirected_simple(adj)
     sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     ).localCheckpoint()

@@ -1041,30 +1041,41 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch window oracle, applied WITHIN each merge — associative, so
     the incremental fold equals the one-shot ROW_NUMBER result
     bit-for-bit."""
+    import glob
     import shutil
 
     stream = replay_events_chunked(
         spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
     )
     base = tempfile.mkdtemp(prefix="upsert_state_")
-    state = {"ver": 0}
     cols = ["user_id", "event_id", "event_type", "value", "ts"]
     ordkey = F.struct(F.col("ts"), F.col("event_id"))
     row = F.struct("event_id", "event_type", "value", "ts")
 
+    def _versions() -> list[int]:
+        return sorted(
+            int(os.path.basename(p)[1:]) for p in glob.glob(f"{base}/v*")
+        )
+
     def merge(batch: DataFrame, batch_id: int) -> None:
+        # Version snapshots by BATCH ID, not a driver-memory counter:
+        # after a crash+restart from the checkpoint, committed batches
+        # are skipped and the retried batch re-merges from the same
+        # predecessor snapshot and overwrites its OWN v{batch_id} dir —
+        # idempotent, so at-least-once delivery yields exactly-once
+        # state (a counter would reset on restart and silently drop all
+        # pre-crash merges).
         b = batch.filter(F.col("event_id") >= 0).select(*cols)
-        cur_dir = f"{base}/v{state['ver']}"
-        if state["ver"] > 0:
-            cur = batch.sparkSession.read.parquet(cur_dir)
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            cur = batch.sparkSession.read.parquet(f"{base}/v{max(prior)}")
             b = b.unionByName(cur)
         merged = (
             b.groupBy("user_id")
             .agg(F.max_by(row, ordkey).alias("r"))
             .select("user_id", "r.*")
         )
-        state["ver"] += 1
-        merged.write.mode("overwrite").parquet(f"{base}/v{state['ver']}")
+        merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
 
     ck = tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = (
@@ -1074,7 +1085,7 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(f"{base}/v{state['ver']}").select(*cols)
+    final = spark.read.parquet(f"{base}/v{max(_versions())}").select(*cols)
     out = final.orderBy("user_id").localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
