@@ -400,3 +400,54 @@ class TestCheckpointRecovery:
             Fn.sum(Fn.col("value").cast("decimal(18,2)")).alias("s")
         ).collect()[0]["s"]
         assert g == w
+
+
+class TestCDCOutOfOrder:
+    def test_latest_snapshot_agg_is_arrival_order_free(self, spark, sf_dir):
+        """max_by((ts,event_id)) over a SHUFFLED cross-batch replay must
+        equal the batch latest-wins result — the fold is order-free, so
+        arbitrary arrival order cannot corrupt the CDC view."""
+        from pyspark.sql import functions as Fn
+
+        from autoaudit_spark.streaming.windowed import (
+            drain,
+            replay_events_chunked,
+        )
+
+        stream = replay_events_chunked(
+            spark,
+            sf_dir,
+            n_chunks=3,
+            delay="40 days",
+            shuffle_seed=99,  # hash-dealt chunks: arbitrary arrival order
+            include_type=True,
+        )
+        ordkey = Fn.struct(Fn.col("ts"), Fn.col("event_id"))
+        row = Fn.struct("event_id", "event_type", "value", "ts")
+        agg = (
+            stream.filter(Fn.col("event_id") >= 0)
+            .groupBy("user_id")
+            .agg(Fn.max_by(row, ordkey).alias("r"))
+        )
+        out = (
+            drain(agg, "tst_ooo_snapshot", output_mode="complete")
+            .select("user_id", "r.event_id", "r.ts")
+            .orderBy("user_id")
+            .collect()
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            Fn.col("ts").desc(), Fn.col("event_id").desc()
+        )
+        want = (
+            ev.withColumn("rn", Fn.row_number().over(w))
+            .filter(Fn.col("rn") == 1)
+            .select("user_id", "event_id", "ts")
+            .orderBy("user_id")
+            .collect()
+        )
+        assert [(r["user_id"], r["event_id"]) for r in out] == [
+            (r["user_id"], r["event_id"]) for r in want
+        ]
