@@ -42,7 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal.py), dedup_retention / corpus_filter /
 # near_dup_minhash_hashed (dedup.py edits), relabel_reorder /
 # two_hop_intermediaries (graph.py edits), stream_window_event_stats /
-# stream_user_sessions (streaming family anchors). After this round every
+# stream_user_sessions (streaming family anchors). The same 15 keeps
+# also re-gate the round-4 CONTINUATION's perf edits: the incremental
+# greedy best-state (sketch_values_hashed/attention_routing_hashed),
+# the shingle/media repartitions (near_dup_minhash_hashed, media_*),
+# and the session-attached cache move (every maha/sketch consumer).
+# After this round every
 # one of the 84 oracled queries has earned a driver CORRECTNESS row in
 # some round. Rotated OUT (all green in CORRECTNESS_r03, code unchanged):
 # near_dup_simhash_hashed, doc_fingerprint_hashed, ann_lsh_topk,
