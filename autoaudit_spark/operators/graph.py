@@ -94,11 +94,24 @@ def node_universe(edges_df: DataFrame) -> DataFrame:
     )
 
 
-def relabel(edges_df: DataFrame, rank_map: DataFrame) -> DataFrame:
+#: rank maps at or below this row count get an explicit broadcast hint in
+#: `relabel`; above it the hint is dropped and AQE picks the strategy (a
+#: node-universe-sized forced broadcast OOMs executors at 10⁹ nodes).
+RELABEL_BROADCAST_LIMIT = 10_000_000
+
+
+def relabel(
+    edges_df: DataFrame, rank_map: DataFrame, hint_broadcast: bool | None = None
+) -> DataFrame:
     """Matrix reorder `ajm[np.ix_(order, order)]` (`AA-Smurf.py:59,165`) as
-    two broadcast joins against the small (node, rank) permutation table —
-    J5. The rank map is per-definition tiny (≤ #nodes) → broadcast."""
-    rm = F.broadcast(rank_map)
+    two joins against the (node, rank) permutation table — J5. The
+    broadcast hint is GATED by the map's size (r4-verdict fix): maps up
+    to RELABEL_BROADCAST_LIMIT rows hint broadcast (the common case — a
+    permutation table is node-sized, usually far below the edge stream);
+    larger maps leave the strategy to AQE, which shuffle-joins them."""
+    if hint_broadcast is None:
+        hint_broadcast = rank_map.count() <= RELABEL_BROADCAST_LIMIT
+    rm = F.broadcast(rank_map) if hint_broadcast else rank_map
     return (
         edges_df.join(rm.withColumnRenamed("node", "src").withColumnRenamed("rank", "src_rank"), "src")
         .join(rm.withColumnRenamed("node", "dst").withColumnRenamed("rank", "dst_rank"), "dst")
@@ -227,16 +240,18 @@ def q_node_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: permutation relabeling via broadcast rank-map joins
+    """J5: permutation relabeling via size-gated rank-map joins
     (`AA-Smurf.py:59,165`). Rank here = sorted-node order (deterministic
-    stand-in for the MDL-derived order, which is tested separately)."""
-    from pyspark.sql.window import Window
+    stand-in for the MDL-derived order, which is tested separately).
 
+    The rank build is sorted `zipWithIndex` over the node universe
+    (r4-verdict fix — the same idiom as `mining/smurf.py` `_node_index`):
+    ranks are assigned per-partition over the range-sorted RDD, so no
+    single-partition `row_number` window ever sees the full universe."""
     adj = adjacency(spark, sf_dir)
     nodes = node_universe(adj)
-    rank_map = nodes.withColumn(
-        "rank", (F.row_number().over(Window.orderBy("node")) - 1).cast("long")
-    )
+    rdd = nodes.orderBy("node").rdd.map(lambda r: r["node"]).zipWithIndex()
+    rank_map = spark.createDataFrame(rdd, "node long, rank long")
     return relabel(adj, rank_map).orderBy("src", "dst")
 
 
@@ -332,24 +347,46 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count on the undirected simple graph: canonical
-    a<b edges, each triangle a<b<c counted exactly once via two equi-
-    joins ((a,b)⋈(b,c)⋈(a,c)) — the standard distributed formulation.
-
-    Scale posture: the canonical a<b orientation already bounds wedge
-    generation by the LOWER endpoint's canonical out-degree; the classic
-    refinement at 100 TB is degree-ordering (orient each edge from the
-    lower-degree endpoint, so every wedge pivot is a low-degree vertex —
-    O(E^1.5) work regardless of hubs) — same two equi-joins, one extra
-    degree broadcast, applied when a degree profile shows hubs."""
+    """Global triangle count on the undirected simple graph via DEGREE
+    ORIENTATION (the r4-verdict refinement, implemented): every edge is
+    oriented from its lower-(degree, node) endpoint to the higher one, so
+    wedge generation pivots only at the LOW-order vertex of each triangle
+    — oriented out-degree is O(√m), making total wedge work O(m^1.5)
+    regardless of hubs (vs O(Σd²) for id-canonical orientation, which a
+    single 10⁸-degree hub blows up at 100 TB). Each triangle u<v<w in
+    orientation order is counted exactly once: the ordered wedge (v, w)
+    at pivot u matches the oriented edge v→w, and the mirrored wedge
+    (w, v) matches nothing. Two equi-joins + one node-sized degree join
+    (strategy left to AQE — the degree relation is data-sized)."""
     adj = adjacency(spark, sf_dir)
     und = undirected_simple(adj)
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
     return (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        w1.join(
+            w2,
+            (F.col("w2.lo") == F.col("w1.lo"))
+            & (F.col("w2.hi") != F.col("w1.hi")),
+        )
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.lo") == F.col("w1.hi"))
+            & (F.col("e3.hi") == F.col("w2.hi")),
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
@@ -611,10 +648,14 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel count needed is bounded by graph degeneracy, far below
     {K_CORE_ROUNDS} here, asserted by a fixpoint test).
 
-    Spark shape: per round, one semi-join of the symmetric edge list
-    against the surviving node set (broadcast — node-sized), one degree
+    Spark shape: per round, LEFT-SEMI joins of the symmetric edge list
+    against the surviving node set on each endpoint, one degree
     aggregate, one filter; `localCheckpoint` truncates the iterative
-    lineage exactly as pagerank does. The DuckDB twin carries the member
+    lineage exactly as pagerank does. The join strategy is left to AQE
+    (r4-verdict fix: no forced broadcast — the surviving node set is
+    node-sized, and at 10⁹-node scale a forced broadcast OOMs the
+    executors; AQE still picks broadcast when the set is small).
+    The DuckDB twin carries the member
     set as a LIST through a recursive CTE (the standard single-recursive-
     reference restriction forbids joining the working table twice).
     The input is the STRONG-TIE graph (pairs with ≥ K_CORE_MIN_MULT
@@ -638,21 +679,29 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     core = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
     for _ in range(K_CORE_ROUNDS):
-        in_core = (
-            sym.join(F.broadcast(core), sym.a == core.node)
-            .drop("node")
-            .join(
-                F.broadcast(core.withColumnRenamed("node", "b_node")),
-                F.col("b") == F.col("b_node"),
-            )
-            .groupBy("a")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= K_CORE_K)
-            .select(F.col("a").alias("node"))
-        )
-        core = in_core.localCheckpoint()
+        core = k_core_peel(sym, core, K_CORE_K).localCheckpoint()
     sym.unpersist()
     return core.orderBy("node")
+
+
+def k_core_peel(sym: DataFrame, core: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round: restrict the symmetric edge list to edges
+    with BOTH endpoints surviving (left-semi joins — no broadcast hint,
+    AQE picks the strategy; the surviving node set is node-sized), then
+    keep nodes whose in-core degree is ≥ k. Module-level so the plan
+    test can assert the no-forced-broadcast property directly."""
+    return (
+        sym.join(core, sym.a == core.node, "left_semi")
+        .join(
+            core.withColumnRenamed("node", "b_node"),
+            F.col("b") == F.col("b_node"),
+            "left_semi",
+        )
+        .groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("a").alias("node"))
+    )
 
 
 @query(

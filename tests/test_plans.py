@@ -330,3 +330,71 @@ class TestR4LateBatch:
         # aggregate (vocab-sized), not on the exploded token stream
         p = plan(q["hashing_tf"](spark, SF))
         assert "HashAggregate" in p
+
+
+def _unpartitioned_window_keys(p: str) -> set[str]:
+    """First order-by column of every UNPARTITIONED window in a formatted
+    plan. A partitioned windowspecdefinition lists partition columns
+    first (`windowspecdefinition(shard#7L, doc_id#0L ASC ...`); an
+    unpartitioned one starts directly with an ordered column
+    (`windowspecdefinition(shard#25L ASC ...`)."""
+    return set(re.findall(r"windowspecdefinition\((\w+)#\d+L? ASC", p))
+
+
+class TestR5ScaleFixes:
+    def test_sequence_packing_has_no_global_data_window(self, spark, q):
+        """r4-verdict #2: the only single-partition window may run over
+        the one-row-per-shard prefix relation — never over the document
+        stream (no unpartitioned window ordered by doc_id)."""
+        p = plan(q["sequence_packing"](spark, SF))
+        assert _unpartitioned_window_keys(p) == {"shard"}, p
+        assert len(re.findall(r"Arguments: SinglePartition", p)) == 1
+        # the data-sized cumsum is partitioned by shard
+        assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id#\d+L ASC", p)
+
+    def test_session_concurrency_sweep_is_day_partitioned(self, spark, q):
+        """r4-verdict #3: the boundary sweep-line runs per calendar day;
+        only the one-row-per-day prefix relation hits a single
+        partition."""
+        p = plan(q["session_concurrency"](spark, SF))
+        assert _unpartitioned_window_keys(p) == {"day"}, p
+        assert len(re.findall(r"Arguments: SinglePartition", p)) == 1
+
+    def test_k_core_peel_has_no_forced_broadcast(self, spark):
+        """r4-verdict #4: the peel round must not force-broadcast the
+        node-sized surviving set — without a hint (and without runtime
+        stats) the static plan is a shuffle join, which AQE may turn
+        into a broadcast at runtime when the set IS small."""
+        from autoaudit_spark.operators.graph import k_core_peel
+
+        sym = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "a long, b long"
+        )
+        core = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+        p = plan(k_core_peel(sym, core, 2))
+        assert "BroadcastHashJoin" not in p, p
+        assert "LeftSemi" in p
+
+    def test_relabel_drops_broadcast_hint_for_large_maps(self, spark):
+        """r4-verdict #4: the rank-map broadcast hint is size-gated —
+        with the hint off the static plan must not force a broadcast."""
+        from autoaudit_spark.operators.graph import relabel
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        rank_map = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 2)], "node long, rank long"
+        )
+        p = plan(relabel(edges, rank_map, hint_broadcast=False))
+        assert "BroadcastHashJoin" not in p, p
+        p_hinted = plan(relabel(edges, rank_map, hint_broadcast=True))
+        assert "BroadcastHashJoin" in p_hinted
+
+    def test_triangle_count_is_degree_oriented(self, spark, q):
+        """r4-verdict #7: counting joins run over the degree-oriented
+        edge list (lo/hi) — two equi-joins plus the degree aggregate, no
+        nested loop."""
+        p = plan(q["triangle_count"](spark, SF))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        # orientation requires a degree aggregate below the wedge join
+        assert re.search(r"count\(1\)", p) and "SortMergeJoin" in p or "HashAggregate" in p
+        assert re.search(r"\blo#\d+L", p) and re.search(r"\bhi#\d+L", p), p
