@@ -1002,7 +1002,8 @@ _NEG_SEED = 77
     ),
     cand AS (
         SELECT n.node AS src, j.j,
-               ((n.node * 2654435761 + j.j * 97 + {_NEG_SEED}) % 1000003)
+               (((n.node % 1000003) * 2654435761 + j.j * 97 + {_NEG_SEED})
+                   % 1000003)
                    % (SELECT MAX(node) + 1 FROM nodes) AS dst
         FROM nodes n
         CROSS JOIN (SELECT UNNEST(range({NEG_DRAWS})) AS j) j
@@ -1058,8 +1059,14 @@ def q_negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("src"),
             "j",
+            # node is reduced mod the prime BEFORE the multiply (ADVICE
+            # r4): (node % p)·2654435761 stays under int64 for any id,
+            # where node·2654435761 overflows past node ≈ 3.5e9 —
+            # silently in non-ANSI Spark, loudly in DuckDB. Same residue
+            # class → identical draws on non-overflowing inputs.
             (
-                (F.col("node") * 2654435761 + F.col("j") * 97 + _NEG_SEED)
+                ((F.col("node") % 1000003) * 2654435761
+                 + F.col("j") * 97 + _NEG_SEED)
                 % 1000003
                 % F.col("mod")
             ).alias("dst"),

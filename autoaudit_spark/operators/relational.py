@@ -932,15 +932,17 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     accesses over get_json_object re-parse the string N times, while
     Variant parses once and shreds; this query pins that API tier.
 
-    DECIMAL money sum per repo convention; integer division floors
-    identically in both engines for the non-negative k domain."""
+    DECIMAL money sum per repo convention; the decade is FLOOR division
+    (ADVICE r4: a plain double-division cast truncates toward zero and
+    diverges from the oracle's `//` for negative k — floor matches for
+    every sign, no domain assumption needed)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(F.parse_json("props").alias("v"), "value")
     k = v.select(
         F.variant_get(F.col("v"), "$.k", "int").alias("k"), "value"
     )
     return (
-        k.groupBy((F.col("k") / 10).cast("long").alias("k_decade"))
+        k.groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_decade"))
         .agg(
             F.count("*").cast("long").alias("n"),
             F.min("k").cast("long").alias("k_min"),

@@ -1078,18 +1078,22 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
 
     ck = tempfile.mkdtemp(prefix="ckpt_upsert_")
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    final = spark.read.parquet(f"{base}/v{max(_versions())}").select(*cols)
-    out = final.orderBy("user_id").localCheckpoint()
-    shutil.rmtree(base, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
-    return out
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(f"{base}/v{max(_versions())}").select(*cols)
+        return final.orderBy("user_id").localCheckpoint()
+    finally:
+        # localCheckpoint above means the returned frame no longer reads
+        # these dirs; the finally also covers every failure path (ADVICE
+        # r4: the success-only cleanup leaked state+checkpoint dirs)
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

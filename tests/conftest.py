@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -11,7 +12,10 @@ from autoaudit_spark.registry import load_all
 
 load_all()
 
-SF_DIR = "/root/testdata/sf0.001"
+#: all fixture paths derive from one overridable root so the suite runs
+#: (or skips cleanly) on machines that keep the testdata elsewhere
+SF_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIR = f"{SF_ROOT}/sf0.001"
 
 
 @pytest.fixture(scope="session")
@@ -23,3 +27,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_root():
+    return SF_ROOT

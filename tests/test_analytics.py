@@ -12,6 +12,17 @@ from pyspark.sql import functions as F
 from autoaudit_spark.registry import QUERIES
 
 
+def crafted_events_dir(spark, tmp_path, rows, schema) -> str:
+    """Materialize crafted rows as `<dir>/events.parquet` so a planted-
+    case test can invoke the REGISTERED query on them (ADVICE r4: the
+    crafted tests previously re-implemented the operator inline, so an
+    operator regression slipped past them). `load_table` reads
+    `{sf_dir}/events.parquet`, so the temp dir is a drop-in sf_dir."""
+    d = str(tmp_path / "crafted_sf")
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    return d
+
+
 class TestAnalytics:
     def test_latest_snapshot_latest_wins(self, spark, sf_dir):
         out = QUERIES["latest_snapshot"](spark, sf_dir)
@@ -34,21 +45,21 @@ class TestAnalytics:
             per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
         assert max(per_user.values()) <= 5
 
-    def test_robust_zscore_flags_planted_outlier(self, spark):
+    def test_robust_zscore_flags_planted_outlier(self, spark, tmp_path):
+        # median of [9,10,10,11,12,500] = 10.5; MAD = median of
+        # |x-10.5| = [1.5,0.5,0.5,0.5,1.5,489.5] = 1.0 → only the 500
+        # row clears ZSCORE_CUT (z = 489.5; next largest |z| is 1.5)
         rows = [(1, i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 500])]
-        df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
-        df.createOrReplaceTempView("_z_ev")
-        med = 10.5  # median of [9,10,10,11,12,500]
-        mad = 1.0  # median of |x-10.5| = [1.5,0.5,0.5,0.5,1.5,489.5]
-        from autoaudit_spark.operators.analytics import ZSCORE_CUT
+        d = crafted_events_dir(
+            spark, tmp_path, rows, "user_id long, event_id long, value double"
+        )
+        got = QUERIES["robust_zscore"](spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["user_id"], r["event_id"], r["value"]) == (1, 5, 500.0)
+        assert (r["med"], r["mad"], r["z"]) == (10.5, 1.0, 489.5)
 
-        m = df.groupBy("user_id").agg(F.median("value").alias("med"))
-        got_med = m.collect()[0]["med"]
-        assert got_med == med
-        z_outlier = (500 - med) / mad
-        assert abs(z_outlier) > ZSCORE_CUT
-
-    def test_event_transitions_counts(self, spark):
+    def test_event_transitions_counts(self, spark, tmp_path):
         import datetime as dt
 
         t0 = dt.datetime(2024, 1, 1)
@@ -56,20 +67,15 @@ class TestAnalytics:
             (1, i, t0 + dt.timedelta(minutes=i), t)
             for i, t in enumerate(["a", "b", "a", "b"])
         ]
-        df = spark.createDataFrame(
-            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        d = crafted_events_dir(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        seq = df.select(
-            "event_type", F.lead("event_type").over(w).alias("next_type")
-        ).filter(F.col("next_type").isNotNull())
         got = {
             (r["event_type"], r["next_type"]): r["n"]
-            for r in seq.groupBy("event_type", "next_type").count()
-            .withColumnRenamed("count", "n")
-            .collect()
+            for r in QUERIES["event_transitions"](spark, d).collect()
         }
         assert got == {("a", "b"): 2, ("b", "a"): 1}
 
@@ -190,12 +196,17 @@ class TestAuditBatch:
             want = round(math.log10(1 + 1 / int(r["digit"])), 6)
             assert r["benford"] == want
 
-    def test_burst_detection_planted(self, spark):
+    def test_burst_detection_planted(self, spark, tmp_path):
         import datetime as dt
 
+        # 20 quiet days of 2 events + one 100-event burst. 20 days, not
+        # 10: a single outlier among n days has population z at most
+        # sqrt(n-1), so with n=10 a lone burst sits EXACTLY at 3σ and
+        # flagging depended on float rounding; sqrt(19) ≈ 4.36 clears
+        # BURST_SIGMA=3 with real margin (threshold ≈ 71 vs cnt 100).
         rows = []
-        for day in range(10):
-            n = 100 if day == 5 else 2  # planted burst on day 5
+        for day in range(20):
+            n = 100 if day == 5 else 2
             for i in range(n):
                 rows.append(
                     (
@@ -204,28 +215,13 @@ class TestAuditBatch:
                         dt.datetime(2024, 1, 1 + day, 12, i // 60, i % 60),
                     )
                 )
-        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
-        from pyspark.sql import functions as F
-
-        daily = df.groupBy(
-            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
-        ).agg(F.count("*").cast("long").alias("cnt"))
-        stats = daily.groupBy("user_id").agg(
-            F.count("*").alias("n"),
-            F.sum("cnt").alias("sx"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+        d = crafted_events_dir(
+            spark, tmp_path, rows, "user_id long, event_id long, ts timestamp"
         )
-        mean = F.col("sx").cast("double") / F.col("n")
-        sd = F.sqrt(
-            (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
-            / F.col("n")
-        )
-        flagged = (
-            daily.join(stats, "user_id")
-            .filter(F.col("cnt") > mean + 3.0 * sd)
-            .collect()
-        )
-        assert len(flagged) == 1 and flagged[0]["cnt"] == 100
+        flagged = QUERIES["burst_detection"](spark, d).collect()
+        assert len(flagged) == 1
+        assert flagged[0]["cnt"] == 100
+        assert flagged[0]["day"] == dt.date(2024, 1, 6)
 
     def test_reciprocity_crafted(self, spark, sf_dir):
         out = QUERIES["edge_reciprocity"](spark, sf_dir).collect()[0]
@@ -469,38 +465,30 @@ class TestPQ:
 
 
 class TestLabelPropagation:
-    def test_lpa_separates_planted_cliques(self, spark):
+    def test_lpa_separates_planted_cliques(self, spark, tmp_path):
         """Two 4-cliques joined by one bridge edge: LPA labels each
-        clique uniformly; min-label components would merge them."""
-        from pyspark.sql import Window
-        from pyspark.sql import functions as Fn
+        clique uniformly; min-label components would merge them. The
+        graph rides the events→edges derivation (src=user_id,
+        dst=event_id%150 — ids < 150, so event_id IS the endpoint) and
+        the assertion exercises the REGISTERED query end-to-end."""
+        import datetime as dt
 
         edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
         edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
         edges.append((3, 10))  # bridge
-        und = spark.createDataFrame(edges, "a long, b long")
-        sym = und.select(Fn.col("a").alias("node"), Fn.col("b").alias("nbr")).unionAll(
-            und.select(Fn.col("b").alias("node"), Fn.col("a").alias("nbr"))
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(a, b, 1.0, t0) for a, b in edges]
+        d = crafted_events_dir(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, value double, ts timestamp",
         )
-        labels = (
-            sym.select("node").distinct().select("node", Fn.col("node").alias("lbl"))
-        )
-        w = Window.partitionBy("node").orderBy(Fn.col("c").desc(), Fn.col("lbl"))
-        for _ in range(3):
-            cnt = (
-                sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-                .groupBy("node", "lbl")
-                .agg(Fn.count("*").alias("c"))
-            )
-            pick = (
-                cnt.withColumn("rn", Fn.row_number().over(w))
-                .filter(Fn.col("rn") == 1)
-                .select("node", Fn.col("lbl").alias("new_lbl"))
-            )
-            labels = labels.join(pick, "node", "left").select(
-                "node", Fn.coalesce("new_lbl", "lbl").alias("lbl")
-            )
-        got = {r["node"]: r["lbl"] for r in labels.collect()}
+        got = {
+            r["node"]: r["label"]
+            for r in QUERIES["label_propagation"](spark, d).collect()
+        }
+        assert set(got) == set(range(4)) | set(range(10, 14))
         c1 = {got[n] for n in range(4)}
         c2 = {got[n] for n in range(10, 14)}
         assert len(c1) == 1 and len(c2) == 1  # uniform within cliques
@@ -559,7 +547,9 @@ class TestObservationAPI:
 
 
 class TestMortonLayout:
-    def test_zorder_prunes_more_files_than_linear_sort(self, spark, tmp_path):
+    def test_zorder_prunes_more_files_than_linear_sort(
+        self, spark, sf_root, tmp_path
+    ):
         """Write events (a) sorted by event_id and (b) sorted by the
         Morton key, many small files each; count how many files a 2-D
         predicate (user range × value range) could touch judging ONLY by
@@ -575,7 +565,11 @@ class TestMortonLayout:
         # event-time order happens to correlate with user_id, so a plain
         # event_id sort ALSO yields narrow user stats and both layouts
         # prune — the comparison only discriminates on decorrelated data
-        sf_dir = "/root/testdata/sf0.01"
+        import os
+
+        sf_dir = f"{sf_root}/sf0.01"
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"{sf_dir} not present on this machine")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id",
             "user_id",
