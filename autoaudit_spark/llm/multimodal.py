@@ -184,8 +184,10 @@ def _decode_pil(payload: bytes) -> tuple[int, int, str] | None:
 def decode_image_real(payload: bytes) -> tuple[int, int, str]:
     """REAL decode kernel: BMP (24-bit uncompressed), PGM/PPM (binary
     netpbm), PCM WAV natively; JPEG/PNG/GIF via Pillow when importable
-    (`_decode_pil`). Compressed payloads without Pillow raise with a
-    clear message — wire a codec on a cluster that has the libs."""
+    (`_decode_pil`), and — as of r5 — baseline JPEG via the vendored
+    pure-NumPy decoder (`jpegdec.decode_jpeg`) when Pillow is absent, so
+    the compressed-image branch executes and is TESTED in-container.
+    Remaining compressed payloads raise with a clear message."""
     magic = bytes(payload[:8])
     if magic[:2] == b"BM":
         _, w, h = decode_bmp(payload)
@@ -198,9 +200,19 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
     decoded = _decode_pil(payload)
     if decoded is not None:
         return decoded
-    known = {
-        b"\xff\xd8": "jpeg", b"\x89PN": "png", b"GIF8": "gif",
-    }
+    if magic[:2] == b"\xff\xd8":
+        from .jpegdec import decode_jpeg
+
+        try:
+            _, w, h = decode_jpeg(bytes(payload))
+            return w, h, "jpeg"
+        except ValueError as e:
+            raise NotImplementedError(
+                f"JPEG payload the vendored baseline decoder rejects "
+                f"({e}) and Pillow is unavailable — progressive/arithmetic "
+                "JPEGs need Pillow; BMP/PGM/PPM/WAV decode natively"
+            ) from e
+    known = {b"\x89PN": "png", b"GIF8": "gif"}
     fmt = next((v for k, v in known.items() if magic.startswith(k)), "unknown")
     # distinguish "codec library absent" from "library present but the
     # payload would not decode" — the wrong message sends an operator
@@ -211,13 +223,13 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         raise NotImplementedError(
             f"payload looks like '{fmt}' but PIL could not decode it — "
             "likely truncated or corrupt payload bytes (PIL IS installed; "
-            "BMP/PGM/PPM/WAV decode natively)"
+            "BMP/PGM/PPM/WAV/baseline-JPEG decode natively)"
         )
     except ImportError:
         raise NotImplementedError(
-            f"payload looks like '{fmt}' — compressed codecs (PIL/ffmpeg) "
-            "are not installed in this environment; BMP/PGM/PPM/WAV decode "
-            "natively"
+            f"payload looks like '{fmt}' — PNG/GIF/MP4 codecs (PIL/ffmpeg) "
+            "are not installed in this environment; BMP/PGM/PPM/WAV and "
+            "baseline JPEG decode natively"
         ) from None
 
 
