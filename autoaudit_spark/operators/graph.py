@@ -99,6 +99,11 @@ def node_universe(edges_df: DataFrame) -> DataFrame:
 #: node-universe-sized forced broadcast OOMs executors at 10⁹ nodes).
 RELABEL_BROADCAST_LIMIT = 10_000_000
 
+#: range partitions for the distributed rank build in `q_relabel_reorder`
+#: — one row-number window per partition; the prefix-offset relation is
+#: this many rows. Size ~cluster parallelism at scale.
+RANK_PARTITIONS = 32
+
 
 def relabel(
     edges_df: DataFrame, rank_map: DataFrame, hint_broadcast: bool | None = None
@@ -244,14 +249,37 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`AA-Smurf.py:59,165`). Rank here = sorted-node order (deterministic
     stand-in for the MDL-derived order, which is tested separately).
 
-    The rank build is sorted `zipWithIndex` over the node universe
-    (r4-verdict fix — the same idiom as `mining/smurf.py` `_node_index`):
-    ranks are assigned per-partition over the range-sorted RDD, so no
-    single-partition `row_number` window ever sees the full universe."""
+    The rank build is DISTRIBUTED (r4-verdict fix — no global
+    `row_number` window over the node universe): range-partition by
+    node, rank WITHIN each range partition in parallel, then offset
+    each partition by the count of all earlier partitions via a
+    broadcast prefix relation (the `sequence_packing` decomposition,
+    all-JVM — equivalent to RDD `zipWithIndex` without the Python
+    round-trip). (pid, node) order equals global node order, so the
+    result is exactly the sorted rank. The node UNIVERSE is
+    localCheckpoint-ed (one distinct-aggregate job over the edge scan);
+    everything downstream — range sampling, the per-partition windows,
+    the size gate's count, both relabel joins — replays only the
+    node-sized checkpoint, never the edge scan."""
+    from pyspark.sql.window import Window
+
     adj = adjacency(spark, sf_dir)
-    nodes = node_universe(adj)
-    rdd = nodes.orderBy("node").rdd.map(lambda r: r["node"]).zipWithIndex()
-    rank_map = spark.createDataFrame(rdd, "node long, rank long")
+    nodes = node_universe(adj).localCheckpoint()
+    parts = nodes.repartitionByRange(RANK_PARTITIONS, "node").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    inner = Window.partitionBy("pid").orderBy("node")
+    counts = parts.groupBy("pid").agg(F.count("*").alias("n"))
+    prefix_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = counts.select(
+        "pid",
+        F.coalesce(F.sum("n").over(prefix_w), F.lit(0)).cast("long").alias("off"),
+    )
+    rank_map = (
+        parts.withColumn("lr", F.row_number().over(inner).cast("long") - 1)
+        .join(F.broadcast(prefix), "pid")
+        .select("node", (F.col("off") + F.col("lr")).alias("rank"))
+    )
     return relabel(adj, rank_map).orderBy("src", "dst")
 
 

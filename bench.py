@@ -44,6 +44,11 @@ HEADLINE = [
     "token_stats",            # llm: text metrics over documents
     "asof_join_attribution",  # temporal: as-of join (union-merge, 1 shuffle)
     "stream_window_event_stats",  # streaming: windowed agg via micro-batches
+    # -- r5 breadth additions (r4 verdict #8): r4 operator families --
+    "ann_ivfpq_topk",         # llm: IVFPQ fused ANN (billion-scale pairing)
+    "funnel_stages",          # analytics: one-shuffle JVM funnel fold
+    "k_core",                 # graph: iterative peel (left-semi rounds)
+    "stream_stream_join",     # streaming: watermarked interval self-join
 ]
 
 
