@@ -54,31 +54,42 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round4_rotation_in_window():
-    """Round-4 rotation (r3 verdict 'Next round' #1): the 11 queries that
-    had never received a driver row move in, the stable-green r1/r2 pool
-    cycles back in, and every query whose code changed this round stays
-    in-window to re-gate."""
+def test_round5_rotation_in_window():
+    """Round-5 rotation (r4 verdict 'Next round' #1): the window is
+    filled with never-driver-checked queries — streaming family, ANN
+    capstones, the graph batch, analytics, LLM-pipeline, API tiers —
+    keeping only the flagship canary plus every query whose code
+    changed this round (which must re-gate)."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # never driver-checked before round 4
-        "two_hop_salted", "bucketed_degree_join", "partition_pruned_scan",
-        "ann_int8_topk", "stream_dedup_exact", "value_percentiles",
-        "near_dup_levenshtein", "text_normalize", "corpus_token_budget",
-        "json_source_roundtrip", "orc_source_roundtrip",
-        # stable-green rotation pool (last driver row r1/r2)
-        "filter_project", "scalar_math", "log_bin_means", "global_argmax",
-        "union_dedup", "node_universe", "heavy_pairs", "degree_counts",
-        "weight_stats", "json_props_extract", "window_event_stats",
-        "account_features", "asof_join_attribution", "window_topk_accounts",
-        "connected_components", "profit_by_nation_year", "rollup_orders",
-        "revenue_by_nation", "date_functions", "intersect_except_users",
-        "cube_events", "salted_user_totals", "ann_cosine_topk",
-        # re-gate this round's code changes
-        "pagerank", "sketch_values_hashed", "attention_routing_hashed",
-        "anomaly_scores_mahalanobis", "media_pipeline_real",
-        "near_dup_minhash_hashed",
-        "two_hop_candidates",
+        # canary + r5 re-gates
+        "two_hop_candidates", "relabel_reorder", "k_core",
+        "triangle_count", "session_concurrency", "sequence_packing",
+        "negative_edge_sample", "variant_props_extract",
+        # streaming family, never driver-checked before r5
+        "stream_static_join", "stream_stream_join",
+        "stream_stream_left_join", "stream_funnel_stages",
+        "stream_latest_snapshot", "stream_upsert_sink",
+        "stream_value_histogram",
+        # ANN capstones
+        "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
+        "embedding_centroids",
+        # graph batch
+        "clustering_coefficient", "label_propagation", "node_jaccard",
+        "temporal_cycles", "two_hop_temporal", "two_hop_flow",
+        "edge_reciprocity", "degree_assortativity",
+        # analytics / statistics
+        "funnel_stages", "cohort_retention", "latest_snapshot",
+        "robust_zscore", "event_transitions", "value_histogram",
+        "benford_digits", "burst_detection", "type_entropy",
+        "chisq_type_segment", "rolling_active_users",
+        # LLM pipeline / text
+        "corpus_budget_quantile", "repetition_metrics", "text_scrub",
+        "unigram_logprob", "hashing_tf", "bpe_token_count",
+        "dataset_split", "containment_dedup",
+        # API tiers
+        "pivot_event_matrix", "window_function_suite",
+        "grouping_sets_events", "media_features_arrow",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"

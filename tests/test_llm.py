@@ -439,12 +439,20 @@ class TestRealCodecs:
         assert (frames, channels, fmt) == (100, 2, "wav")
 
     def test_compressed_formats_still_raise(self):
+        """PNG/GIF still raise without Pillow; a TRUNCATED JPEG raises
+        the vendored decoder's clear message (valid baseline JPEGs now
+        decode — tests/test_jpeg.py covers the happy path)."""
         import pytest as _pytest
 
         from autoaudit_spark.llm.multimodal import decode_image_real
 
-        with _pytest.raises(NotImplementedError, match="jpeg"):
+        with _pytest.raises(NotImplementedError, match="JPEG"):
             decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with _pytest.raises(NotImplementedError, match="png"):
+                decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
     def test_png_decodes_with_pil_or_raises_cleanly(self):
         """Optional-Pillow path: a VALID 1×1 PNG decodes when Pillow is
