@@ -152,11 +152,23 @@ def replay_events_chunked(
     sentinel_ts = hi + 2 * _parse_delay(delay) + datetime.timedelta(days=1)
 
     stage = tempfile.mkdtemp(prefix="events_replay_stage_")
+    # ONE job writes every chunk (repartition by _chunk → one task and
+    # one file per chunk under partitionBy), instead of n_chunks
+    # sequential full-scan coalesce(1) jobs — the replay setup was 3
+    # single-task rescans of the whole table before this (r5 perf fix)
+    part_root = os.path.join(stage, "chunks")
+    ev.repartition(n_chunks, F.col("_chunk")).write.mode("overwrite").partitionBy(
+        "_chunk"
+    ).parquet(part_root)
     for i in range(n_chunks):
-        part_dir = os.path.join(stage, f"c{i}")
-        ev.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
+        part_dir = os.path.join(part_root, f"_chunk={i}")
+        if not os.path.isdir(part_dir):
+            # a chunk with zero rows writes no partition directory —
+            # materialize an empty file so the trigger cadence (and the
+            # sentinel's position as the LAST file) is preserved
+            ev.filter(F.lit(False)).drop("_chunk").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
         src = next(
             f for f in os.listdir(part_dir) if f.endswith(".parquet")
         )
@@ -781,14 +793,24 @@ def _typed_view_click_streams(spark: SparkSession, sf_dir: str):
     watermark — without it, outer-join state never expires and unmatched
     rows never emit. Sentinels carry user_id −1 / negative event_ids;
     consumers drop them from the drained result with `... >= 0`."""
+    # delay "2 days", not the conservative 30: the default replay deals
+    # chunks by TIME SLICE, so cross-batch arrival is event-time-ordered
+    # and nothing is ever late — the delay is pure state-retention
+    # overhead. At 2 days (join interval + margin) the engine evicts
+    # join state progressively after each micro-batch instead of
+    # carrying the whole corpus to the sentinel, which is also the
+    # honest production posture: state ∝ watermark window, not stream
+    # length. Results are identical (inner matches are emitted on
+    # arrival; outer unmatched rows emit when the watermark passes
+    # view_ts + interval, which the sentinel still guarantees).
     ev = replay_events_chunked(
         spark,
         sf_dir,
         n_chunks=3,
-        delay="30 days",
+        delay="2 days",
         include_type=True,
         sentinel_types=("view", "click"),
-    ).withWatermark("ts", "30 days")
+    ).withWatermark("ts", "2 days")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("view_id"),
