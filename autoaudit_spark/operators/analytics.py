@@ -477,13 +477,15 @@ def q_chisq_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The contingency table is |segments|×|types| (25 cells) — the window
     totals and χ² fold run on the aggregated relation, so everything
     after the first groupBy is O(1) whatever the event volume. The
-    customer dim joins broadcast."""
+    customer dim is DATA-sized, so its join strategy is left to the
+    optimizer (auto-broadcast from size stats while it fits, shuffle
+    beyond — no forced hint, the r4-verdict k_core lesson)."""
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
     )
     o = (
-        ev.join(F.broadcast(cust), "user_id")
+        ev.join(cust, "user_id")
         .groupBy("seg", F.col("event_type").alias("typ"))
         .agg(F.count("*").cast("long").alias("o"))
     )

@@ -252,14 +252,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema join: dims are broadcast (explicit hint — at 100 TB the
-    fact side never shuffles for dim joins), then grouped aggregate."""
+    """Star-schema join, then grouped aggregate. The CONSTANT-sized dims
+    (nation 25 rows, region 5) carry explicit broadcast hints; customer
+    GROWS with the data, so its strategy is left to the optimizer —
+    size stats auto-broadcast it while it fits the threshold and
+    shuffle-join it beyond (a forced hint OOMs executors at 100 TB,
+    the r4-verdict k_core lesson applied to the dim tier)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
@@ -737,17 +741,20 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema join: the lineitem fact streams once past three
-    broadcast dimensions (part filtered before the join so the pushdown
-    prunes fact rows early via Catalyst's join-filter inference); one
-    shuffle total, for the final aggregate."""
+    """Star-schema join: the lineitem fact streams once past the
+    dimensions (part filtered before the join so the pushdown prunes
+    fact rows early via Catalyst's join-filter inference); one shuffle
+    total, for the final aggregate. part/supplier GROW with the data so
+    their join strategy is left to the optimizer (auto-broadcast from
+    size stats while small, shuffle beyond); only constant-sized nation
+    keeps the explicit hint."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("yr"))
         .agg(

@@ -394,8 +394,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention matrix: per (signup-week cohort, week offset), the
     count and fraction of cohort members active that week. Three
     shuffles total (cohort min, distinct activity, final agg); the
-    cohort relation is user-sized and broadcasts back onto the event
-    stream. `date_trunc('week')` is ISO-Monday in both engines, and the
+    cohort relation is USER-sized — data-sized, so no forced broadcast:
+    the optimizer auto-broadcasts it while small and shuffle-joins it
+    beyond (only the week-sized `sizes` relation keeps a hint).
+    `date_trunc('week')` is ISO-Monday in both engines, and the
     offset is computed from truncated weeks so both engines do the same
     integer day arithmetic; retention = one IEEE division of exact
     integers."""
@@ -408,7 +410,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     )
     activity = (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.join(cohort, "user_id")
         .filter(F.col("ts") >= F.col("cohort_week"))
         .select(
             "user_id",
