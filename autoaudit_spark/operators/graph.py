@@ -683,6 +683,12 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r4-verdict fix: no forced broadcast — the surviving node set is
     node-sized, and at 10⁹-node scale a forced broadcast OOMs the
     executors; AQE still picks broadcast when the set is small).
+    The Spark side EXITS EARLY at the fixpoint: peeling is monotone
+    (core_{{t+1}} ⊆ core_t), so an unchanged COUNT proves an unchanged
+    SET, and all remaining rounds are no-ops — the result is identical
+    to running the full {K_CORE_ROUNDS}, which the oracle still does
+    (the count is read off the already-materialized checkpoint, so the
+    convergence test costs no recompute).
     The DuckDB twin carries the member
     set as a LIST through a recursive CTE (the standard single-recursive-
     reference restriction forbids joining the working table twice).
@@ -706,8 +712,13 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     core = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    prev_n = core.count()
     for _ in range(K_CORE_ROUNDS):
         core = k_core_peel(sym, core, K_CORE_K).localCheckpoint()
+        n = core.count()
+        if n == prev_n:  # monotone shrink → equal count == fixpoint
+            break
+        prev_n = n
     sym.unpersist()
     return core.orderBy("node")
 

@@ -101,3 +101,31 @@ class TestJpegCodec:
             (16, 16, "jpeg"),
         ]
         assert all(r["payload_bytes"] == len(PYTHON_JPG) for r in rows)
+
+
+class TestJpegProperties:
+    def test_roundtrip_property_smooth_images(self):
+        """Hypothesis sweep: arbitrary dims (incl. non-multiples of 8)
+        and qualities round-trip smooth gradients near-losslessly —
+        pins the DCT/quantization/Huffman algebra across block-edge
+        geometries, not just the fixed fixtures above."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            h=st.integers(min_value=1, max_value=41),
+            w=st.integers(min_value=1, max_value=41),
+            q=st.integers(min_value=85, max_value=98),
+            sx=st.floats(min_value=-3.0, max_value=3.0),
+            sy=st.floats(min_value=-3.0, max_value=3.0),
+            off=st.integers(min_value=0, max_value=255),
+        )
+        def check(h, w, q, sx, sy, off):
+            ramp = np.add.outer(np.arange(h) * sy, np.arange(w) * sx) + off
+            img = np.clip(ramp, 0, 255).astype(np.uint8)
+            dec, dw, dh = decode_jpeg(encode_jpeg_gray(img, quality=q))
+            assert (dw, dh) == (w, h)
+            err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+            assert err.max() <= 4, (h, w, q, sx, sy, off, err.max())
+
+        check()
