@@ -1,0 +1,153 @@
+"""Property tests that drive REGISTERED queries on hypothesis-generated
+event sets through the temp-parquet seam (ADVICE r4 direction, extended):
+an independent pure-Python reference recomputes each result, so the
+Spark implementation is checked across tie/boundary geometries the
+fixed fixtures never hit — equal timestamps, gap-exactly-1h boundaries,
+out-of-order stage arrivals, single-event users.
+
+Each hypothesis example pays a parquet write + two Spark jobs, so
+example counts are kept small; the generators are biased onto coarse
+time grids to make collisions likely rather than relying on volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from autoaudit_spark.registry import QUERIES
+
+T0 = dt.datetime(2024, 1, 1)
+STAGES = ["signup", "view", "click", "purchase"]
+TYPES = STAGES + ["noise"]
+
+# coarse grid: 0..12 steps of 20 minutes → equal-ts ties are likely and
+# consecutive events can sit EXACTLY 3600 s apart (3 steps), pinning the
+# strict-> session boundary
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),       # user_id
+        st.integers(min_value=0, max_value=12),      # ts grid step
+        st.sampled_from(TYPES),                      # event_type
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+_counter = itertools.count()
+
+
+def _write_events(spark, tmp_path, rows, schema):
+    d = str(tmp_path / f"ex{next(_counter)}")
+    spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+class TestFunnelProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=event_strategy)
+    def test_funnel_matches_python_reference(self, spark, tmp_path, evs):
+        rows = [
+            (u, i, T0 + dt.timedelta(minutes=20 * step), t)
+            for i, (u, step, t) in enumerate(evs)
+        ]
+        d = _write_events(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"], r["t4"], r["reached"])
+            for r in QUERIES["funnel_stages"](spark, d).collect()
+        }
+        # reference: array_sort on struct(ts, event_type) orders ties by
+        # the type string; the fold reads PRE-step state per element
+        want = {}
+        for u in sorted({r[0] for r in rows}):
+            seq = sorted(
+                [(ts, t) for (uu, _, ts, t) in rows if uu == u],
+                key=lambda x: (x[0], x[1]),
+            )
+            t = [None, None, None, None]
+            for ts, typ in seq:
+                prev = list(t)
+                if typ == "signup" and prev[0] is None:
+                    t[0] = ts
+                if (
+                    typ == "view"
+                    and prev[1] is None
+                    and prev[0] is not None
+                    and ts > prev[0]
+                ):
+                    t[1] = ts
+                if (
+                    typ == "click"
+                    and prev[2] is None
+                    and prev[1] is not None
+                    and ts > prev[1]
+                ):
+                    t[2] = ts
+                if (
+                    typ == "purchase"
+                    and prev[3] is None
+                    and prev[2] is not None
+                    and ts > prev[2]
+                ):
+                    t[3] = ts
+            reached = 4 if t[3] else 3 if t[2] else 2 if t[1] else 1 if t[0] else 0
+            want[u] = (t[0], t[1], t[2], t[3], reached)
+        assert got == want
+
+
+class TestSessionProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=event_strategy)
+    def test_sessions_match_python_reference(self, spark, tmp_path, evs):
+        rows = [
+            (u, i, T0 + dt.timedelta(minutes=20 * step))
+            for i, (u, step, _) in enumerate(evs)
+        ]
+        d = _write_events(
+            spark, tmp_path, rows, "user_id long, event_id long, ts timestamp"
+        )
+        got = [
+            (
+                r["user_id"],
+                r["session_id"],
+                r["n_events"],
+                r["session_start"],
+                r["session_end"],
+            )
+            for r in QUERIES["user_sessions"](spark, d).collect()
+        ]
+        want = []
+        for u in sorted({r[0] for r in rows}):
+            seq = sorted(
+                [(ts, eid) for (uu, eid, ts) in rows if uu == u],
+                key=lambda x: (x[0], x[1]),
+            )
+            sid = 0
+            cur: list[dt.datetime] = []
+            for i, (ts, _) in enumerate(seq):
+                # strictly MORE than one hour opens a new session — a gap
+                # of exactly 3600s continues the current one
+                if i == 0 or (ts - seq[i - 1][0]).total_seconds() > 3600:
+                    if cur:
+                        want.append((u, sid, len(cur), cur[0], cur[-1]))
+                    sid += 1
+                    cur = []
+                cur.append(ts)
+            if cur:
+                want.append((u, sid, len(cur), cur[0], cur[-1]))
+        assert got == sorted(want, key=lambda x: (x[0], x[1]))
