@@ -1,0 +1,139 @@
+"""Random-graph property tests for the graph operators rewritten in r5
+(degree-oriented triangle counting, left-semi k-core with fixpoint exit)
+plus the temporal two-hop: hypothesis-generated multigraphs flow through
+the events→edges derivation seam into the REGISTERED queries, and an
+independent brute-force Python reference recomputes each answer.
+Generators include self-loops, parallel edges, both orientations of the
+same pair, and (for k-core) an optionally planted 7-clique at the
+strong-tie multiplicity so the non-empty-core path is exercised, not
+just the vacuous empty result.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from autoaudit_spark.operators.graph import (
+    K_CORE_K,
+    K_CORE_MIN_MULT,
+    MIN_PATHS,
+)
+from autoaudit_spark.registry import QUERIES
+
+T0 = dt.datetime(2024, 1, 1)
+_counter = itertools.count()
+
+edge_list = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),   # src
+        st.integers(min_value=0, max_value=7),   # dst
+        st.integers(min_value=0, max_value=6),   # ts grid step
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _events_dir(spark, tmp_path, pairs):
+    rows = [
+        (s_, d_, 1.0, T0 + dt.timedelta(hours=step))
+        for (s_, d_, step) in pairs
+    ]
+    d = str(tmp_path / f"g{next(_counter)}")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts timestamp"
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+class TestTriangleProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_oriented_count_equals_brute_force(self, spark, tmp_path, pairs):
+        d = _events_dir(spark, tmp_path, pairs)
+        got = QUERIES["triangle_count"](spark, d).collect()[0]["n_triangles"]
+        und = {
+            (min(a, b), max(a, b))
+            for (a, b, _) in pairs
+            if a != b
+        }
+        nodes = sorted({n for e in und for n in e})
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        assert got == want
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_two_hop_temporal_equals_brute_force(self, spark, tmp_path, pairs):
+        d = _events_dir(spark, tmp_path, pairs)
+        got = {
+            (r["src"], r["dst"]): r["path_cnt"]
+            for r in QUERIES["two_hop_temporal"](spark, d).collect()
+        }
+        es = [
+            (s_, d_, step) for (s_, d_, step) in pairs if s_ != d_
+        ]
+        cnt = Counter(
+            (e1[0], e2[1])
+            for e1 in es
+            for e2 in es
+            if e1[1] == e2[0] and e1[2] < e2[2]
+        )
+        want = {k: v for k, v in cnt.items() if v >= MIN_PATHS}
+        assert got == want
+
+
+class TestKCoreProperty:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list, plant=st.booleans(), drop=st.integers(0, 20))
+    def test_kcore_equals_synchronous_peel(
+        self, spark, tmp_path, pairs, plant, drop
+    ):
+        if plant:
+            # 7-clique at exactly the strong-tie multiplicity, minus a
+            # few events (`drop`) so the clique is sometimes complete,
+            # sometimes frayed at the threshold
+            clique = [
+                (a, b, 0)
+                for a, b in itertools.combinations(range(7), 2)
+                for _ in range(K_CORE_MIN_MULT)
+            ]
+            pairs = pairs + clique[drop:]
+        d = _events_dir(spark, tmp_path, pairs)
+        got = sorted(r["node"] for r in QUERIES["k_core"](spark, d).collect())
+        mult = Counter(
+            (min(a, b), max(a, b)) for (a, b, _) in pairs if a != b
+        )
+        und = {p for p, c in mult.items() if c >= K_CORE_MIN_MULT}
+        neigh: dict[int, set[int]] = {}
+        for a, b in und:
+            neigh.setdefault(a, set()).add(b)
+            neigh.setdefault(b, set()).add(a)
+        core = set(neigh)
+        while True:
+            keep = {
+                n for n in core if len(neigh[n] & core) >= K_CORE_K
+            }
+            if keep == core:
+                break
+            core = keep
+        assert got == sorted(core)
