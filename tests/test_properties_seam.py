@@ -151,3 +151,57 @@ class TestSessionProperty:
             if cur:
                 want.append((u, sid, len(cur), cur[0], cur[-1]))
         assert got == sorted(want, key=lambda x: (x[0], x[1]))
+
+
+class TestAsofProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        evs=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # user
+                st.integers(min_value=0, max_value=8),   # ts step
+                st.sampled_from(["view", "click", "noise"]),
+            ),
+            min_size=0,
+            max_size=16,
+        )
+    )
+    def test_attribution_matches_python_reference(self, spark, tmp_path, evs):
+        """Each click attaches the latest view with v.ts <= c.ts for the
+        same user; views tied on (user, ts) resolve to the GREATEST
+        event_id. The coarse grid makes same-timestamp view/view and
+        view/click collisions common, pinning both tie rules."""
+        rows = [
+            (u, i, T0 + dt.timedelta(minutes=20 * step), t)
+            for i, (u, step, t) in enumerate(evs)
+        ]
+        d = _write_events(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = [
+            (r["click_id"], r["user_id"], r["click_ts"], r["view_id"],
+             r["view_ts"], r["wait_us"])
+            for r in QUERIES["asof_join_attribution"](spark, d).collect()
+        ]
+        views = [(u, ts, eid) for (u, eid, ts, t) in rows if t == "view"]
+        want = []
+        for (u, eid, ts, t) in rows:
+            if t != "click":
+                continue
+            cands = [(vts, vid) for (vu, vts, vid) in views
+                     if vu == u and vts <= ts]
+            if cands:
+                vts, vid = max(cands)
+                us = int((ts - vts).total_seconds() * 1_000_000)
+                want.append((eid, u, ts, vid, vts, us))
+            else:
+                want.append((eid, u, ts, None, None, None))
+        want.sort(key=lambda x: x[0])
+        assert got == want
