@@ -205,3 +205,31 @@ class TestAsofProperty:
                 want.append((eid, u, ts, None, None, None))
         want.sort(key=lambda x: x[0])
         assert got == want
+
+
+class TestFunnelStrictness:
+    def test_same_timestamp_stage_does_not_advance(self, spark, tmp_path):
+        """Deterministic pin for the STRICT t_k > t_{k-1} rule (a
+        mutation sweep showed the randomized generator can miss it): a
+        view at exactly the signup's timestamp must NOT count as stage
+        2, but a later view must — and the user still reaches stage 2
+        only through the later view."""
+        rows = [
+            (1, 0, T0, "signup"),
+            (1, 1, T0, "view"),                          # same instant: no
+            (1, 2, T0 + dt.timedelta(minutes=5), "view"),  # later: yes
+            (2, 3, T0, "signup"),
+            (2, 4, T0, "view"),                          # same instant only
+        ]
+        d = _write_events(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r["user_id"]: (r["t1"], r["t2"], r["reached"])
+            for r in QUERIES["funnel_stages"](spark, d).collect()
+        }
+        assert got[1] == (T0, T0 + dt.timedelta(minutes=5), 2)
+        assert got[2] == (T0, None, 1)
