@@ -137,3 +137,23 @@ class TestKCoreProperty:
                 break
             core = keep
         assert got == sorted(core)
+
+
+class TestTemporalStrictness:
+    def test_equal_ts_hops_never_chain(self, spark, tmp_path):
+        """Deterministic pin (mutation sweep: `<` vs `<=` survives the
+        randomized generator): three same-instant 0→1 edges followed by
+        three later 1→2 edges give 9 valid time-respecting paths, while
+        the three same-instant 1→2' edges at t0 must contribute ZERO —
+        money cannot be forwarded within the same instant."""
+        pairs = (
+            [(0, 1, 0)] * 3      # three 0→1 transfers at t0
+            + [(1, 2, 1)] * 3    # three 1→2 transfers later — chain
+            + [(1, 3, 0)] * 3    # three 1→3 transfers AT t0 — never chain
+        )
+        d = _events_dir(spark, tmp_path, pairs)
+        got = {
+            (r["src"], r["dst"]): r["path_cnt"]
+            for r in QUERIES["two_hop_temporal"](spark, d).collect()
+        }
+        assert got == {(0, 2): 9}

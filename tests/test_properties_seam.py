@@ -233,3 +233,25 @@ class TestFunnelStrictness:
         }
         assert got[1] == (T0, T0 + dt.timedelta(minutes=5), 2)
         assert got[2] == (T0, None, 1)
+
+
+class TestAsofTiebreak:
+    def test_equal_ts_views_resolve_to_greatest_event_id(self, spark, tmp_path):
+        """Deterministic pin (mutation sweep: the randomized generator
+        can miss it): two views at the identical (user, ts) must
+        attribute to the GREATEST event_id, and a view at exactly the
+        click's timestamp is eligible (inclusive bound)."""
+        rows = [
+            (1, 10, T0, "view"),
+            (1, 11, T0, "view"),   # same instant, higher id → must win
+            (1, 12, T0, "click"),  # same instant as the views: inclusive
+        ]
+        d = _write_events(
+            spark,
+            tmp_path,
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        r = QUERIES["asof_join_attribution"](spark, d).collect()
+        assert len(r) == 1
+        assert (r[0]["view_id"], r[0]["wait_us"]) == (11, 0)
