@@ -206,7 +206,13 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         try:
             _, w, h = decode_jpeg(bytes(payload))
             return w, h, "jpeg"
-        except ValueError as e:
+        except (ValueError, KeyError, IndexError, StopIteration, EOFError) as e:
+            # ADVICE r5: malformed streams can surface as KeyError (DHT
+            # absent for a scan's table id), IndexError (missing restart
+            # markers), or StopIteration (scan references an unknown
+            # component) from the decoder internals — normalize them all
+            # to the same clear data-at-fault message instead of leaking
+            # a raw executor traceback
             raise NotImplementedError(
                 f"JPEG payload the vendored baseline decoder rejects "
                 f"({e}) and Pillow is unavailable — progressive/arithmetic "

@@ -110,12 +110,14 @@ def relabel(
 ) -> DataFrame:
     """Matrix reorder `ajm[np.ix_(order, order)]` (`AA-Smurf.py:59,165`) as
     two joins against the (node, rank) permutation table — J5. The
-    broadcast hint is GATED by the map's size (r4-verdict fix): maps up
-    to RELABEL_BROADCAST_LIMIT rows hint broadcast (the common case — a
-    permutation table is node-sized, usually far below the edge stream);
-    larger maps leave the strategy to AQE, which shuffle-joins them."""
-    if hint_broadcast is None:
-        hint_broadcast = rank_map.count() <= RELABEL_BROADCAST_LIMIT
+    broadcast hint is GATED by the map's size (r4-verdict fix): callers
+    that know the map's row count pass `hint_broadcast` explicitly
+    (≤ RELABEL_BROADCAST_LIMIT → hint; larger maps shuffle-join — a
+    node-universe-sized forced broadcast OOMs executors at 10⁹ nodes).
+    The default None stays LAZY (ADVICE r5: the old eager
+    `rank_map.count()` here ran a full Spark job during plan
+    construction, even for plan-only callers) and leaves the strategy to
+    AQE, whose runtime shuffle stats auto-broadcast small maps."""
     rm = F.broadcast(rank_map) if hint_broadcast else rank_map
     return (
         edges_df.join(rm.withColumnRenamed("node", "src").withColumnRenamed("rank", "src_rank"), "src")
@@ -260,11 +262,16 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed (one distinct-aggregate job over the edge scan);
     everything downstream — range sampling, the per-partition windows,
     the size gate's count, both relabel joins — replays only the
-    node-sized checkpoint, never the edge scan."""
+    node-sized checkpoint, never the edge scan. This caller KNOWS the
+    map size (the checkpointed universe's count, a cheap checkpoint
+    replay — construction is already eager via localCheckpoint) and
+    passes the broadcast gate explicitly, keeping `relabel` itself lazy
+    (ADVICE r5)."""
     from pyspark.sql.window import Window
 
     adj = adjacency(spark, sf_dir)
     nodes = node_universe(adj).localCheckpoint()
+    n_nodes = nodes.count()
     parts = nodes.repartitionByRange(RANK_PARTITIONS, "node").withColumn(
         "pid", F.spark_partition_id()
     )
@@ -280,7 +287,9 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(prefix), "pid")
         .select("node", (F.col("off") + F.col("lr")).alias("rank"))
     )
-    return relabel(adj, rank_map).orderBy("src", "dst")
+    return relabel(
+        adj, rank_map, hint_broadcast=n_nodes <= RELABEL_BROADCAST_LIMIT
+    ).orderBy("src", "dst")
 
 
 # ---------------------------------------------------------------------------

@@ -921,7 +921,7 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
         SELECT CAST(props->>'$.k' AS INTEGER) AS k, value FROM events
     )
-    SELECT CAST(k // 10 AS BIGINT) AS k_decade,
+    SELECT CAST(FLOOR(k / 10.0) AS BIGINT) AS k_decade,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(k) AS BIGINT) AS k_min,
            CAST(MAX(k) AS BIGINT) AS k_max,
@@ -940,9 +940,10 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Variant parses once and shreds; this query pins that API tier.
 
     DECIMAL money sum per repo convention; the decade is FLOOR division
-    (ADVICE r4: a plain double-division cast truncates toward zero and
-    diverges from the oracle's `//` for negative k — floor matches for
-    every sign, no domain assumption needed)."""
+    on BOTH engines (ADVICE r5: DuckDB's integer `//` TRUNCATES toward
+    zero — verified -7 // 10 = 0 on duckdb 1.0.0 — so the oracle uses
+    CAST(FLOOR(k / 10.0) AS BIGINT) to match Spark's F.floor for every
+    sign; a negative-k crafted test pins the boundary)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(F.parse_json("props").alias("v"), "value")
     k = v.select(

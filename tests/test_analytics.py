@@ -369,6 +369,40 @@ class TestModernAPITiers:
         ).collect()
         assert all(r["j"] == r["v"] for r in both)
 
+    def test_variant_decade_floors_negative_k_both_engines(self, spark, tmp_path):
+        """ADVICE r5: DuckDB's integer `//` truncates toward zero
+        (-7 // 10 = 0) while Spark F.floor(-7/10) = -1 — the oracle must
+        use FLOOR too. Crafted negative k drives the REGISTERED query AND
+        its registered oracle over the same parquet and asserts they agree
+        on the floored decades."""
+        import duckdb
+
+        from autoaudit_spark.registry import ORACLES
+
+        rows = [
+            (i, None, 1, "a", 1.0, '{"k": %d}' % k)
+            for i, k in enumerate([-17, -10, -7, -1, 0, 7, 10, 19])
+        ]
+        d = crafted_events_dir(
+            spark, tmp_path, rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = QUERIES["variant_props_extract"](spark, d).collect()
+        # floor decades: -17→-2, -10→-1, -7→-1, -1→-1, 0→0, 7→0, 10→1, 19→1
+        assert [(r["k_decade"], r["n"]) for r in got] == [
+            (-2, 1), (-1, 3), (0, 2), (1, 2),
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+        )
+        oracle = con.execute(ORACLES["variant_props_extract"]).fetchall()
+        assert [
+            (r["k_decade"], r["n"], r["k_min"], r["k_max"], r["tot_value"])
+            for r in got
+        ] == oracle
+
     def test_python_datasource_partitions_by_row_group(self, spark, sf_dir):
         import pyarrow.parquet as pq
 

@@ -84,6 +84,21 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError, match="progressive"):
             decode_image_real(prog)
 
+    def test_malformed_streams_normalize_to_clear_raise(self):
+        """ADVICE r5: decoder internals can raise KeyError/IndexError/
+        StopIteration on corrupt streams — decode_image_real must
+        normalize every malformed-JPEG failure to its clear
+        NotImplementedError, never leak a raw executor exception."""
+        malformed = [
+            b"\xff\xd8",  # bare SOI → ValueError path
+            b"\xff\xd8\xff\xc0\x00\x11\x08",  # truncated SOF → IndexError
+            b"\xff\xd8" + bytes(range(50)),  # garbage marker stream
+            PYTHON_JPG[: len(PYTHON_JPG) // 2],  # truncated mid-scan
+        ]
+        for p in malformed:
+            with pytest.raises(NotImplementedError):
+                decode_image_real(p)
+
     def test_spark_media_plumbing_decodes_jpeg(self, spark):
         from autoaudit_spark.llm.multimodal import extract_media_features
 

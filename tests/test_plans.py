@@ -396,5 +396,9 @@ class TestR5ScaleFixes:
         p = plan(q["triangle_count"](spark, SF))
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
         # orientation requires a degree aggregate below the wedge join
-        assert re.search(r"count\(1\)", p) and "SortMergeJoin" in p or "HashAggregate" in p
+        # ADVICE r5: parenthesized — the old `A and B or C` parsed as
+        # `(A and B) or C` with C near-always true, gating nothing
+        assert re.search(r"count\(1\)", p) and (
+            "SortMergeJoin" in p or "HashAggregate" in p
+        ), p
         assert re.search(r"\blo#\d+L", p) and re.search(r"\bhi#\d+L", p), p
