@@ -155,20 +155,23 @@ _CHANGE_COSINE_SQL = """
     """
 
 
-@query("sketch_change_cosine", oracle=_CHANGE_COSINE_SQL)
-def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 routing stage, deterministic twin under the exact value-hash:
-    trailing-frame direction → cosine distance → ratio argmax over the
-    windowed hash-sketch sums (`AA-AR.py:234-266` with ev = Σ history in
-    place of |u₀|; see _CHANGE_COSINE_SQL comment). Scale: the grid is
-    windows × 64 — parameter-sized; the only data-sized stage is the
-    member-explode aggregation of events."""
+def change_cosine_grid(
+    spark: SparkSession, sf_dir: str, n_sketch: int = 64
+) -> DataFrame:
+    """The zero-filled (window × sketch) DECIMAL-sum grid feeding the
+    deterministic change-cosine twin: windowed hash-membership sums over
+    events, completed to all n_sketch rows per window (missing cells =
+    0.00) with the window's global rank `wn`. Shared by the batch twin
+    (`sketch_change_cosine`) and its streaming stateful twin
+    (`stream_change_cosine`, streaming/windowed.py) so both score the
+    bit-identical input. Scale: the grid is windows × n_sketch —
+    parameter-sized; the only data-sized stage is the member-explode
+    aggregation of events."""
     from pyspark.sql.window import Window
 
     from ..sources import load_table
     from .sketch import _member_pred
 
-    n_sketch, back_ws = 64, BACK_WS
     ev = load_table(spark, sf_dir, "events")
     member_sids = F.filter(
         F.sequence(F.lit(0), F.lit(n_sketch - 1)),
@@ -192,7 +195,7 @@ def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wn", F.row_number().over(Window.orderBy("window_start")))
     )
     sk = spark.range(n_sketch).select(F.col("id").cast("int").alias("sketch_id"))
-    grid = (
+    return (
         wins.crossJoin(sk)
         .join(msums, ["window_start", "sketch_id"], "left")
         .select(
@@ -202,6 +205,18 @@ def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v", F.lit(0).cast("decimal(18,2)")).alias("v"),
         )
     )
+
+
+@query("sketch_change_cosine", oracle=_CHANGE_COSINE_SQL)
+def q_sketch_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 routing stage, deterministic twin under the exact value-hash:
+    trailing-frame direction → cosine distance → ratio argmax over the
+    windowed hash-sketch sums (`AA-AR.py:234-266` with ev = Σ history in
+    place of |u₀|; see _CHANGE_COSINE_SQL comment)."""
+    from pyspark.sql.window import Window
+
+    back_ws = BACK_WS
+    grid = change_cosine_grid(spark, sf_dir, n_sketch=64)
     wf = (
         Window.partitionBy("sketch_id")
         .orderBy("window_start")

@@ -154,6 +154,75 @@ class TestStatefulChangeScores:
                 assert got[sid][w][1] == mx
 
 
+class TestStatefulChangeCosine:
+    def test_bit_exact_parity_with_batch_twin(self, spark, sf_dir):
+        """r5-verdict #6: the streaming cosine twin is under the FULL
+        value-hash, so parity with the batch twin must be BIT-exact
+        (== on doubles, not approx)."""
+        from autoaudit_spark.registry import QUERIES
+
+        stream = QUERIES["stream_change_cosine"](spark, sf_dir).collect()
+        batch = QUERIES["sketch_change_cosine"](spark, sf_dir).collect()
+        assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+    def test_incremental_chunks_match_single_batch(self, spark, tmp_path):
+        """Three maxFilesPerTrigger=1 micro-batches over the same grid
+        must emit exactly the rows the single-batch run (the oracled
+        path) emits — state carry-over and the last_ws emission gate
+        at work."""
+        import os
+        import shutil
+
+        from autoaudit_spark.streaming.windowed import (
+            drain,
+            stateful_change_cosine,
+        )
+
+        n_sketch, n_win = 4, 12
+        windows = [w * 1_000_000 for w in range(n_win)]
+        rows = [
+            (windows[i], s, ((i * 7 + s * 3) % 11 + 1) * 100)
+            for i in range(n_win)
+            for s in range(n_sketch)
+        ]
+        schema = "window_start long, sketch_id int, cents long"
+
+        def run(name, chunks):
+            stream_dir = tmp_path / name
+            stream_dir.mkdir()
+            for b, (lo, hi) in enumerate(chunks):
+                chunk = [r for r in rows if windows[lo] <= r[0] < windows[hi - 1] + 1]
+                tmp = tmp_path / f"{name}_b{b}"
+                spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                    str(tmp)
+                )
+                part = next(
+                    p for p in os.listdir(tmp) if p.endswith(".parquet")
+                )
+                dest = stream_dir / f"{b}.parquet"
+                shutil.copy(tmp / part, dest)
+                os.utime(dest, (1_700_000_000 + b * 100,) * 2)
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(stream_dir))
+            )
+            out = drain(
+                stateful_change_cosine(sdf, n_sketch=n_sketch),
+                f"cosine_{name}",
+                output_mode="append",
+            )
+            return sorted(
+                (r["window_start"], r["z"], r["max_sketch"])
+                for r in out.collect()
+            )
+
+        incremental = run("inc", [(0, 4), (4, 8), (8, 12)])
+        single = run("single", [(0, 12)])
+        assert incremental == single
+        assert len(single) == n_win - 4  # wn >= back_ws+1 emission rule
+
+
 class TestDelayParsing:
     def test_known_units_and_raise_on_calendar(self):
         """The replay sentinel must be coupled to the real watermark
