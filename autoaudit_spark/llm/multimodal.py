@@ -18,6 +18,7 @@ hash-derived fakes (`decode_image_fake*`) remain for plumbing tests.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -217,6 +218,18 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
                 f"JPEG payload the vendored baseline decoder rejects "
                 f"({e}) and Pillow is unavailable — progressive/arithmetic "
                 "JPEGs need Pillow; BMP/PGM/PPM/WAV decode natively"
+            ) from e
+    if magic[:4] == b"\x89PNG":
+        from .pngdec import decode_png
+
+        try:
+            _, w, h = decode_png(bytes(payload))
+            return w, h, "png"
+        except (ValueError, KeyError, IndexError, struct.error) as e:
+            raise NotImplementedError(
+                f"PNG payload the vendored decoder rejects ({e}) and "
+                "Pillow is unavailable — Adam7-interlaced PNGs need "
+                "Pillow; BMP/PGM/PPM/WAV decode natively"
             ) from e
     known = {b"\x89PN": "png", b"GIF8": "gif"}
     fmt = next((v for k, v in known.items() if magic.startswith(k)), "unknown")

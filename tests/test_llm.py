@@ -439,29 +439,28 @@ class TestRealCodecs:
         assert (frames, channels, fmt) == (100, 2, "wav")
 
     def test_compressed_formats_still_raise(self):
-        """PNG/GIF still raise without Pillow; a TRUNCATED JPEG raises
-        the vendored decoder's clear message (valid baseline JPEGs now
-        decode — tests/test_jpeg.py covers the happy path)."""
+        """A TRUNCATED JPEG and a corrupt PNG raise the vendored
+        decoders' clear messages; GIF (no vendored decoder) still raises
+        the env-gated message without Pillow."""
         import pytest as _pytest
 
         from autoaudit_spark.llm.multimodal import decode_image_real
 
         with _pytest.raises(NotImplementedError, match="JPEG"):
             decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        with _pytest.raises(NotImplementedError, match="PNG"):
+            decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
         try:
             import PIL  # noqa: F401
         except ImportError:
-            with _pytest.raises(NotImplementedError, match="png"):
-                decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+            with _pytest.raises(NotImplementedError, match="gif"):
+                decode_image_real(b"GIF89a" + b"\x00" * 16)
 
-    def test_png_decodes_with_pil_or_raises_cleanly(self):
-        """Optional-Pillow path: a VALID 1×1 PNG decodes when Pillow is
-        importable; without it the same payload raises the documented
-        NotImplementedError. The test is green either way, so it keeps
-        passing on a cluster image that ships Pillow."""
+    def test_png_decodes_without_pil(self):
+        """r6: the vendored pngdec closes the env-gated PNG branch — a
+        VALID 1×1 PNG now decodes in-container with or without Pillow
+        (Pillow, when present, is still tried first upstream)."""
         import base64
-
-        import pytest as _pytest
 
         from autoaudit_spark.llm.multimodal import decode_image_real
 
@@ -469,17 +468,7 @@ class TestRealCodecs:
             "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42m"
             "P8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
         )
-        try:
-            import PIL  # noqa: F401
-
-            has_pil = True
-        except ImportError:
-            has_pil = False
-        if has_pil:
-            assert decode_image_real(png) == (1, 1, "png")
-        else:
-            with _pytest.raises(NotImplementedError, match="png"):
-                decode_image_real(png)
+        assert decode_image_real(png) == (1, 1, "png")
 
     def test_resize_nearest_known_mapping(self):
         import numpy as np
