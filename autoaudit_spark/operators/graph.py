@@ -605,21 +605,17 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-hop flagship — only existing edges shuffle), HAVING-pruned
     BEFORE the degree joins so the pair relation entering them is
     already candidate-sized. The division is a single IEEE op on exact
-    integers — bit-identical cross-engine. Same hub caveat as J1;
-    `two_hop_salted`'s salting applies verbatim at 100 TB."""
+    integers — bit-identical cross-engine. Same hub caveat as J1; the
+    salted twin is IMPLEMENTED as `wedge_common_counts_salted` (r6) and
+    measured against this form on the hub fixture by
+    tools/skewprobe.py — see BASELINE.md's wedge-skew table."""
     adj = adjacency(spark, sf_dir)
     und = undirected_simple(adj)
     nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
-    x, y = nbr.alias("x"), nbr.alias("y")
-    common = (
-        x.join(y, (F.col("x.nb") == F.col("y.nb")) & (F.col("x.node") < F.col("y.node")))
-        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= MIN_PATHS)
-    )
+    common = wedge_common_counts(nbr, MIN_PATHS)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     return (
@@ -635,6 +631,60 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "u", "v")
+    )
+
+
+def wedge_common_counts(nbr: DataFrame, min_common: int = MIN_PATHS) -> DataFrame:
+    """The unsalted wedge-join core of `node_jaccard`: common-neighbor
+    counts for node pairs sharing ≥ min_common neighbors. `nbr` is the
+    symmetric (node, nb) neighbor relation."""
+    x, y = nbr.alias("x"), nbr.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.nb") == F.col("y.nb"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_common)
+    )
+
+
+def wedge_common_counts_salted(
+    nbr: DataFrame, min_common: int = MIN_PATHS, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-hardened twin of `wedge_common_counts` (r5 verdict, "What's
+    missing" #5 — the wedge family's salting, previously documented
+    only): the shared-neighbor key `nb` is hot at a hub (its reduce
+    work is deg(nb)², squared skew), so side x scatters each row over
+    `salt_buckets` sub-keys — salt = hash(node, nb) pmod buckets — and
+    side y replicates across all buckets. The join key becomes
+    (nb, salt); a hub's quadratic wedge work spreads over salt_buckets
+    tasks at the cost of ×buckets replication of side y. Every
+    (x-row, y-row) wedge still meets exactly once, in exactly one
+    bucket, so counts are unchanged — asserted bit-identical by
+    tools/skewprobe.py on the hub fixture."""
+    x = nbr.select(
+        "node",
+        "nb",
+        F.pmod(F.hash("node", "nb"), F.lit(salt_buckets)).alias("salt"),
+    ).alias("x")
+    y = nbr.select(
+        "node",
+        "nb",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+    ).alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.nb") == F.col("y.nb"))
+            & (F.col("x.salt") == F.col("y.salt"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_common)
     )
 
 

@@ -27,20 +27,15 @@ def test_flagship_registered():
     assert "two_hop_candidates" in entry_mod.queries()
 
 
-def test_window_is_all_oracle_backed_first():
-    """Every entry in the driver's checked window must have an oracle as
-    long as oracle-backed queries exist outside it — a rows-only query
-    inside the window while an oracle-backed one sits outside wastes a
-    verified slot."""
+def test_window_is_exactly_the_curated_priority():
+    """The driver's checked window must be _PRIORITY verbatim — 50
+    curated slots. (The r1–r5 all-oracled-first rule was retired in r6:
+    rows-only queries now legitimately occupy window slots to earn
+    their weaker rows check — 9 of the 16 never had ANY driver row
+    until this round's rotation.)"""
     q = list(entry_mod.queries())
-    o = set(entry_mod.oracle_sql())
-    window, rest = q[:DRIVER_WINDOW], q[DRIVER_WINDOW:]
-    if any(n in o for n in rest):
-        assert all(n in o for n in window), (
-            "rows-only query inside driver window while oracle-backed "
-            "queries overflow: "
-            f"{[n for n in window if n not in o]}"
-        )
+    assert len(entry_mod._PRIORITY) == DRIVER_WINDOW
+    assert q[:DRIVER_WINDOW] == entry_mod._PRIORITY
 
 
 def test_priority_names_exist():
@@ -54,42 +49,31 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round5_rotation_in_window():
-    """Round-5 rotation (r4 verdict 'Next round' #1): the window is
-    filled with never-driver-checked queries — streaming family, ANN
-    capstones, the graph batch, analytics, LLM-pipeline, API tiers —
-    keeping only the flagship canary plus every query whose code
-    changed this round (which must re-gate)."""
+def test_round6_rotation_in_window():
+    """Round-6 rotation (r5 verdict 'Next round' #1): the last
+    verification-debt tranche — every query that had NO driver row
+    through r5 — is in the window, alongside the flagship canary, this
+    round's re-gates, and the newborn stream_change_cosine (the
+    same-round-window rule's first application)."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + r5 re-gates
-        "two_hop_candidates", "relabel_reorder", "k_core",
-        "triangle_count", "session_concurrency", "sequence_packing",
-        "negative_edge_sample", "variant_props_extract",
-        # streaming family, never driver-checked before r5
-        "stream_static_join", "stream_stream_join",
-        "stream_stream_left_join", "stream_funnel_stages",
-        "stream_latest_snapshot", "stream_upsert_sink",
-        "stream_value_histogram",
-        # ANN capstones
-        "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
-        "embedding_centroids",
-        # graph batch
-        "clustering_coefficient", "label_propagation", "node_jaccard",
-        "temporal_cycles", "two_hop_temporal", "two_hop_flow",
-        "edge_reciprocity", "degree_assortativity",
-        # analytics / statistics
-        "funnel_stages", "cohort_retention", "latest_snapshot",
-        "robust_zscore", "event_transitions", "value_histogram",
-        "benford_digits", "burst_detection", "type_entropy",
-        "chisq_type_segment", "rolling_active_users",
-        # LLM pipeline / text
-        "corpus_budget_quantile", "repetition_metrics", "text_scrub",
-        "unigram_logprob", "hashing_tf", "bpe_token_count",
-        "dataset_split", "containment_dedup",
-        # API tiers
-        "pivot_event_matrix", "window_function_suite",
-        "grouping_sets_events", "media_features_arrow",
+        # canary + r6 re-gates + newborn
+        "two_hop_candidates", "relabel_reorder", "variant_props_extract",
+        "sketch_change_cosine", "stream_change_cosine",
+        # the 11 never-driver-checked oracled queries
+        "csv_source_roundtrip", "python_datasource_roundtrip",
+        "morton_order_key", "udtf_word_explode", "dow_seasonality",
+        "grouped_percentiles", "decayed_user_value", "event_runs",
+        "profile_columns", "hash_reservoir_sample", "resample_gap_fill",
+        # the 9 never-driver-checked rows-only queries
+        "doc_fingerprint", "injection_recovery_eval", "media_features",
+        "media_resize", "near_dup_minhash_lsh", "near_dup_simhash",
+        "smurf_injection_edges", "smurf_injection_labels",
+        "stream_change_scores",
+        # stalest standing rows (latest r1)
+        "bernoulli_sample", "approx_distinct_stats", "smurf_blocks",
+        "anomaly_scores_iforest", "sketch_values", "change_scores",
+        "attention_routing",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"

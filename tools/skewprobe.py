@@ -131,10 +131,106 @@ def join_work_per_task(adj, salted: bool):
     }
 
 
+def hub_skewed_neighbors(adj, in_fraction: float = 0.05):
+    """Symmetric (node, nb) neighbor relation of the undirected simple
+    graph with `in_fraction` of edges redirected onto one hub — the
+    wedge join's shared-neighbor key gets a deg² hot reducer."""
+    from autoaudit_spark.operators.graph import undirected_simple
+
+    skewed = adj.withColumn(
+        "dst",
+        F.when(
+            F.pmod(F.hash("src", "dst"), F.lit(100))
+            < int(in_fraction * 100),
+            F.lit(HUB).cast("long"),
+        ).otherwise(F.col("dst")),
+    )
+    und = undirected_simple(skewed)
+    return und.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+
+
+def wedge_work_per_task(nbr, salted: bool):
+    """JOIN-OUTPUT wedge pairs per reduce task for the shared-neighbor
+    self-join: key nb contributes deg(nb)² pairs unsalted; salted, each
+    (nb, salt) bucket contributes cnt_bucket × deg(nb)."""
+    deg = nbr.groupBy("nb").agg(F.count("*").alias("d"))
+    if salted:
+        bucketed = nbr.groupBy(
+            "nb",
+            F.pmod(F.hash("node", "nb"), F.lit(SALT_BUCKETS)).alias("salt"),
+        ).agg(F.count("*").alias("cnt"))
+        work = bucketed.join(deg, "nb").select(
+            F.pmod(F.hash("nb", "salt"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("cnt") * F.col("d")).alias("w"),
+        )
+    else:
+        work = deg.select(
+            F.pmod(F.hash("nb"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("d") * F.col("d")).alias("w"),
+        )
+    counts = sorted(
+        r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
+    )
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    return {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+
+def wedge_probe(spark, sf_dir: str) -> dict:
+    """node_jaccard's wedge join (r5 verdict, "What's missing" #5):
+    unsalted `wedge_common_counts` (AQE skew-join on) vs the r6
+    `wedge_common_counts_salted` twin on the hub fixture — wall time,
+    per-task wedge work, and a bit-identical result assertion."""
+    from autoaudit_spark.operators.graph import (
+        wedge_common_counts,
+        wedge_common_counts_salted,
+    )
+
+    nbr = hub_skewed_neighbors(adjacency(spark, sf_dir)).persist()
+    n_rows = nbr.count()
+    hub_deg = nbr.filter(F.col("nb") == HUB).count()
+
+    t0 = time.monotonic()
+    unsalted = wedge_common_counts(nbr)
+    unsalted.write.format("noop").mode("overwrite").save()
+    t_unsalted = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    salted = wedge_common_counts_salted(nbr, salt_buckets=SALT_BUCKETS)
+    salted.write.format("noop").mode("overwrite").save()
+    t_salted = round(time.monotonic() - t0, 2)
+
+    rows_a = {tuple(r) for r in unsalted.collect()}
+    rows_b = {tuple(r) for r in salted.collect()}
+    assert rows_a == rows_b, "salted wedge counts diverged"
+    out = {
+        "metric": "node_jaccard_wedge_skew_probe",
+        "sf_dir": sf_dir,
+        "nbr_rows": n_rows,
+        "hub_degree": hub_deg,
+        "wall_sec": {"unsalted_aqe": t_unsalted, "salted": t_salted},
+        "wedge_pairs_per_task": {
+            "unsalted": wedge_work_per_task(nbr, salted=False),
+            "salted": wedge_work_per_task(nbr, salted=True),
+        },
+        "result_rows": len(rows_a),
+        "results_identical": True,
+    }
+    nbr.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("skewprobe")
     spark.range(1).count()
+
+    print(json.dumps(wedge_probe(spark, sf_dir)))
 
     adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
     n_edges = adj.count()
