@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # variant_props_extract's FLOOR oracle, sketch_change_cosine's grid
 # refactor), and the newborn stream_change_cosine. The remaining slots
 # backfill with the STALEST standing greens (the 7 queries whose latest
-# row is r1, then 17 of the 34 whose latest row is r3). After this
+# row is r1, then 16 of the 34 whose latest row is r3). After this
 # round's driver run, every registered query has at least one driver
 # row in some round: debt ZERO.
 #
@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "node_jaccard",              # wedge core factored into shared helper
     # -- born this round (same-round-window rule) --
     "stream_change_cosine",      # T3 stateful path under the value-hash
+    "node_jaccard_salted",       # wedge-skew twin, same oracle as X17
     # -- the 11 never-driver-checked oracled queries --
     "csv_source_roundtrip",
     "python_datasource_roundtrip",
@@ -90,8 +91,8 @@ _PRIORITY: list[str] = [
     "sketch_values",
     "change_scores",
     "attention_routing",
-    # -- backfill: 17 of the 34 whose latest row is r3 (diverse
-    #    families; the other 17 rotate in r7) --
+    # -- backfill: 16 of the 34 whose latest row is r3 (diverse
+    #    families; the other 18 rotate in r7) --
     "ann_ivf_topk",
     "ann_lsh_topk",
     "asof_join_nearest",
@@ -108,7 +109,6 @@ _PRIORITY: list[str] = [
     "powerlaw_fit",
     "pricing_summary",
     "topk_per_group",
-    "user_sessions",
 ]
 
 

@@ -577,9 +577,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(adjacency(spark, sf_dir)).orderBy("node")
 
 
-@query(
-    "node_jaccard",
-    oracle=f"""
+_NODE_JACCARD_SQL = f"""
     {_ADJ_CTE},
     {_UND_SQL},
     nbr AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b, a FROM und),
@@ -593,8 +591,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.c AS DOUBLE) / (du.d + dv.d - c.c) AS jaccard
     FROM common c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
     ORDER BY jaccard DESC, u, v
-    """,
-)
+    """
+
+
+@query("node_jaccard", oracle=_NODE_JACCARD_SQL)
 def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity over the undirected simple graph:
     |N(u)∩N(v)| / |N(u)∪N(v)| for pairs sharing ≥ {MIN_PATHS} neighbors
@@ -606,16 +606,36 @@ def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the degree joins so the pair relation entering them is
     already candidate-sized. The division is a single IEEE op on exact
     integers — bit-identical cross-engine. Same hub caveat as J1; the
-    salted twin is IMPLEMENTED as `wedge_common_counts_salted` (r6) and
+    salted twin is REGISTERED as `node_jaccard_salted` (r6) and
     measured against this form on the hub fixture by
     tools/skewprobe.py — see BASELINE.md's wedge-skew table."""
+    return _node_jaccard(spark, sf_dir, salted=False)
+
+
+@query("node_jaccard_salted", oracle=_NODE_JACCARD_SQL)
+def q_node_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 under explicit wedge-key salting — same oracle as
+    `node_jaccard` (the salted plan must be bit-identical in results),
+    the wedge family's `two_hop_salted` analogue. The shared-neighbor
+    key's reduce work is deg(nb)² (QUADRATIC hub skew, worse than the
+    flagship's in×out), so side x scatters over hash(node, nb) pmod 8
+    sub-keys and side y replicates ×8 — hot/median 2.11×→1.41× on the
+    hub fixture (BASELINE.md r6 wedge-skew table)."""
+    return _node_jaccard(spark, sf_dir, salted=True)
+
+
+def _node_jaccard(spark: SparkSession, sf_dir: str, salted: bool) -> DataFrame:
     adj = adjacency(spark, sf_dir)
     und = undirected_simple(adj)
     nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
-    common = wedge_common_counts(nbr, MIN_PATHS)
+    common = (
+        wedge_common_counts_salted(nbr, MIN_PATHS)
+        if salted
+        else wedge_common_counts(nbr, MIN_PATHS)
+    )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     return (

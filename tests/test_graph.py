@@ -148,3 +148,45 @@ class TestKCore:
         # fixpoint: nothing else peels
         again = {n for n in core if len(adj[n] & core) >= K_CORE_K}
         assert again == core
+
+
+class TestNodeJaccardSalted:
+    def test_salted_matches_unsalted_bit_exact(self, spark, sf_dir):
+        """r6: node_jaccard_salted registers under the SAME oracle as
+        node_jaccard, so the two forms must agree bit-exactly — every
+        wedge meets exactly once in exactly one salt bucket."""
+        from autoaudit_spark.registry import QUERIES
+
+        a = [tuple(r) for r in QUERIES["node_jaccard"](spark, sf_dir).collect()]
+        b = [
+            tuple(r)
+            for r in QUERIES["node_jaccard_salted"](spark, sf_dir).collect()
+        ]
+        assert a == b and len(a) > 0
+
+    def test_salted_wedge_counts_on_crafted_hub(self, spark):
+        """Hand-built hub: node 0 neighbors {1..5}, plus edge 1-2. Common
+        counts via both wedge forms on the symmetric neighbor relation."""
+        from autoaudit_spark.operators.graph import (
+            wedge_common_counts,
+            wedge_common_counts_salted,
+        )
+
+        und = [(0, n) for n in range(1, 6)] + [(1, 2)]
+        nbr = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "node long, nb long"
+        ).selectExpr("node", "nb")
+        plain = {
+            (r["u"], r["v"]): r["c"]
+            for r in wedge_common_counts(nbr, min_common=1).collect()
+        }
+        salted = {
+            (r["u"], r["v"]): r["c"]
+            for r in wedge_common_counts_salted(nbr, min_common=1).collect()
+        }
+        assert plain == salted
+        # pairs {1..5} all share neighbor 0; (1,2) additionally share
+        # nothing else; 0 shares neighbor 2 with 1 and neighbor 1 with 2
+        assert plain[(1, 2)] == 1
+        assert plain[(3, 4)] == 1
+        assert plain[(0, 1)] == 1 and plain[(0, 2)] == 1
