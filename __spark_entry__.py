@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # variant_props_extract's FLOOR oracle, sketch_change_cosine's grid
 # refactor), and the newborn stream_change_cosine. The remaining slots
 # backfill with the STALEST standing greens (the 7 queries whose latest
-# row is r1, then 16 of the 34 whose latest row is r3). After this
+# row is r1, then 14 of the 34 whose latest row is r3). After this
 # round's driver run, every registered query has at least one driver
 # row in some round: debt ZERO.
 #
@@ -60,6 +60,8 @@ _PRIORITY: list[str] = [
     # -- born this round (same-round-window rule) --
     "stream_change_cosine",      # T3 stateful path under the value-hash
     "node_jaccard_salted",       # wedge-skew twin, same oracle as X17
+    "near_dup_embedding_ivf",    # SemDeDup scale path (IVF-bucketed)
+    "corpus_mix_allocation",     # largest-remainder token apportionment
     # -- the 11 never-driver-checked oracled queries --
     "csv_source_roundtrip",
     "python_datasource_roundtrip",
@@ -91,8 +93,8 @@ _PRIORITY: list[str] = [
     "sketch_values",
     "change_scores",
     "attention_routing",
-    # -- backfill: 16 of the 34 whose latest row is r3 (diverse
-    #    families; the other 18 rotate in r7) --
+    # -- backfill: 14 of the 34 whose latest row is r3 (diverse
+    #    families; the other 20 rotate in r7) --
     "ann_ivf_topk",
     "ann_lsh_topk",
     "asof_join_nearest",
@@ -106,9 +108,7 @@ _PRIORITY: list[str] = [
     "lang_id",
     "quality_scores",
     "tfidf_top_terms",
-    "powerlaw_fit",
     "pricing_summary",
-    "topk_per_group",
 ]
 
 

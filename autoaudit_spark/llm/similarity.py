@@ -542,6 +542,75 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, rounds=IVF_KMEANS_ROUNDS)
 
 
+def _semdedup_sql() -> str:
+    """DuckDB twin of the cluster-bucketed near-dup: the shared
+    `_ivf_train_parts` training CTEs, then within-cluster pairs ≥ τ."""
+    parts, _ = _ivf_train_parts()
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT a.vec_id AS id1, b.vec_id AS id2,
+               CAST(a.cid AS BIGINT) AS cid, ROUND({cos}, 6) AS cos_sim
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {cos} >= {NEAR_DUP_COS}
+        ORDER BY id1, id2"""
+    )
+
+
+@query("near_dup_embedding_ivf", oracle=_semdedup_sql())
+def q_near_dup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 at the 100 TB shape (r6, SemDeDup-style): embedding-cosine
+    near-dup pairs computed ONLY within IVF coarse clusters. The brute
+    `near_dup_embedding` twin is O(N²) and oracle-bounded to 500
+    vectors; here the trained coarse quantizer (same session-cached
+    DECIMAL-exact Lloyd model as `ann_ivf_topk` — zero extra training
+    in a sweep) assigns every vector to its nearest list in a pure MAP
+    stage (literal centroids, no shuffle), and the quadratic compare
+    runs per cluster: one shuffle on cid, Σ n_c² work instead of N².
+    That is the semantic-dedup design for billion-document corpora —
+    boundary pairs split across clusters are the documented recall
+    trade (same as IVF probe pruning). Full-corpus exact value-hash
+    against the shared training CTEs + within-cluster pair join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+
+    def _train():
+        c = _collect_centroids(emb)
+        for _ in range(IVF_KMEANS_ROUNDS):
+            c = _lloyd_round(emb, c)
+        return c
+
+    cents = _cached_train(
+        spark, ("ivf", sf_dir, IVF_KMEANS_ROUNDS), _train
+    )
+    ranked = _centroid_rank_expr(cents)
+    assign = emb.select(
+        "vec_id", "v", (-F.element_at(ranked, 1)["negcid"]).alias("cid")
+    )
+    a = assign.withColumnsRenamed({"vec_id": "id1", "v": "v1"})
+    b = assign.withColumnsRenamed({"vec_id": "id2", "v": "v2"})
+    cos = cosine_sim(F.col("v1"), F.col("v2"))
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cos >= NEAR_DUP_COS)
+        .select(
+            "id1",
+            "id2",
+            F.col("cid").cast("long").alias("cid"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X6: int8-quantized ANN — the 100 TB memory/bandwidth lever. Each vector
 # is symmetric-quantized to int8 codes (scale = max|v|/127, the standard

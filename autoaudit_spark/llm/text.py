@@ -1113,3 +1113,105 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: corpus-mix allocation — the data-mixing primitive of training-corpus
+# assembly: apportion a fixed token budget across (lang, source) strata
+# PROPORTIONALLY to their token mass, with largest-remainder (Hamilton)
+# rounding so the integer allocations sum EXACTLY to the budget. All
+# integer arithmetic (BUDGET·g // total and the modulo remainder), so the
+# two engines agree bit-for-bit; the stratum relation is parameter-sized
+# (langs × sources), so every window below runs over a handful of rows —
+# the only data-sized stage is the per-stratum token-count aggregate.
+# ---------------------------------------------------------------------------
+MIX_BUDGET = 1_000_000
+
+@query(
+    "corpus_mix_allocation",
+    oracle=f"""
+    WITH grp AS (
+        SELECT lang, source,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS g_tokens
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(g_tokens) AS BIGINT) AS t FROM grp),
+    base AS (
+        SELECT lang, source, g_tokens,
+               CAST({MIX_BUDGET} * g_tokens // t AS BIGINT) AS base_alloc,
+               CAST({MIX_BUDGET} * g_tokens % t AS BIGINT) AS rem
+        FROM grp CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rr,
+               {MIX_BUDGET} - SUM(base_alloc) OVER () AS leftover
+        FROM base
+    )
+    SELECT lang, source, g_tokens, base_alloc,
+           CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(base_alloc
+                + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM ranked ORDER BY lang, source
+    """,
+)
+def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of MIX_BUDGET tokens across
+    (lang, source) strata: base = floor(budget·g/total) per stratum,
+    then the leftover budget goes +1 each to the strata with the
+    largest integer remainders (ties by stratum key). Exact integer
+    quotient/modulo on BIGINTs — bit-identical cross-engine (token
+    masses are non-negative, so DuckDB's truncating `//` and Spark's
+    FLOOR agree — the r5 variant-decade divergence cannot arm here),
+    and Σ alloc == budget by construction (unit-asserted).
+
+    Scale: the token mass aggregate is the only data-sized stage (one
+    shuffle, map-side combined); the apportionment windows run over the
+    langs × sources stratum relation — parameter-sized, the documented
+    unpartitioned-window exemption."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select("lang", "source", F.size(_tokens(F.col("text"))).alias("n"))
+        .groupBy("lang", "source")
+        .agg(F.sum("n").cast("long").alias("g_tokens"))
+    )
+    tot = grp.agg(F.sum("g_tokens").cast("long").alias("t"))
+    base = grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "g_tokens",
+        F.floor(F.lit(MIX_BUDGET) * F.col("g_tokens") / F.col("t"))
+        .cast("long")
+        .alias("base_alloc"),
+        ((F.lit(MIX_BUDGET) * F.col("g_tokens")) % F.col("t"))
+        .cast("long")
+        .alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "lang", "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        "lang",
+        "source",
+        "g_tokens",
+        "base_alloc",
+        F.row_number().over(w_rank).alias("rr"),
+        (F.lit(MIX_BUDGET) - F.sum("base_alloc").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    extra = F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "lang",
+        "source",
+        "g_tokens",
+        "base_alloc",
+        extra.cast("long").alias("extra"),
+        (F.col("base_alloc") + extra).cast("long").alias("alloc"),
+    ).orderBy("lang", "source")

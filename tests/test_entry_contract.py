@@ -57,9 +57,11 @@ def test_round6_rotation_in_window():
     same-round-window rule's first application)."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + r6 re-gates + newborn
+        # canary + r6 re-gates + newborns (same-round-window rule)
         "two_hop_candidates", "relabel_reorder", "variant_props_extract",
-        "sketch_change_cosine", "stream_change_cosine",
+        "sketch_change_cosine", "node_jaccard", "stream_change_cosine",
+        "node_jaccard_salted", "near_dup_embedding_ivf",
+        "corpus_mix_allocation",
         # the 11 never-driver-checked oracled queries
         "csv_source_roundtrip", "python_datasource_roundtrip",
         "morton_order_key", "udtf_word_explode", "dow_seasonality",

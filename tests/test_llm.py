@@ -515,3 +515,77 @@ class TestInt8ANN:
         assert rows[0] == rows[1]
         assert rows[2] == [0, 0, 0]
         assert all(-127 <= c <= 127 for q in rows for c in q)
+
+
+class TestRound6Additions:
+    def test_semdedup_subset_of_brute_pairs(self, spark, sf_dir):
+        """Cluster-bucketed near-dup can only MISS boundary pairs, never
+        invent them: every (id1, id2, cos) it reports must appear in the
+        brute-force pair set at the same similarity (restricted to the
+        brute twin's vec_id < 500 oracle bound)."""
+        from autoaudit_spark.registry import QUERIES
+
+        ivf = {
+            (r["id1"], r["id2"]): r["cos_sim"]
+            for r in QUERIES["near_dup_embedding_ivf"](spark, sf_dir).collect()
+            if r["id1"] < 500 and r["id2"] < 500
+        }
+        brute = {
+            (r["id1"], r["id2"]): r["cos_sim"]
+            for r in QUERIES["near_dup_embedding"](spark, sf_dir).collect()
+        }
+        assert set(ivf) <= set(brute)
+        assert all(brute[k] == v for k, v in ivf.items())
+        assert len(ivf) > 0
+
+    def test_semdedup_pairs_share_a_cluster(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["near_dup_embedding_ivf"](spark, sf_dir).collect()
+        assert all(r["cid"] >= 0 for r in rows)
+
+    def test_mix_allocation_sums_to_budget(self, spark, sf_dir):
+        from autoaudit_spark.llm.text import MIX_BUDGET
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["corpus_mix_allocation"](spark, sf_dir).collect()
+        assert sum(r["alloc"] for r in rows) == MIX_BUDGET
+        assert all(r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1) for r in rows)
+        # proportionality: alloc within 1 of the exact ideal share
+        total = sum(r["g_tokens"] for r in rows)
+        for r in rows:
+            ideal = MIX_BUDGET * r["g_tokens"] / total
+            assert abs(r["alloc"] - ideal) < 1.0
+
+    def test_mix_allocation_largest_remainder_crafted(self, spark, tmp_path):
+        """Hamilton apportionment on a hand-computed case: budget 10 over
+        token masses 5/3/1 (total 9) → ideals 5.55/3.33/1.11, bases
+        5/3/1, leftover 1 goes to the largest remainder (.55 → lang a)."""
+        from autoaudit_spark.llm import text as text_mod
+
+        rows = [
+            (1, "w " * 4 + "w", "a", "s", 9),   # 5 tokens
+            (2, "w w w", "b", "s", 5),           # 3 tokens
+            (3, "w", "c", "s", 1),               # 1 token
+        ]
+        d = str(tmp_path / "mix_sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        orig = text_mod.MIX_BUDGET
+        text_mod.MIX_BUDGET = 10
+        try:
+            # the registered oracle SQL bakes the module constant in, so
+            # this drives only the Spark side (the @query decorator
+            # returns the fn unchanged)
+            got = {
+                r["lang"]: (r["base_alloc"], r["extra"], r["alloc"])
+                for r in text_mod.q_corpus_mix_allocation(spark, d).collect()
+            }
+        finally:
+            text_mod.MIX_BUDGET = orig
+        assert got == {
+            "a": (5, 1, 6),
+            "b": (3, 0, 3),
+            "c": (1, 0, 1),
+        }
