@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # variant_props_extract's FLOOR oracle, sketch_change_cosine's grid
 # refactor), and the newborn stream_change_cosine. The remaining slots
 # backfill with the STALEST standing greens (the 7 queries whose latest
-# row is r1, then 14 of the 34 whose latest row is r3). After this
+# row is r1, then 13 of the 34 whose latest row is r3). After this
 # round's driver run, every registered query has at least one driver
 # row in some round: debt ZERO.
 #
@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "node_jaccard_salted",       # wedge-skew twin, same oracle as X17
     "near_dup_embedding_ivf",    # SemDeDup scale path (IVF-bucketed)
     "corpus_mix_allocation",     # largest-remainder token apportionment
+    "seeded_ppr",                # personalized PageRank from flagged seeds
     # -- the 11 never-driver-checked oracled queries --
     "csv_source_roundtrip",
     "python_datasource_roundtrip",
@@ -93,8 +94,8 @@ _PRIORITY: list[str] = [
     "sketch_values",
     "change_scores",
     "attention_routing",
-    # -- backfill: 14 of the 34 whose latest row is r3 (diverse
-    #    families; the other 20 rotate in r7) --
+    # -- backfill: 13 of the 34 whose latest row is r3 (diverse
+    #    families; the other 21 rotate in r7) --
     "ann_ivf_topk",
     "ann_lsh_topk",
     "asof_join_nearest",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "token_stats",
     "lang_id",
     "quality_scores",
-    "tfidf_top_terms",
     "pricing_summary",
 ]
 

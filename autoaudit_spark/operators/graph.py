@@ -577,6 +577,157 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(adjacency(spark, sf_dir)).orderBy("node")
 
 
+PPR_ITERS = 6
+
+
+def _seeded_ppr_sql(iters: int = PPR_ITERS) -> str:
+    """Unrolled DuckDB twin of `seeded_ppr` — the `_pagerank_sql`
+    discipline with the uniform teleport replaced by the seed
+    distribution (and dangling mass returned to the seeds)."""
+    kk = "(SELECT k FROM sn)"
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM adj GROUP BY src)",
+        f"""cand AS (
+            SELECT a.src FROM adj a JOIN adj b ON a.dst = b.src
+            GROUP BY a.src, b.dst HAVING COUNT(*) >= {MIN_PATHS})""",
+        "seeds AS (SELECT DISTINCT src AS node FROM cand)",
+        "sn AS (SELECT COUNT(*) AS k FROM seeds)",
+        f"""s0 AS (
+            SELECT nd.node, COALESCE(d.outdeg, 0) AS outdeg,
+                   CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed,
+                   CAST(CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+                       / {kk} AS rank
+            FROM nodes nd LEFT JOIN deg d USING (node)
+            LEFT JOIN seeds sd USING (node))""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT node, outdeg, seed, "
+            f"CAST(rank AS DECIMAL(18,12)) AS rq FROM s{i})"
+        )
+        parts.append(
+            f"dg{i} AS (SELECT COALESCE(SUM(CASE WHEN outdeg = 0 THEN rq END),"
+            f" 0) AS dmass FROM q{i})"
+        )
+        parts.append(
+            f"""cn{i} AS (
+            SELECT a.dst AS node,
+                   SUM(CAST(CAST(q.rq AS DOUBLE) / q.outdeg
+                            AS DECIMAL(18,15))) AS m
+            FROM adj a JOIN q{i} q ON q.node = a.src
+            GROUP BY a.dst)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+            SELECT q.node, q.outdeg, q.seed,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       * (CAST(q.seed AS DOUBLE) / {kk})
+                   + CAST(0.85 AS DOUBLE)
+                     * (CAST(COALESCE(c.m, 0) AS DOUBLE)
+                        + CAST((SELECT dmass FROM dg{i}) AS DOUBLE)
+                          * (CAST(q.seed AS DOUBLE) / {kk}))
+                       AS rank
+            FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT node, CAST(seed AS BIGINT) AS seed,
+        ROUND(rank, 8) AS ppr FROM s{iters} ORDER BY ppr DESC, node"""
+    )
+
+
+@query("seeded_ppr", oracle=_seeded_ppr_sql())
+def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: personalized PageRank from the FLAGSHIP's flagged accounts —
+    guilt-by-association scoring. The teleport distribution is uniform
+    over the smurf-candidate source set (the ≥{MIN_PATHS}-path srcs
+    from `two_hop_candidates`), so suspicion mass flows out of the
+    flagged ring through the payment graph; high-PPR NON-seed nodes
+    are the accounts one audit would look at next. Dangling mass
+    returns to the seeds (standard PPR with restart).
+
+    Same cross-engine-exact discipline as `pagerank` (per-round
+    DECIMAL(18,12) quantization, DECIMAL(18,15) contribution sums,
+    pinned double op order), {PPR_ITERS} rounds against the unrolled
+    CTE twin. Scale: identical per-round shape to pagerank — one
+    contribution shuffle + a broadcast 1-row dangling aggregate; the
+    seed relation is post-HAVING candidate-sized."""
+    adj = adjacency(spark, sf_dir)
+    seeds = (
+        two_hop_counts(adj).select(F.col("src").alias("node")).distinct()
+    ).persist()
+    k = seeds.count()
+    nodes = node_universe(adj).persist()
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    state = (
+        nodes.join(deg, "node", "left")
+        .join(seeds.withColumn("s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("s", F.lit(0)).alias("seed"),
+            (F.coalesce("s", F.lit(0)).cast("double") / k).alias("rank"),
+        )
+        .persist()
+    )
+    damping = 0.85
+    rq = F.col("rank").cast("decimal(18,12)")
+    seed_w = F.col("seed").cast("double") / F.lit(float(k))
+    for _ in range(PPR_ITERS):
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("dmass")
+        )
+        contrib = (
+            adj.join(state, adj.src == state.node)
+            .select(
+                F.col("dst").alias("node"),
+                (rq.cast("double") / F.col("outdeg"))
+                .cast("decimal(18,15)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_state = (
+            state.select("node", "outdeg", "seed")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                "seed",
+                (
+                    F.lit(1.0 - damping) * seed_w
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
+                        ).cast("double")
+                        + F.col("dmass") * seed_w
+                    )
+                ).alias("rank"),
+            )
+        )
+        new_state = new_state.localCheckpoint()
+        state.unpersist()
+        state = new_state
+    nodes.unpersist()
+    seeds.unpersist()
+    return state.select(
+        "node",
+        F.col("seed").cast("long").alias("seed"),
+        F.round("rank", 8).alias("ppr"),
+    ).orderBy(F.col("ppr").desc(), "node")
+
+
 _NODE_JACCARD_SQL = f"""
     {_ADJ_CTE},
     {_UND_SQL},

@@ -61,7 +61,7 @@ def test_round6_rotation_in_window():
         "two_hop_candidates", "relabel_reorder", "variant_props_extract",
         "sketch_change_cosine", "node_jaccard", "stream_change_cosine",
         "node_jaccard_salted", "near_dup_embedding_ivf",
-        "corpus_mix_allocation",
+        "corpus_mix_allocation", "seeded_ppr",
         # the 11 never-driver-checked oracled queries
         "csv_source_roundtrip", "python_datasource_roundtrip",
         "morton_order_key", "udtf_word_explode", "dow_seasonality",

@@ -190,3 +190,46 @@ class TestNodeJaccardSalted:
         assert plain[(1, 2)] == 1
         assert plain[(3, 4)] == 1
         assert plain[(0, 1)] == 1 and plain[(0, 2)] == 1
+
+
+class TestSeededPPR:
+    def test_planted_star_propagates_suspicion(self, spark, tmp_path):
+        """Planted smurf star 0→{10,11,12}→5 plus a disconnected edge
+        20→21: the flagged seed set must be exactly {0}; suspicion mass
+        must reach the mids and the sink and NOT the disconnected pair;
+        total mass stays 1."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        pairs = [(0, 10), (0, 11), (0, 12), (10, 5), (11, 5), (12, 5), (20, 21)]
+        rows = [
+            (s, d, 1.0, t0 + dt.timedelta(hours=i))
+            for i, (s, d) in enumerate(pairs)
+        ]
+        d = str(tmp_path / "ppr_star")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        out = {r["node"]: r for r in QUERIES["seeded_ppr"](spark, d).collect()}
+        seeds = {n for n, r in out.items() if r["seed"] == 1}
+        assert seeds == {0}
+        assert abs(sum(r["ppr"] for r in out.values()) - 1.0) < 1e-6
+        # the seed keeps the restart mass; mids share equally; the sink
+        # accumulates two-hop mass; the disconnected pair gets none
+        assert out[0]["ppr"] == max(r["ppr"] for r in out.values())
+        assert out[10]["ppr"] == out[11]["ppr"] == out[12]["ppr"] > 0
+        assert out[5]["ppr"] > 0
+        assert out[20]["ppr"] == 0.0 and out[21]["ppr"] == 0.0
+
+    def test_ppr_mass_conserved_on_testdata(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["seeded_ppr"](spark, sf_dir).collect()
+        total = sum(r["ppr"] for r in rows)
+        assert abs(total - 1.0) < 1e-5  # 8dp rounding × |nodes|
+        assert any(r["seed"] == 1 for r in rows)
+        # non-seed nodes must receive propagated mass
+        assert any(r["seed"] == 0 and r["ppr"] > 0 for r in rows)

@@ -402,3 +402,29 @@ class TestR5ScaleFixes:
             "SortMergeJoin" in p or "HashAggregate" in p
         ), p
         assert re.search(r"\blo#\d+L", p) and re.search(r"\bhi#\d+L", p), p
+
+
+class TestRound6Plans:
+    def test_semdedup_assignment_is_literal_map(self, spark, q):
+        """near_dup_embedding_ivf: centroid assignment must be compiled
+        literals (no centroid-table join — the corpus never shuffles for
+        assignment); the only join is the equi-join on cid."""
+        p = plan(q["near_dup_embedding_ivf"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # literal-centroid expression → sort_array over a struct array
+        assert "sort_array" in p
+        assert re.search(r"\bcid#\d+", p), p
+
+    def test_mix_allocation_one_data_sized_aggregate(self, spark, q):
+        """corpus_mix_allocation: exactly one data-sized stage (the
+        per-stratum token-mass aggregate over the documents scan); the
+        apportionment windows run over the stratum relation. The scan
+        must not read doc_id/n_chars."""
+        p = plan(q["corpus_mix_allocation"](spark, SF))
+        assert "CartesianProduct" not in p
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "doc_id" not in s and "n_chars" not in s
+        assert "HashAggregate" in p
