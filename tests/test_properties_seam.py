@@ -255,3 +255,51 @@ class TestAsofTiebreak:
         r = QUERIES["asof_join_attribution"](spark, d).collect()
         assert len(r) == 1
         assert (r[0]["view_id"], r[0]["wait_us"]) == (11, 0)
+
+
+class TestMixAllocationProperty:
+    def test_hamilton_invariants_random_strata(self, spark, tmp_path):
+        """Random stratum masses through the temp-parquet seam into the
+        REGISTERED query: Σalloc == budget exactly, every stratum gets
+        base or base+1, and |alloc − ideal| < 1 (the Hamilton quota
+        property)."""
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from autoaudit_spark.llm.text import MIX_BUDGET
+        from autoaudit_spark.registry import QUERIES
+
+        counter = itertools.count(1000)
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            masses=st.lists(
+                st.integers(min_value=1, max_value=400),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        def check(masses):
+            rows = [
+                (i, "w " * (m - 1) + "w", f"l{i % 3}", f"s{i}", m)
+                for i, m in enumerate(masses)
+            ]
+            d = str(tmp_path / f"mix{next(counter)}")
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            ).write.parquet(f"{d}/events.parquet".replace("events", "documents"))
+            out = QUERIES["corpus_mix_allocation"](spark, d).collect()
+            total = sum(r["g_tokens"] for r in out)
+            assert total == sum(masses)
+            assert sum(r["alloc"] for r in out) == MIX_BUDGET
+            for r in out:
+                assert r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+                ideal = MIX_BUDGET * r["g_tokens"] / total
+                assert abs(r["alloc"] - ideal) < 1.0
+
+        check()
