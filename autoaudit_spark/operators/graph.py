@@ -661,6 +661,13 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_hop_counts(adj).select(F.col("src").alias("node")).distinct()
     ).persist()
     k = seeds.count()
+    if k == 0:
+        # a seedless teleport distribution is undefined (0/0 ranks) —
+        # fail loudly rather than emit NaN suspicion scores
+        raise ValueError(
+            "seeded_ppr: no flagged smurf-candidate seeds in this dataset "
+            f"(no source with >= {MIN_PATHS} two-hop paths to one sink)"
+        )
     nodes = node_universe(adj).persist()
     deg = adj.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
