@@ -185,10 +185,11 @@ def _decode_pil(payload: bytes) -> tuple[int, int, str] | None:
 def decode_image_real(payload: bytes) -> tuple[int, int, str]:
     """REAL decode kernel: BMP (24-bit uncompressed), PGM/PPM (binary
     netpbm), PCM WAV natively; JPEG/PNG/GIF via Pillow when importable
-    (`_decode_pil`), and — as of r5 — baseline JPEG via the vendored
-    pure-NumPy decoder (`jpegdec.decode_jpeg`) when Pillow is absent, so
-    the compressed-image branch executes and is TESTED in-container.
-    Remaining compressed payloads raise with a clear message."""
+    (`_decode_pil`), with vendored pure-NumPy fallbacks when Pillow is
+    absent — baseline JPEG (`jpegdec`, r5), PNG (`pngdec`, r6), and GIF
+    (`gifdec`, r7) — so every compressed-image branch executes and is
+    TESTED in-container. Only video (MP4/ffmpeg) remains out of scope
+    and raises with a clear message."""
     magic = bytes(payload[:8])
     if magic[:2] == b"BM":
         _, w, h = decode_bmp(payload)
@@ -231,8 +232,20 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
                 "Pillow is unavailable — Adam7-interlaced PNGs need "
                 "Pillow; BMP/PGM/PPM/WAV decode natively"
             ) from e
-    known = {b"\x89PN": "png", b"GIF8": "gif"}
-    fmt = next((v for k, v in known.items() if magic.startswith(k)), "unknown")
+    if magic[:4] == b"GIF8":  # GIF87a / GIF89a (r6 verdict #4: vendored)
+        from .gifdec import decode_gif
+
+        try:
+            _, w, h = decode_gif(bytes(payload))
+            return w, h, "gif"
+        except (ValueError, KeyError, IndexError, struct.error) as e:
+            raise NotImplementedError(
+                f"GIF payload the vendored decoder rejects ({e}) and "
+                "Pillow is unavailable — BMP/PGM/PPM/WAV decode natively"
+            ) from e
+    # every image format with a vendored decoder is handled above
+    # (ADVICE r6: the old `known` sniff map was dead for PNG and is now
+    # dead for GIF too) — what reaches here is video or truly unknown
     # distinguish "codec library absent" from "library present but the
     # payload would not decode" — the wrong message sends an operator
     # debugging the environment when the DATA is at fault
@@ -240,15 +253,16 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         import PIL  # noqa: F401
 
         raise NotImplementedError(
-            f"payload looks like '{fmt}' but PIL could not decode it — "
-            "likely truncated or corrupt payload bytes (PIL IS installed; "
-            "BMP/PGM/PPM/WAV/baseline-JPEG decode natively)"
+            "payload is not a format the vendored decoders recognize and "
+            "PIL could not decode it — likely truncated/corrupt payload "
+            "bytes or video (PIL IS installed; BMP/PGM/PPM/WAV and "
+            "baseline JPEG/PNG/GIF decode natively)"
         )
     except ImportError:
         raise NotImplementedError(
-            f"payload looks like '{fmt}' — PNG/GIF/MP4 codecs (PIL/ffmpeg) "
-            "are not installed in this environment; BMP/PGM/PPM/WAV and "
-            "baseline JPEG decode natively"
+            "payload is not a format the vendored decoders recognize — "
+            "video codecs (ffmpeg) are not installed in this environment; "
+            "BMP/PGM/PPM/WAV and baseline JPEG/PNG/GIF decode natively"
         ) from None
 
 

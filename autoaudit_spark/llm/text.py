@@ -1185,7 +1185,14 @@ def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "g_tokens",
-        F.floor(F.lit(MIX_BUDGET) * F.col("g_tokens") / F.col("t"))
+        # Exact BIGINT quotient via `div` — long `/` in Spark is IEEE
+        # DOUBLE division, so floor(double) can come out one low once
+        # budget·g_tokens exceeds 2^53 (total corpus ≥ ~9e9 tokens at
+        # this budget). `div` keeps quotient and the `%` remainder
+        # below from the SAME exact integer operation, matching the
+        # DuckDB oracle's `//` at all magnitudes (ADVICE r6; the X45
+        # divergence class — masses are non-negative so trunc == floor).
+        F.expr(f"(CAST({MIX_BUDGET} AS BIGINT) * g_tokens) div t")
         .cast("long")
         .alias("base_alloc"),
         ((F.lit(MIX_BUDGET) * F.col("g_tokens")) % F.col("t"))

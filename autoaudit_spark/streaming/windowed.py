@@ -560,16 +560,33 @@ def stateful_change_scores(
     history, cosine distance, argmax ratio).
 
     State is bounded PER KEY: completed-and-scored windows older than the
-    deepest lookback are pruned, so the store holds O(back_ws · n_sketch)
-    floats per stream regardless of stream length."""
-    from ..mining.change import change_scores_from_matrix
-
+    deepest lookback are pruned — and so are incomplete windows that fall
+    behind the emission frontier (they can never be scored; ADVICE r6) —
+    so the store holds O(back_ws · n_sketch) floats per stream regardless
+    of stream length or lost rows."""
     out_schema = (
         "stream_id long, window_start long, z double, max_sketch integer"
     )
     state_schema = (
         "ws array<long>, sid array<integer>, val array<double>, last_ws long"
     )
+    score = _change_scores_fn(n_sketch, back_ws)
+
+    if "stream_id" not in sketches.columns:
+        sketches = sketches.withColumn("stream_id", F.lit(0).cast("long"))
+    return sketches.groupBy("stream_id").applyInPandasWithState(
+        score,
+        StructType.fromDDL(out_schema),
+        StructType.fromDDL(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _change_scores_fn(n_sketch: int, back_ws: int):
+    """Scorer closure for `stateful_change_scores` — module-level factory
+    so the state-pruning contract is unit-testable with a fake GroupState."""
+    from ..mining.change import change_scores_from_matrix
 
     def score(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         stream_id = int(key[0])
@@ -601,13 +618,18 @@ def stateful_change_scores(
 
         # prune scored history: a future window i needs lookback
         # i−back_ws..i−2, so the trailing back_ws complete windows (plus
-        # any incomplete stragglers) are all the state that must survive
+        # any incomplete stragglers NEWER than the emission frontier) are
+        # all the state that must survive. An incomplete window at or
+        # behind last_ws can never emit (the `w > last_ws` re-emission
+        # gate) — retaining it would leak state forever on a stream that
+        # loses one sketch row (ADVICE r6), so it ages out here.
         if complete:
             horizon = complete[max(0, len(complete) - (back_ws + 1))]
             keep = [
                 i
                 for i, w in enumerate(ws)
-                if w >= horizon or counts.get(w, 0) < n_sketch
+                if w >= horizon
+                or (counts.get(w, 0) < n_sketch and w > last_ws)
             ]
             ws = [ws[i] for i in keep]
             sid = [sid[i] for i in keep]
@@ -620,15 +642,7 @@ def stateful_change_scores(
                 columns=["stream_id", "window_start", "z", "max_sketch"],
             )
 
-    if "stream_id" not in sketches.columns:
-        sketches = sketches.withColumn("stream_id", F.lit(0).cast("long"))
-    return sketches.groupBy("stream_id").applyInPandasWithState(
-        score,
-        StructType.fromDDL(out_schema),
-        StructType.fromDDL(state_schema),
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
+    return score
 
 
 @query("stream_change_scores")
@@ -690,12 +704,30 @@ def stateful_change_cosine(
 
     State per key = trailing unscored triples + last emitted window,
     pruned to the deepest lookback exactly like `stateful_change_scores`
-    — O(back_ws · n_sketch) ints per stream, watermark-free bounded."""
+    (incomplete windows behind the emission frontier age out too, ADVICE
+    r6) — O(back_ws · n_sketch) ints per stream, watermark-free bounded
+    even on a lossy stream."""
 
     out_schema = "window_start long, z double, max_sketch integer"
     state_schema = (
         "ws array<long>, sid array<integer>, cents array<long>, last_ws long"
     )
+    score = _change_cosine_fn(n_sketch, back_ws)
+
+    if "stream_id" not in grid.columns:
+        grid = grid.withColumn("stream_id", F.lit(0).cast("long"))
+    return grid.groupBy("stream_id").applyInPandasWithState(
+        score,
+        StructType.fromDDL("stream_id long, " + out_schema),
+        StructType.fromDDL(state_schema),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _change_cosine_fn(n_sketch: int, back_ws: int):
+    """Scorer closure for `stateful_change_cosine` — module-level factory
+    so the state-pruning contract is unit-testable with a fake GroupState."""
 
     def dbl(intval: int, scale: int) -> float:
         return float(intval) / float(10**scale)
@@ -767,10 +799,14 @@ def stateful_change_cosine(
 
         if complete:
             horizon = complete[max(0, len(complete) - (back_ws + 1))]
+            # incomplete windows at or behind last_ws can never emit
+            # (the `w <= last_ws` skip above) — age them out instead of
+            # leaking their rows forever on a lossy stream (ADVICE r6)
             keep = [
                 i
                 for i, w in enumerate(ws)
-                if w >= horizon or counts.get(w, 0) < n_sketch
+                if w >= horizon
+                or (counts.get(w, 0) < n_sketch and w > last_ws)
             ]
             ws = [ws[i] for i in keep]
             sid = [sid[i] for i in keep]
@@ -793,15 +829,7 @@ def stateful_change_cosine(
                 }
             )
 
-    if "stream_id" not in grid.columns:
-        grid = grid.withColumn("stream_id", F.lit(0).cast("long"))
-    return grid.groupBy("stream_id").applyInPandasWithState(
-        score,
-        StructType.fromDDL("stream_id long, " + out_schema),
-        StructType.fromDDL(state_schema),
-        "append",
-        GroupStateTimeout.NoTimeout,
-    )
+    return score
 
 
 def _change_cosine_oracle() -> str:

@@ -439,9 +439,9 @@ class TestRealCodecs:
         assert (frames, channels, fmt) == (100, 2, "wav")
 
     def test_compressed_formats_still_raise(self):
-        """A TRUNCATED JPEG and a corrupt PNG raise the vendored
-        decoders' clear messages; GIF (no vendored decoder) still raises
-        the env-gated message without Pillow."""
+        """A TRUNCATED JPEG, a corrupt PNG, and a truncated GIF all raise
+        the vendored decoders' clear data-at-fault messages (r7: GIF is
+        vendored too — the env-gated branch is gone)."""
         import pytest as _pytest
 
         from autoaudit_spark.llm.multimodal import decode_image_real
@@ -450,11 +450,20 @@ class TestRealCodecs:
             decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         with _pytest.raises(NotImplementedError, match="PNG"):
             decode_image_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-        try:
-            import PIL  # noqa: F401
-        except ImportError:
-            with _pytest.raises(NotImplementedError, match="gif"):
-                decode_image_real(b"GIF89a" + b"\x00" * 16)
+        with _pytest.raises(NotImplementedError, match="GIF"):
+            decode_image_real(b"GIF89a" + b"\x00" * 16)
+
+    def test_gif_decodes_without_pil(self):
+        """r7: the vendored gifdec completes the codec trio — a valid
+        GIF now decodes in-container with or without Pillow."""
+        from autoaudit_spark.llm.gifdec import encode_gif
+        from autoaudit_spark.llm.multimodal import decode_image_real
+
+        import numpy as np
+
+        img = np.zeros((3, 5, 3), dtype=np.uint8)
+        img[1, 2] = (255, 0, 0)
+        assert decode_image_real(encode_gif(img)) == (5, 3, "gif")
 
     def test_png_decodes_without_pil(self):
         """r6: the vendored pngdec closes the env-gated PNG branch — a
@@ -589,3 +598,35 @@ class TestRound6Additions:
             "b": (3, 0, 3),
             "c": (1, 0, 1),
         }
+
+    def test_mix_allocation_exact_above_2_53(self, spark, tmp_path):
+        """ADVICE r6: base_alloc must come from exact integer `div`, not
+        floor(double division). budget = 2^53+1 over a single 1-token
+        stratum makes the double path misfloor — double(2^53+1) rounds
+        ties-to-even down to 2^53 — while the exact quotient is 2^53+1
+        (the X45 divergence class, now armed on the quotient side)."""
+        import duckdb
+
+        from autoaudit_spark.llm import text as text_mod
+
+        d = str(tmp_path / "mix53")
+        spark.createDataFrame(
+            [(1, "w", "a", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        budget = 2**53 + 1
+        orig = text_mod.MIX_BUDGET
+        text_mod.MIX_BUDGET = budget
+        try:
+            rows = text_mod.q_corpus_mix_allocation(spark, d).collect()
+        finally:
+            text_mod.MIX_BUDGET = orig
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["base_alloc"] == budget  # floor(double) path yields 2**53
+        assert r["alloc"] == budget
+        # DuckDB's BIGINT `//` — the oracle's semantics — is exact here too
+        assert (
+            duckdb.sql(f"SELECT CAST({budget} AS BIGINT) * 1 // 1").fetchone()[0]
+            == budget
+        )

@@ -222,6 +222,63 @@ class TestStatefulChangeCosine:
         assert incremental == single
         assert len(single) == n_win - 4  # wn >= back_ws+1 emission rule
 
+    def test_incomplete_window_behind_frontier_ages_out(self):
+        """ADVICE r6: a window that never completes (one lost sketch row)
+        must not leak state forever. Drive the scorer closures directly
+        with a fake GroupState: after the frontier passes the lossy
+        window, its rows are pruned, and every retained row sits at or
+        above the lookback horizon."""
+        import pandas as pd
+
+        from autoaudit_spark.streaming.windowed import (
+            _change_cosine_fn,
+            _change_scores_fn,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        n_sketch, back_ws, n_win = 4, 4, 12
+        windows = [w * 1_000_000 for w in range(n_win)]
+        lossy = windows[2]  # drop sketch 3 of window 2 — never completes
+
+        for factory, valcol, mk in (
+            (_change_cosine_fn, "cents", lambda i, s: ((i * 7 + s * 3) % 11 + 1) * 100),
+            (_change_scores_fn, "value", lambda i, s: float((i * 7 + s * 3) % 11 + 1)),
+        ):
+            score = factory(n_sketch, back_ws)
+            state = FakeState()
+            rows = [
+                (windows[i], s, mk(i, s))
+                for i in range(n_win)
+                for s in range(n_sketch)
+                if not (windows[i] == lossy and s == 3)
+            ]
+            pdf = pd.DataFrame(
+                rows, columns=["window_start", "sketch_id", valcol]
+            )
+            emitted = list(score((0,), iter([pdf]), state))
+            assert emitted  # scoring proceeded past the lossy window
+            ws, _, _, last_ws = state.get
+            assert lossy < last_ws
+            assert lossy not in ws, "lossy window leaked in state"
+            # nothing older than the lookback horizon survives either
+            complete = sorted(set(windows) - {lossy})
+            horizon = complete[len(complete) - (back_ws + 1)]
+            assert all(w >= horizon for w in ws)
+
 
 class TestDelayParsing:
     def test_known_units_and_raise_on_calendar(self):
