@@ -32,83 +32,79 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-6
-# rotation (round-5 verdict, "Next round" #1): retire the LAST tranche
-# of verification debt — the 11 oracled queries and 9 rows-only queries
-# that have never had a driver row — plus the flagship canary, this
-# round's re-gates (relabel_reorder's lazy broadcast gate,
-# variant_props_extract's FLOOR oracle, sketch_change_cosine's grid
-# refactor), and the newborn stream_change_cosine. The remaining slots
-# backfill with the STALEST standing greens (the 7 queries whose latest
-# row is r1, then 13 of the 34 whose latest row is r3). After this
-# round's driver run, every registered query has at least one driver
-# row in some round: debt ZERO.
+# value-hash row; rows-only queries the weaker rows check). Round-7
+# rotation (round-6 verdict, "Next round" #2): the flagship canary;
+# this round's re-gates (corpus_mix_allocation's exact integer `div`,
+# the two stateful scorers' state-aging fix, and the three iterative
+# queries that gained convergence-residual columns — pagerank /
+# seeded_ppr / label_propagation, oracles updated in lockstep); the
+# three r7 newborns under the SAME-ROUND-WINDOW rule; the 21 queries
+# whose latest driver row was r3 (the staleness debt the r6 verdict
+# named); and 19 stalest-r4 greens as backfill (the remaining 28 r4
+# rows rotate in r8). After this round no query's latest row is older
+# than r4; verification debt stays zero by construction.
 #
-# REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): the r4
-# freeze lifts once debt is zero, under a SAME-ROUND-WINDOW rule — any
-# new query MUST be added to _PRIORITY (inside the first 50) in the
-# round it is born, so it gets its driver row immediately and the
-# r3/r4 debt spiral cannot recur. stream_change_cosine (born r6, in
-# the window below) is the rule's first application.
+# REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
+# query MUST be added to _PRIORITY (inside the first 50) in the round
+# it is born, so it gets its driver row immediately and the r3/r4 debt
+# spiral cannot recur. r7 births: contamination_ngram, pps_sample,
+# dedup_components — all below.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
-    # -- r6 re-gates (code or oracle edited this round) --
-    "relabel_reorder",           # lazy broadcast gate from caller count
-    "variant_props_extract",     # oracle now FLOORs (DuckDB // truncates)
-    "sketch_change_cosine",      # grid builder factored out (shared)
-    "node_jaccard",              # wedge core factored into shared helper
+    # -- r7 re-gates (code or oracle edited this round) --
+    "corpus_mix_allocation",     # base_alloc via exact BIGINT div
+    "stream_change_cosine",      # incomplete-window state aging
+    "stream_change_scores",      # same aging fix (rows-only)
+    "pagerank",                  # + residual column (oracle updated)
+    "seeded_ppr",                # + residual column (oracle updated)
+    "label_propagation",         # + changed flag (oracle updated)
     # -- born this round (same-round-window rule) --
-    "stream_change_cosine",      # T3 stateful path under the value-hash
-    "node_jaccard_salted",       # wedge-skew twin, same oracle as X17
-    "near_dup_embedding_ivf",    # SemDeDup scale path (IVF-bucketed)
-    "corpus_mix_allocation",     # largest-remainder token apportionment
-    "seeded_ppr",                # personalized PageRank from flagged seeds
-    # -- the 11 never-driver-checked oracled queries --
-    "csv_source_roundtrip",
-    "python_datasource_roundtrip",
-    "morton_order_key",
-    "udtf_word_explode",
-    "dow_seasonality",
-    "grouped_percentiles",
-    "decayed_user_value",
-    "event_runs",
-    "profile_columns",
-    "hash_reservoir_sample",
-    "resample_gap_fill",
-    # -- the 9 never-driver-checked rows-only queries (weaker rows
-    #    check by design: seeded RNG / SVD / xxhash64 / media decode) --
-    "doc_fingerprint",
-    "injection_recovery_eval",
-    "media_features",
-    "media_resize",
-    "near_dup_minhash_lsh",
-    "near_dup_simhash",
-    "smurf_injection_edges",
-    "smurf_injection_labels",
-    "stream_change_scores",
-    # -- backfill: the 7 stalest standing rows (latest row is r1) --
-    "bernoulli_sample",
-    "approx_distinct_stats",
-    "smurf_blocks",
-    "anomaly_scores_iforest",
-    "sketch_values",
-    "change_scores",
-    "attention_routing",
-    # -- backfill: 13 of the 34 whose latest row is r3 (diverse
-    #    families; the other 21 rotate in r7) --
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "asof_join_nearest",
-    "asof_join_within",
-    "dedup_exact",
-    "near_dup_jaccard",
-    "near_dup_embedding",
-    "doc_fingerprint_hashed",
-    "near_dup_simhash_hashed",
-    "token_stats",
-    "lang_id",
-    "quality_scores",
-    "pricing_summary",
+    "contamination_ngram",       # benchmark n-gram decontamination
+    "pps_sample",                # token-mass systematic PPS sample
+    "dedup_components",          # near-dup clusters + canonical keep
+    # -- the 21 queries whose latest driver row is r3 --
+    "background_edges",
+    "chunk_documents",
+    "direction_mapped_edges",
+    "feature_pairs",
+    "focus_plot_sum",
+    "iforest_points",
+    "inout_zero_fill",
+    "multimodal_assemble",
+    "powerlaw_fit",
+    "range_join_event_context",
+    "sample_stratified",
+    "sink_accounts",
+    "stream_sketch_sums",
+    "stream_value_milestones",
+    "term_frequencies",
+    "tfidf_top_terms",
+    "topk_per_group",
+    "trailing_window_avg",
+    "user_sessions",
+    "window_alignment",
+    "windowed_features",
+    # -- backfill: 19 stalest r4 greens (alphabetical head; the other
+    #    28 r4 rows rotate in r8) --
+    "account_features",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "anomaly_scores_mahalanobis",
+    "asof_join_attribution",
+    "attention_routing_hashed",
+    "bucketed_degree_join",
+    "connected_components",
+    "corpus_filter",
+    "corpus_token_budget",
+    "cube_events",
+    "date_functions",
+    "dedup_retention",
+    "degree_counts",
+    "filter_project",
+    "global_argmax",
+    "heavy_pairs",
+    "intersect_except_users",
+    "json_props_extract",
 ]
 
 

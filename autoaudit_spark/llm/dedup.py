@@ -925,3 +925,71 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc1", "doc2")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: dedup cluster resolution — the step between "near-dup PAIRS" and an
+# actually deduplicated corpus: pairs form a graph, connected components
+# are the duplicate clusters, one canonical representative survives per
+# cluster (min doc_id — deterministic, and exactly what hash-min CC labels
+# produce). This is how production pipelines (e.g. the MinHash-dedup
+# described in the Gopher/RefinedWeb reports) turn pairwise similarity
+# into delete lists. Scale: the pair graph is near-dup-bounded (tiny next
+# to the corpus); the hash-min rounds converge in O(cluster diameter) ≈
+# a handful of rounds on dup clusters.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    und AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION SELECT doc2, doc1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT u.b AS node, r.label
+        FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component
+        FROM reach GROUP BY node
+    ),
+    csz AS (
+        SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component, CAST(s.csize AS BIGINT) AS csize,
+           CAST(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM comp c JOIN csz s USING (component)
+    ORDER BY c.doc_id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + canonical-representative selection: connected
+    components (hash-min label propagation, `operators.graph`) over the
+    exact-Jaccard pair graph; component = min doc_id in the cluster, so
+    `keep` marks exactly one survivor per cluster. Docs with no near-dup
+    partner don't appear (they trivially survive). The oracle walks the
+    same pair graph with a recursive closure + MIN(label)."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs).select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("csize")
+    )
+    return (
+        comp.withColumnRenamed("node", "doc_id")
+        .join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            "csize",
+            (F.col("doc_id") == F.col("component")).cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1222,3 +1222,211 @@ def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("base_alloc") + extra).cast("long").alias("alloc"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# r7: benchmark decontamination — the n-gram overlap screen every serious
+# training pipeline runs before training (the GPT-3 appendix-C / PaLM
+# 13-gram protocol, word-5-grams here to suit the synthetic corpus).
+# Scale shape: the benchmark side collapses to a DISTINCT gram SET before
+# the probe, so the overlap check is a LEFT SEMI join against that set —
+# output ≤ 1 row per candidate gram, so no (bench-doc × cand-doc) blowup
+# and no quadratic fan-out on a hot gram (the wedge-join hub class can't
+# arm). At production scale the gram string would be xxhash64-reduced
+# before the shuffle exactly like `hashed_shingles` (`dedup.py:182`);
+# the string form is kept here for the cross-engine oracle.
+# ---------------------------------------------------------------------------
+CONTAM_K = 5           # words per gram
+CONTAM_BENCH_MOD = 37  # doc_id % MOD == 0 → held-out "benchmark" doc
+CONTAM_FRAC = 0.5      # flagged when ≥ this fraction of grams overlap
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {CONTAM_K} - 1], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - {CONTAM_K} + 2)) AS u(i)
+        WHERE len(t) >= {CONTAM_K}
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    cand AS (SELECT * FROM g WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY doc_id),
+    sh AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM cand c JOIN bench b USING (gram)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams, 6)
+               AS contam_frac,
+           CAST(CASE WHEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                          / t.n_grams >= {CONTAM_FRAC}
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM tot t LEFT JOIN sh s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: every CONTAM_BENCH_MOD-th doc is
+    the held-out benchmark set; each remaining candidate doc reports how
+    many of its distinct word-{CONTAM_K}-grams appear ANYWHERE in the
+    benchmark gram set, and is flagged at ≥ {CONTAM_FRAC} overlap. The
+    flag comparison runs on the same double division in both engines
+    (identical int operands → identical double → identical compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - CONTAM_K)
+    grams = (
+        toks.filter(n >= CONTAM_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice("t", i + 1, CONTAM_K)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    cand = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    tot = cand.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shared = (
+        cand.join(bench, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ns = F.coalesce("n_shared", F.lit(0))
+    frac = ns.cast("double") / F.col("n_grams")
+    return (
+        tot.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            ns.cast("long").alias("n_shared"),
+            F.round(frac, 6).alias("contam_frac"),
+            (frac >= CONTAM_FRAC).cast("long").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7: systematic PPS sampling — pick ~PPS_TARGET documents with inclusion
+# probability proportional to token mass (the corpus-subsampling primitive:
+# big documents must not be under-represented by uniform row sampling, and
+# weighted reservoir tricks need transcendental priorities that no
+# cross-engine hash survives). Pure BIGINT arithmetic: a doc is picked iff
+# its token span crosses a stride boundary of the cumulative token line —
+# the `stream_value_milestones` crossing trick applied to sampling.
+# Scale: the cumulative sum is shard-decomposed exactly like
+# `sequence_packing` (per-shard cumsum in parallel + broadcast prefix
+# offsets); the only unpartitioned window runs over the shard relation.
+# ---------------------------------------------------------------------------
+PPS_TARGET = 100
+
+
+@query(
+    "pps_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    tot AS (
+        SELECT GREATEST(1, CAST(SUM(n_tokens) AS BIGINT) // {PPS_TARGET})
+            AS stride
+        FROM toks
+    ),
+    seq AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(cum // stride AS BIGINT) AS pick_bucket
+    FROM seq CROSS JOIN tot
+    WHERE cum // stride > (cum - n_tokens) // stride
+    ORDER BY doc_id
+    """,
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sample: lay documents
+    end-to-end on the cumulative token line (deterministic doc_id order),
+    stride = max(1, total_tokens div {PPS_TARGET}); a doc is picked iff
+    it crosses a stride boundary — P(pick) ≈ n_tokens/stride, every
+    stride-sized span yields exactly one pick (docs longer than the
+    stride are picked once, so the sample size is ≈, not ==, the
+    target). All quotients are exact BIGINT `div` on non-negative values
+    (truncation == floor; the X45/corpus-mix discipline)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sharded = toks.withColumn(
+        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
+    )
+    inner_w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inner = sharded.withColumn(
+        "inner_end", F.sum("n_tokens").over(inner_w).cast("long")
+    )
+    totals = sharded.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_total")
+    )
+    prefix_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_total").over(prefix_w), F.lit(0))
+        .cast("long")
+        .alias("shard_prefix"),
+    )
+    stride = toks.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(sum(n_tokens) AS BIGINT) div {PPS_TARGET}"),
+        ).alias("stride")
+    )
+    return (
+        inner.join(F.broadcast(prefix), "shard")
+        .withColumn(
+            "cum", (F.col("shard_prefix") + F.col("inner_end")).cast("long")
+        )
+        .join(F.broadcast(stride))
+        .filter(
+            F.expr("cum div stride") > F.expr("(cum - n_tokens) div stride")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("cum").alias("cum_tokens"),
+            F.expr("cum div stride").cast("long").alias("pick_bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -159,11 +159,39 @@ def union_with_base(base_adj: DataFrame, injected: DataFrame, fold: int, middle_
     return base_adj.select("src", "dst").union(delta).distinct()
 
 
+#: hard cap on the materialized node universe (distinct ids per side).
+#: 20M int64 ids ≈ 160 MB on the driver — far beyond any plausible EVAL
+#: graph (the injection protocol plants ~dozens of edges per fold), yet
+#: a loud bound instead of a silent driver OOM at data scale.
+UNIVERSE_LIMIT = 20_000_000
+
+
 def _universes(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """client = src universe (user ids), bank = dst universe of the
     derived graph — both sorted ascending like pandas `.unique()` on the
-    sorted source (determinism for the seeded choice)."""
+    sorted source (determinism for the seeded choice).
+
+    DELIBERATELY driver-collected (r6 verdict #6): `np.random.choice`
+    parity with the reference's seeded generator (`smurf_generator.py:
+    47-48`) requires a materialized ORDERED universe — the draw index
+    depends on the full sorted array, which no per-partition scheme
+    reproduces. This is an EVALUATION tool (inject → recover → score),
+    not a production operator; the universe is distinct-node-sized, and
+    `UNIVERSE_LIMIT` turns a pathological input into a clear error. The
+    distributed seeded alternative, when parity is not required, is
+    hash-Bernoulli selection over ids (`relational.py` `q_bernoulli_
+    sample` / `graph.py` `negative_edge_sample`) — O(1) driver memory."""
     e = edges_src(spark, sf_dir)
+    n_src = e.select("src").distinct().count()
+    n_dst = e.select("dst").distinct().count()
+    if max(n_src, n_dst) > UNIVERSE_LIMIT:
+        raise ValueError(
+            f"_universes: node universe ({max(n_src, n_dst):,} ids) exceeds "
+            f"UNIVERSE_LIMIT ({UNIVERSE_LIMIT:,}) — the seeded-parity eval "
+            "path materializes the ordered universe on the driver; for "
+            "graphs this size use hash-Bernoulli selection "
+            "(negative_edge_sample / bernoulli_sample) instead"
+        )
     clients = np.array(
         sorted(r["src"] for r in e.select("src").distinct().collect()), dtype=np.int64
     )

@@ -482,7 +482,7 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
             .agg(F.sum("c").alias("in_rank"))
         )
         new_state = (
-            state.select("node", "outdeg")
+            state.select("node", "outdeg", "rank")
             .join(contrib, "node", "left")
             .join(F.broadcast(dang))
             .select(
@@ -498,6 +498,10 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
                         + F.col("dmass") / F.lit(float(n))
                     )
                 ).alias("rank"),
+                # the pre-update quantized rank rides along so the FINAL
+                # round can emit a convergence residual at zero extra
+                # shuffles (r6 verdict #8) — intermediate rounds drop it
+                rq.cast("double").alias("prev_rank"),
             )
         )
         # localCheckpoint (eager) truncates the logical plan each round —
@@ -509,7 +513,17 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
         state.unpersist()
         state = new_state
     nodes.unpersist()
-    return state.select("node", F.round("rank", 8).alias("rank"))
+    # residual = |rank_10 − rank_9| per node (rank_9 via its quantized
+    # DECIMAL(18,12) form — deterministic cross-engine; intvals ≤ 1e12
+    # stay far below the 2^53 decimal→double divergence class): lets a
+    # user judge whether the fixed round count converged on THEIR graph
+    return state.select(
+        "node",
+        F.round("rank", 8).alias("rank"),
+        F.round(F.abs(F.col("rank") - F.col("prev_rank")), 8).alias(
+            "residual"
+        ),
+    )
 
 
 def _pagerank_sql(iters: int = 10) -> str:
@@ -558,13 +572,16 @@ def _pagerank_sql(iters: int = 10) -> str:
                    + CAST(0.85 AS DOUBLE)
                      * (CAST(COALESCE(c.m, 0) AS DOUBLE)
                         + CAST((SELECT dmass FROM dg{i}) AS DOUBLE) / {nn})
-                       AS rank
+                       AS rank,
+                   CAST(q.rq AS DOUBLE) AS prev_rank
             FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
         )
     return (
         "WITH "
         + ", ".join(parts)
-        + f" SELECT node, ROUND(rank, 8) AS rank FROM s{iters} ORDER BY node"
+        + f""" SELECT node, ROUND(rank, 8) AS rank,
+        ROUND(ABS(rank - prev_rank), 8) AS residual
+        FROM s{iters} ORDER BY node"""
     )
 
 
@@ -629,14 +646,17 @@ def _seeded_ppr_sql(iters: int = PPR_ITERS) -> str:
                      * (CAST(COALESCE(c.m, 0) AS DOUBLE)
                         + CAST((SELECT dmass FROM dg{i}) AS DOUBLE)
                           * (CAST(q.seed AS DOUBLE) / {kk}))
-                       AS rank
+                       AS rank,
+                   CAST(q.rq AS DOUBLE) AS prev_rank
             FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
         )
     return (
         "WITH "
         + ", ".join(parts)
         + f""" SELECT node, CAST(seed AS BIGINT) AS seed,
-        ROUND(rank, 8) AS ppr FROM s{iters} ORDER BY ppr DESC, node"""
+        ROUND(rank, 8) AS ppr,
+        ROUND(ABS(rank - prev_rank), 8) AS residual
+        FROM s{iters} ORDER BY ppr DESC, node"""
     )
 
 
@@ -704,7 +724,7 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("in_rank"))
         )
         new_state = (
-            state.select("node", "outdeg", "seed")
+            state.select("node", "outdeg", "seed", "rank")
             .join(contrib, "node", "left")
             .join(F.broadcast(dang))
             .select(
@@ -721,6 +741,9 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.col("dmass") * seed_w
                     )
                 ).alias("rank"),
+                # pre-update quantized rank → final-round convergence
+                # residual at zero extra shuffles (r6 verdict #8)
+                rq.cast("double").alias("prev_rank"),
             )
         )
         new_state = new_state.localCheckpoint()
@@ -732,6 +755,9 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.col("seed").cast("long").alias("seed"),
         F.round("rank", 8).alias("ppr"),
+        F.round(F.abs(F.col("rank") - F.col("prev_rank")), 8).alias(
+            "residual"
+        ),
     ).orderBy(F.col("ppr").desc(), "node")
 
 
@@ -1405,13 +1431,17 @@ def _lpa_oracle() -> str:
                 FROM cnt{r}) WHERE rn = 1)"""
         )
         parts.append(
-            f"l{r} AS (SELECT n.node, COALESCE(p.lbl, n.lbl) AS lbl "
+            f"l{r} AS (SELECT n.node, COALESCE(p.lbl, n.lbl) AS lbl, "
+            f"n.lbl AS prev_lbl "
             f"FROM l{r - 1} n LEFT JOIN pick{r} p USING (node))"
         )
     return (
         "WITH "
         + ", ".join(parts)
-        + f" SELECT node, lbl AS label FROM l{LPA_ROUNDS} ORDER BY node"
+        + f""" SELECT node, lbl AS label,
+        CAST(CASE WHEN lbl <> prev_lbl THEN 1 ELSE 0 END AS BIGINT)
+            AS changed
+        FROM l{LPA_ROUNDS} ORDER BY node"""
     )
 
 
@@ -1462,11 +1492,23 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(pick, "node", "left")
             .select(
-                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("next_lbl"),
+                # pre-update label rides along so the final round can
+                # emit a convergence flag at zero extra shuffles
+                # (r6 verdict #8); intermediate rounds drop it
+                F.col("lbl").alias("prev_lbl"),
             )
+            .withColumnsRenamed({"next_lbl": "lbl"})
             .localCheckpoint()
         )
-    return labels.select("node", F.col("lbl").alias("label")).orderBy("node")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("label"),
+        # changed=1 ⇒ the fixed round count had not converged at this
+        # node — Σ changed is the residual a user checks on THEIR graph
+        (F.col("lbl") != F.col("prev_lbl")).cast("long").alias("changed"),
+    ).orderBy("node")
 
 
 @query(

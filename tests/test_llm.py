@@ -630,3 +630,111 @@ class TestRound6Additions:
             duckdb.sql(f"SELECT CAST({budget} AS BIGINT) * 1 // 1").fetchone()[0]
             == budget
         )
+
+
+class TestRound7Births:
+    def _docs_dir(self, spark, tmp_path, rows, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        return d
+
+    def test_contamination_flags_copied_benchmark_text(self, spark, tmp_path):
+        """doc 0 (0 % 37 == 0) is benchmark; doc 1 copies it verbatim →
+        every 5-gram overlaps → flagged; doc 2 is disjoint → clean."""
+        from autoaudit_spark.registry import QUERIES
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta"
+        rows = [
+            (0, bench_text, "en", "s", 1),
+            (1, bench_text, "en", "s", 1),
+            (2, "one two three four five six seven", "en", "s", 1),
+        ]
+        d = self._docs_dir(spark, tmp_path, rows, "contam")
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["contamination_ngram"](spark, d).collect()
+        }
+        assert set(got) == {1, 2}  # doc 0 is the benchmark side
+        assert got[1]["flagged"] == 1 and got[1]["contam_frac"] == 1.0
+        assert got[1]["n_grams"] == 3  # 7 tokens → 3 five-grams
+        assert got[2]["flagged"] == 0 and got[2]["n_shared"] == 0
+
+    def test_contamination_sf_fixture_invariants(self, spark, sf_dir):
+        from autoaudit_spark.llm.text import CONTAM_BENCH_MOD
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["contamination_ngram"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["doc_id"] % CONTAM_BENCH_MOD != 0
+            assert 0 <= r["n_shared"] <= r["n_grams"]
+            assert (r["flagged"] == 1) == (
+                r["n_shared"] / r["n_grams"] >= 0.5
+            )
+
+    def test_pps_sample_crossing_invariants(self, spark, sf_dir):
+        """Every pick crosses a stride boundary; buckets are strictly
+        increasing; sample size is within one of the span count."""
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["pps_sample"](spark, sf_dir).collect()
+        assert rows
+        buckets = [r["pick_bucket"] for r in rows]
+        assert buckets == sorted(buckets)
+        assert len(set(buckets)) == len(buckets)
+        for r in rows:
+            assert r["n_tokens"] >= 1
+            assert r["cum_tokens"] >= r["n_tokens"]
+
+    def test_pps_sample_prefers_heavy_docs(self, spark, tmp_path):
+        """One doc holding >1/100 of the token mass must always be
+        picked; 100 one-token docs around it mostly are not."""
+        from autoaudit_spark.registry import QUERIES
+
+        rows = [(i, "w", "en", "s", 1) for i in range(100)]
+        rows.append((100, " ".join(["w"] * 900), "en", "s", 900))
+        d = self._docs_dir(spark, tmp_path, rows, "pps")
+        got = [r["doc_id"] for r in QUERIES["pps_sample"](spark, d).collect()]
+        assert 100 in got
+        # total = 1000 tokens, stride = 10: the heavy doc spans 90 strides
+        assert len(got) <= 101
+
+    def test_dedup_components_crafted_clusters(self, spark, tmp_path):
+        """Two verbatim-duplicate clusters → two components, exactly one
+        keep per cluster, csize = cluster size; the unique doc absent."""
+        from autoaudit_spark.registry import QUERIES
+
+        a = "the quick brown fox jumps over the lazy dog today"
+        b = "entirely different words compose this second document text here"
+        rows = [
+            (1, a, "en", "s", 1),
+            (2, a, "en", "s", 1),
+            (3, a, "en", "s", 1),
+            (10, b, "en", "s", 1),
+            (11, b, "en", "s", 1),
+            (99, "totally unrelated singleton content with unique words", "en", "s", 1),
+        ]
+        d = self._docs_dir(spark, tmp_path, rows, "clusters")
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["dedup_components"](spark, d).collect()
+        }
+        assert set(got) == {1, 2, 3, 10, 11}
+        assert {got[i]["component"] for i in (1, 2, 3)} == {1}
+        assert {got[i]["component"] for i in (10, 11)} == {10}
+        assert [i for i in got if got[i]["keep"] == 1] == [1, 10]
+        assert got[1]["csize"] == 3 and got[10]["csize"] == 2
+
+    def test_dedup_components_keep_one_per_component(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["dedup_components"](spark, sf_dir).collect()
+        assert rows
+        comps = {r["component"] for r in rows}
+        keeps = [r for r in rows if r["keep"] == 1]
+        assert len(keeps) == len(comps)
+        assert all(r["doc_id"] == r["component"] for r in keeps)
+        assert all(r["csize"] >= 2 for r in rows)
