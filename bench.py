@@ -49,6 +49,14 @@ HEADLINE = [
     "funnel_stages",          # analytics: one-shuffle JVM funnel fold
     "k_core",                 # graph: iterative peel (left-semi rounds)
     "stream_stream_join",     # streaming: watermarked interval self-join
+    # -- r7 additions (r6 verdict #1): cover the r6/r7 surface; the 20
+    #    rows above are UNCHANGED so the r6 anchor stays comparable --
+    "seeded_ppr",             # graph: 6-round personalized PageRank
+    "near_dup_embedding_ivf", # llm: SemDeDup scale path (IVF-bucketed)
+    "stream_change_cosine",   # streaming: stateful exact-int scorer
+    "contamination_ngram",    # llm: benchmark n-gram decontamination
+    "dedup_components",       # llm: near-dup clusters + canonical keep
+    "pps_sample",             # llm: token-mass systematic sample
 ]
 
 

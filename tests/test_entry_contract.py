@@ -49,33 +49,28 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round6_rotation_in_window():
-    """Round-6 rotation (r5 verdict 'Next round' #1): the last
-    verification-debt tranche — every query that had NO driver row
-    through r5 — is in the window, alongside the flagship canary, this
-    round's re-gates, and the newborn stream_change_cosine (the
-    same-round-window rule's first application)."""
+def test_round7_rotation_in_window():
+    """Round-7 rotation (r6 verdict 'Next round' #2): flagship canary,
+    this round's re-gates (exact-div mix allocation, state-aging stream
+    scorers, residual-column iterative family), the three r7 newborns
+    (same-round-window rule), and the 21 queries whose latest driver
+    row was r3 — the staleness debt the r6 verdict named."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + r6 re-gates + newborns (same-round-window rule)
-        "two_hop_candidates", "relabel_reorder", "variant_props_extract",
-        "sketch_change_cosine", "node_jaccard", "stream_change_cosine",
-        "node_jaccard_salted", "near_dup_embedding_ivf",
-        "corpus_mix_allocation", "seeded_ppr",
-        # the 11 never-driver-checked oracled queries
-        "csv_source_roundtrip", "python_datasource_roundtrip",
-        "morton_order_key", "udtf_word_explode", "dow_seasonality",
-        "grouped_percentiles", "decayed_user_value", "event_runs",
-        "profile_columns", "hash_reservoir_sample", "resample_gap_fill",
-        # the 9 never-driver-checked rows-only queries
-        "doc_fingerprint", "injection_recovery_eval", "media_features",
-        "media_resize", "near_dup_minhash_lsh", "near_dup_simhash",
-        "smurf_injection_edges", "smurf_injection_labels",
-        "stream_change_scores",
-        # stalest standing rows (latest r1)
-        "bernoulli_sample", "approx_distinct_stats", "smurf_blocks",
-        "anomaly_scores_iforest", "sketch_values", "change_scores",
-        "attention_routing",
+        # canary + r7 re-gates + newborns (same-round-window rule)
+        "two_hop_candidates", "corpus_mix_allocation",
+        "stream_change_cosine", "stream_change_scores",
+        "pagerank", "seeded_ppr", "label_propagation",
+        "contamination_ngram", "pps_sample", "dedup_components",
+        # the 21 r3-stale queries
+        "background_edges", "chunk_documents", "direction_mapped_edges",
+        "feature_pairs", "focus_plot_sum", "iforest_points",
+        "inout_zero_fill", "multimodal_assemble", "powerlaw_fit",
+        "range_join_event_context", "sample_stratified", "sink_accounts",
+        "stream_sketch_sums", "stream_value_milestones",
+        "term_frequencies", "tfidf_top_terms", "topk_per_group",
+        "trailing_window_avg", "user_sessions", "window_alignment",
+        "windowed_features",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
