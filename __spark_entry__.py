@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur. r7 births: contamination_ngram, pps_sample,
-# dedup_components — all below.
+# dedup_components, near_dup_jaccard_salted — all below.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
     # -- r7 re-gates (code or oracle edited this round) --
@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "contamination_ngram",       # benchmark n-gram decontamination
     "pps_sample",                # token-mass systematic PPS sample
     "dedup_components",          # near-dup clusters + canonical keep
+    "near_dup_jaccard_salted",   # shingle-skew twin, same oracle as X6
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -84,8 +85,8 @@ _PRIORITY: list[str] = [
     "user_sessions",
     "window_alignment",
     "windowed_features",
-    # -- backfill: 19 stalest r4 greens (alphabetical head; the other
-    #    28 r4 rows rotate in r8) --
+    # -- backfill: 18 stalest r4 greens (alphabetical head; the other
+    #    29 r4 rows rotate in r8) --
     "account_features",
     "ann_cosine_topk",
     "ann_int8_topk",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "global_argmax",
     "heavy_pairs",
     "intersect_except_users",
-    "json_props_extract",
 ]
 
 

@@ -138,17 +138,69 @@ _JACCARD_PAIRS_CTE = f"""
 """
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard pair graph: (doc1 < doc2, jaccard ≥ τ).
-    Explode + equi-self-join on the shingle + group counts — quadratic
-    only within identical shingles (at scale this is what LSH bounds)."""
-    sh = shingles(docs).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+def shingle_pair_counts(sh: DataFrame) -> DataFrame:
+    """The unsalted shingle-self-join core of `jaccard_pairs`:
+    shared-shingle counts per ordered doc pair. Work per shingle key is
+    cnt(shingle)² — QUADRATIC in shingle frequency, the same squared-skew
+    class as the wedge join (`graph.wedge_common_counts`): a boilerplate
+    shingle shared by 10⁵ docs puts 10¹⁰ pairs on one reduce key."""
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count("*").alias("both"))
+    )
+
+
+def shingle_pair_counts_salted(
+    sh: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-hardened twin (r6 verdict #5 applied to the r7 shape —
+    `dedup_components` put this join on the bench path): side a scatters
+    each (doc, shingle) row over `salt_buckets` sub-keys — salt =
+    hash(doc_id, shingle) pmod buckets — and side b replicates across
+    all buckets, so the join key becomes (shingle, salt) and a hot
+    shingle's quadratic pair work spreads over salt_buckets tasks.
+    Every (a-row, b-row) pair still meets exactly once, in exactly one
+    bucket → counts bit-identical (asserted by tools/skewprobe.py on a
+    boilerplate-shingle fixture). At 100 TB the OTHER standing
+    mitigation is the LSH path's `LSH_MAX_BUCKET`-style frequency cap:
+    a shingle in >N docs is boilerplate, not signal."""
+    a = sh.select(
+        "doc_id",
+        "shingle",
+        F.pmod(F.hash("doc_id", "shingle"), F.lit(salt_buckets)).alias(
+            "salt"
+        ),
+    ).alias("a")
+    b = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        ).alias("salt"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("both"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, salted: bool = False) -> DataFrame:
+    """Exact shingle-set Jaccard pair graph: (doc1 < doc2, jaccard ≥ τ).
+    Explode + equi-self-join on the shingle + group counts — quadratic
+    only within identical shingles (at scale this is what LSH bounds;
+    `salted=True` swaps in the skew-hardened bit-identical join)."""
+    sh = shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        shingle_pair_counts_salted(sh) if salted else shingle_pair_counts(sh)
     )
     s1 = sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"})
     s2 = sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"})
@@ -174,6 +226,25 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at scale this is what LSH bounds; kept exact here as the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs).orderBy("doc1", "doc2")
+
+
+@query(
+    "near_dup_jaccard_salted",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc1, doc2, jaccard FROM pairs ORDER BY doc1, doc2
+    """,
+)
+def q_near_dup_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 under explicit shingle-key salting — SAME oracle as
+    `near_dup_jaccard` (the salted plan must be bit-identical), the
+    dedup family's `node_jaccard_salted` analogue (r7): the shingle
+    key's reduce work is cnt(shingle)² — a boilerplate shingle is the
+    hub — so side a scatters over hash(doc_id, shingle) pmod 8 and side
+    b replicates ×8. Probe numbers in BASELINE.md (r7 shingle-skew
+    table, tools/skewprobe.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, salted=True).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------

@@ -738,3 +738,36 @@ class TestRound7Births:
         assert len(keeps) == len(comps)
         assert all(r["doc_id"] == r["component"] for r in keeps)
         assert all(r["csize"] >= 2 for r in rows)
+
+
+class TestShingleSalting:
+    def test_salted_pair_counts_bit_identical_on_hot_shingle(self, spark):
+        """r7 skew twin: inject a boilerplate shingle into most docs —
+        the salted join must reproduce the unsalted pair counts exactly
+        (every a/b pair meets once, in exactly one salt bucket)."""
+        from autoaudit_spark.llm.dedup import (
+            shingle_pair_counts,
+            shingle_pair_counts_salted,
+            shingles,
+        )
+
+        rows = [
+            (i, f"uniq{i} word{i} tail{i} standard legal disclaimer text", "en", "s", 1)
+            for i in range(12)
+        ] + [(99, "totally different content entirely here", "en", "s", 1)]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        sh = shingles(docs)
+        a = {tuple(r) for r in shingle_pair_counts(sh).collect()}
+        b = {tuple(r) for r in shingle_pair_counts_salted(sh, 8).collect()}
+        assert a == b
+        assert a  # the boilerplate shingle produced shared pairs
+
+    def test_registered_salted_query_matches_unsalted(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        u = [tuple(r) for r in QUERIES["near_dup_jaccard"](spark, sf_dir).collect()]
+        s = [tuple(r) for r in QUERIES["near_dup_jaccard_salted"](spark, sf_dir).collect()]
+        assert u == s

@@ -225,11 +225,113 @@ def wedge_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+BOILERPLATE = "standard legal disclaimer text"  # SHINGLE_K-word shingle
+BOILER_FRACTION = 0.30  # docs carrying the boilerplate shingle
+
+
+def boilerplate_shingles(spark, sf_dir: str):
+    """(doc_id, shingle) relation of the real corpus with a hot shingle
+    injected: BOILER_FRACTION of docs (deterministic hash pick) carry
+    one shared boilerplate shingle — the shingle join's key then holds
+    cnt² pair work on one reducer, the dedup analogue of the wedge hub."""
+    from autoaudit_spark.llm.dedup import shingles
+    from autoaudit_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    boiler = (
+        docs.filter(
+            F.pmod(F.hash("doc_id"), F.lit(100))
+            < int(BOILER_FRACTION * 100)
+        )
+        .select("doc_id", F.lit(BOILERPLATE).alias("shingle"))
+    )
+    return sh.unionByName(boiler).distinct()
+
+
+def shingle_work_per_task(sh, salted: bool):
+    """JOIN-OUTPUT shared-shingle pairs per reduce task: key `shingle`
+    contributes cnt² pairs unsalted; salted, each (shingle, salt) bucket
+    contributes cnt_bucket × cnt(shingle)."""
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("c"))
+    if salted:
+        bucketed = sh.groupBy(
+            "shingle",
+            F.pmod(F.hash("doc_id", "shingle"), F.lit(SALT_BUCKETS)).alias(
+                "salt"
+            ),
+        ).agg(F.count("*").alias("bc"))
+        work = bucketed.join(cnt, "shingle").select(
+            F.pmod(F.hash("shingle", "salt"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("bc") * F.col("c")).alias("w"),
+        )
+    else:
+        work = cnt.select(
+            F.pmod(F.hash("shingle"), F.lit(PARTITIONS)).alias("p"),
+            (F.col("c") * F.col("c")).alias("w"),
+        )
+    counts = sorted(
+        r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
+    )
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    return {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+
+def shingle_probe(spark, sf_dir: str) -> dict:
+    """`near_dup_jaccard` / `dedup_components`' shingle join (r6 verdict
+    #5 applied to the r7 bench-path shape): unsalted
+    `shingle_pair_counts` (AQE on) vs the r7 salted twin on the
+    boilerplate fixture — wall, per-task pair work, bit-identical
+    result assertion."""
+    from autoaudit_spark.llm.dedup import (
+        shingle_pair_counts,
+        shingle_pair_counts_salted,
+    )
+
+    sh = boilerplate_shingles(spark, sf_dir).persist()
+    n_rows = sh.count()
+    hot_cnt = sh.filter(F.col("shingle") == BOILERPLATE).count()
+
+    t0 = time.monotonic()
+    unsalted = shingle_pair_counts(sh)
+    unsalted.write.format("noop").mode("overwrite").save()
+    t_unsalted = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    salted = shingle_pair_counts_salted(sh, salt_buckets=SALT_BUCKETS)
+    salted.write.format("noop").mode("overwrite").save()
+    t_salted = round(time.monotonic() - t0, 2)
+
+    rows_a = {tuple(r) for r in unsalted.collect()}
+    rows_b = {tuple(r) for r in salted.collect()}
+    assert rows_a == rows_b, "salted shingle pair counts diverged"
+    out = {
+        "metric": "shingle_pair_skew_probe",
+        "sf_dir": sf_dir,
+        "shingle_rows": n_rows,
+        "boilerplate_doc_count": hot_cnt,
+        "wall_sec": {"unsalted_aqe": t_unsalted, "salted": t_salted},
+        "shared_shingle_pairs_per_task": {
+            "unsalted": shingle_work_per_task(sh, salted=False),
+            "salted": shingle_work_per_task(sh, salted=True),
+        },
+        "result_rows": len(rows_a),
+        "results_identical": True,
+    }
+    sh.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("skewprobe")
     spark.range(1).count()
 
+    print(json.dumps(shingle_probe(spark, sf_dir)))
     print(json.dumps(wedge_probe(spark, sf_dir)))
 
     adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
