@@ -48,7 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur. r7 births: contamination_ngram, pps_sample,
-# dedup_components, near_dup_jaccard_salted — all below.
+# dedup_components, near_dup_jaccard_salted, near_dup_jaccard_capped —
+# all below.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
     # -- r7 re-gates (code or oracle edited this round) --
@@ -63,6 +64,7 @@ _PRIORITY: list[str] = [
     "pps_sample",                # token-mass systematic PPS sample
     "dedup_components",          # near-dup clusters + canonical keep
     "near_dup_jaccard_salted",   # shingle-skew twin, same oracle as X6
+    "near_dup_jaccard_capped",   # df-capped Jaccard (own oracle)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -85,8 +87,8 @@ _PRIORITY: list[str] = [
     "user_sessions",
     "window_alignment",
     "windowed_features",
-    # -- backfill: 18 stalest r4 greens (alphabetical head; the other
-    #    29 r4 rows rotate in r8) --
+    # -- backfill: 17 stalest r4 greens (alphabetical head; the other
+    #    30 r4 rows rotate in r8) --
     "account_features",
     "ann_cosine_topk",
     "ann_int8_topk",
@@ -104,7 +106,6 @@ _PRIORITY: list[str] = [
     "filter_project",
     "global_argmax",
     "heavy_pairs",
-    "intersect_except_users",
 ]
 
 

@@ -192,12 +192,32 @@ def shingle_pair_counts_salted(
     )
 
 
-def jaccard_pairs(docs: DataFrame, salted: bool = False) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, salted: bool = False, df_cap: int | None = None
+) -> DataFrame:
     """Exact shingle-set Jaccard pair graph: (doc1 < doc2, jaccard ≥ τ).
     Explode + equi-self-join on the shingle + group counts — quadratic
     only within identical shingles (at scale this is what LSH bounds;
-    `salted=True` swaps in the skew-hardened bit-identical join)."""
-    sh = shingles(docs).persist()
+    `salted=True` swaps in the skew-hardened bit-identical join).
+
+    `df_cap` drops shingles whose document frequency exceeds the cap
+    BEFORE sizes and intersections (Jaccard over the capped shingle
+    space) — the production decontamination of the quadratic key:
+    a shingle in many docs is boilerplate, not near-dup signal, and its
+    cnt² pair work is exactly what melts the reducer (BASELINE.md r7
+    shingle-skew table). Results CHANGE under the cap (documented
+    recall trade: pairs similar ONLY through boilerplate disappear) —
+    the capped query carries its own oracle."""
+    sh = shingles(docs)
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         shingle_pair_counts_salted(sh) if salted else shingle_pair_counts(sh)
@@ -245,6 +265,63 @@ def q_near_dup_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, tools/skewprobe.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, salted=True).orderBy("doc1", "doc2")
+
+
+#: document-frequency cap for the capped Jaccard variant: a shingle in
+#: more docs than this is treated as boilerplate and dropped from the
+#: shingle space (chosen to BITE on the testdata — max df there is 7-9,
+#: p99 ≈ 4-5 — so the capped results measurably differ from the exact
+#: form and the recall trade is visible, not vacuous)
+SHINGLE_DF_CAP = 5
+
+
+@query(
+    "near_dup_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+        WHERE len(t) >= {SHINGLE_K}
+    ),
+    keep AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+    ),
+    sh AS (SELECT s.* FROM sh0 s JOIN keep k USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS both
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc1, i.doc2,
+           ROUND(CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE CAST(i.both AS DOUBLE) / (s1.sz + s2.sz - i.both)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+    """,
+)
+def q_near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 with the PRODUCTION skew mitigation: shingles in more than
+    {SHINGLE_DF_CAP} docs are boilerplate and leave the shingle space
+    before sizes/intersections (Jaccard over the capped space — own
+    oracle, since results legitimately change). This removes the cnt²
+    hot key at the SOURCE rather than spreading it (the salted twin);
+    at corpus scale the cap is what Gopher/SlimPajama-class dedup
+    pipelines apply, with the salted form as the no-semantic-change
+    fallback. The df filter is one aggregate + a left-semi join —
+    same shuffle key the pair join needs anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, df_cap=SHINGLE_DF_CAP).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------

@@ -771,3 +771,52 @@ class TestShingleSalting:
         u = [tuple(r) for r in QUERIES["near_dup_jaccard"](spark, sf_dir).collect()]
         s = [tuple(r) for r in QUERIES["near_dup_jaccard_salted"](spark, sf_dir).collect()]
         assert u == s
+
+
+class TestCappedJaccard:
+    def test_cap_drops_boilerplate_only_pairs(self, spark, tmp_path):
+        """Two docs similar ONLY through a boilerplate shingle shared by
+        every doc lose their pair under the cap (the documented recall
+        trade); a genuine near-dup pair survives with its jaccard
+        computed over the capped space."""
+        from autoaudit_spark.llm import dedup as dd
+
+        boiler = "standard legal disclaimer text"
+        # 8 docs carry the boilerplate (df=8 > cap=5); docs 0/1 share
+        # ONLY it; docs 10/11 are genuine near-dups
+        rows = [
+            (i, f"alpha{i} beta{i} {boiler}", "en", "s", 1)
+            for i in range(2)
+        ]
+        rows += [
+            (i, f"filler{i} junk{i} more{i} {boiler}", "en", "s", 1)
+            for i in range(2, 8)
+        ]
+        dup = "the quick brown fox jumps over the lazy dog"
+        rows += [(10, dup, "en", "s", 1), (11, dup + " indeed", "en", "s", 1)]
+        d = str(tmp_path / "capped")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+
+        uncapped = {
+            (r["doc1"], r["doc2"])
+            for r in dd.q_near_dup_jaccard(spark, d).collect()
+        }
+        capped = {
+            (r["doc1"], r["doc2"])
+            for r in dd.q_near_dup_jaccard_capped(spark, d).collect()
+        }
+        assert (10, 11) in uncapped and (10, 11) in capped
+        assert (0, 1) in uncapped          # boilerplate-only similarity
+        assert (0, 1) not in capped        # the cap removes it
+
+    def test_cap_bites_on_fixture(self, spark, sf_dir):
+        """Non-vacuous on the testdata: some pair's jaccard differs
+        between the capped and exact forms (measured: 13/25 at sf0.01)."""
+        from autoaudit_spark.registry import QUERIES
+
+        u = {tuple(r) for r in QUERIES["near_dup_jaccard"](spark, sf_dir).collect()}
+        c = {tuple(r) for r in QUERIES["near_dup_jaccard_capped"](spark, sf_dir).collect()}
+        assert c and u != c
