@@ -986,6 +986,144 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.orderBy("node")
 
 
+K_TRUSS = 3      # keep edges in ≥ K_TRUSS−2 triangles (3-truss: ≥ 1)
+TRUSS_ROUNDS = 6  # fixpoint reached in ≤2 rounds on the testdata (measured)
+
+_STRONG_UND_SQL = f"""und0 AS MATERIALIZED (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= {K_CORE_MIN_MULT}
+    )"""
+
+
+def edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support on an (a < b) simple edge relation:
+    enumerate triangles a<b<c via the two-equi-join form (the
+    `triangle_count` skeleton), then credit each of the three edges.
+    The middle-node join key carries hub skew exactly like the flagship
+    two-hop (the salting analogue is `two_hop_salted`; a degree-oriented
+    variant is the `triangle_count` refinement)."""
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    t = (
+        x.join(y, F.col("y.a") == F.col("x.b"))
+        .join(
+            z,
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+        )
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    credits = (
+        t.select("a", "b")
+        .unionAll(t.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(t.select("a", F.col("c").alias("b")))
+    )
+    return credits.groupBy("a", "b").agg(F.count("*").alias("s"))
+
+
+def _k_truss_oracle(k: int = K_TRUSS, rounds: int = TRUSS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of `q_k_truss`: one (triangles, support,
+    filter) CTE triple per round. e{{i}} and t{{i}} are MATERIALIZED —
+    each is referenced 3× per round, and plain-CTE inlining would grow
+    the expression tree 3^rounds (the pagerank oracle lesson)."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        _STRONG_UND_SQL,
+        "e0 AS MATERIALIZED (SELECT a, b FROM und0)",
+    ]
+    tri = (
+        "SELECT x.a AS a, x.b AS b, y.b AS c FROM e{i} x "
+        "JOIN e{i} y ON y.a = x.b "
+        "JOIN e{i} z ON z.a = x.a AND z.b = y.b"
+    )
+    sup = (
+        "SELECT a, b, COUNT(*) AS s FROM ("
+        "SELECT a, b FROM t{i} "
+        "UNION ALL SELECT b AS a, c AS b FROM t{i} "
+        "UNION ALL SELECT a, c AS b FROM t{i}) GROUP BY a, b"
+    )
+    for i in range(rounds):
+        parts.append(f"t{i} AS MATERIALIZED ({tri.format(i=i)})")
+        parts.append(f"sup{i} AS ({sup.format(i=i)})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED ("
+            f"SELECT e.a, e.b FROM e{i} e JOIN sup{i} s USING (a, b) "
+            f"WHERE s.s >= {k - 2})"
+        )
+    parts.append(f"tf AS MATERIALIZED ({tri.format(i=rounds)})")
+    parts.append(f"supf AS ({sup.format(i=rounds)})".replace(
+        f"t{rounds}", "tf"
+    ))
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT e.a, e.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+        FROM e{rounds} e LEFT JOIN supf s USING (a, b)
+        ORDER BY a, b"""
+    )
+
+
+@query("k_truss", oracle=_k_truss_oracle())
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_TRUSS}-truss of the strong-tie graph (X65, r7): iteratively
+    drop edges in fewer than {K_TRUSS}−2 triangles until stable — the
+    EDGE-cohesion analogue of k_core's node peel, and the standard
+    cohesive-subgraph detector one notch stronger than connectivity
+    (every surviving relationship is embedded in a closed triad; for
+    audit work: pairwise flows that are part of mutually-confirming
+    rings). Same strong-tie base as k_core (distinct-pair density would
+    trivialize any small k), same fixed-round discipline
+    ({TRUSS_ROUNDS} rounds; fixpoint ≤ 2 on the testdata, asserted by a
+    one-more-peel test), same monotone early exit (edge sets only
+    shrink, so an unchanged count proves the fixpoint). Output: the
+    surviving edges with their in-truss support.
+
+    Scale: each round is one triangle enumeration (two equi-joins, the
+    `triangle_count` skeleton) + a grouped count + a filter —
+    O(rounds · triangle work); `localCheckpoint` truncates the
+    iterative lineage per the pagerank discipline."""
+    from ..sources import edges as edges_src
+
+    e0 = edges_src(spark, sf_dir)
+    e = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= K_CORE_MIN_MULT)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    prev_n = e.count()
+    for _ in range(TRUSS_ROUNDS):
+        e_next = (
+            e.join(edge_support(e), ["a", "b"])
+            .filter(F.col("s") >= K_TRUSS - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n = e_next.count()
+        e = e_next
+        if n == prev_n:  # monotone shrink → equal count == fixpoint
+            break
+        prev_n = n
+    return (
+        e.join(edge_support(e), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("s", F.lit(0)).cast("long").alias("support"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def k_core_peel(sym: DataFrame, core: DataFrame, k: int) -> DataFrame:
     """One k-core peel round: restrict the symmetric edge list to edges
     with BOTH endpoints surviving (left-semi joins — no broadcast hint,

@@ -250,3 +250,70 @@ class TestSeededPPR:
         assert any(r["seed"] == 1 for r in rows)
         # non-seed nodes must receive propagated mass
         assert any(r["seed"] == 0 and r["ppr"] > 0 for r in rows)
+
+
+class TestKTruss:
+    def test_truss_invariants_and_fixpoint(self, spark, tmp_path):
+        """Planted case through the events seam: a 5-clique of strong
+        ties (every edge in 3 triangles) survives the 3-truss; a pendant
+        strong edge and a strong path (no triangles) peel away. One more
+        peel changes nothing (fixpoint)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+        from autoaudit_spark.operators.graph import (
+            K_CORE_MIN_MULT, K_TRUSS, edge_support,
+        )
+        from autoaudit_spark.registry import QUERIES
+
+        clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        extras = [(0, 50), (60, 61), (61, 62)]  # pendant + path
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        i = 0
+        for a, b in clique + extras:
+            for _ in range(K_CORE_MIN_MULT):  # strong ties
+                rows.append((a, b, 1.0, t0 + dt.timedelta(hours=i)))
+                i += 1
+        d = str(tmp_path / "truss")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {(r["a"], r["b"]): r["support"]
+               for r in QUERIES["k_truss"](spark, d).collect()}
+        assert set(got) == set(clique)
+        assert all(s == 3 for s in got.values())  # 5-clique: 3 per edge
+
+        # fixpoint: one more peel on the surviving edges changes nothing
+        e = spark.createDataFrame(list(got), "a long, b long")
+        peeled = (
+            e.join(edge_support(e), ["a", "b"])
+            .filter(F.col("s") >= K_TRUSS - 2)
+            .count()
+        )
+        assert peeled == len(got)
+
+    def test_truss_is_nonvacuous_at_driver_scale(self, spark):
+        """sf0.01 (the driver's correctness scale) keeps a real truss —
+        the peel bites (fewer edges than the strong-tie graph) without
+        unravelling to empty."""
+        from pyspark.sql import functions as F
+        from autoaudit_spark.operators.graph import K_CORE_MIN_MULT
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import edges as edges_src
+
+        sf = "/root/testdata/sf0.01"
+        rows = QUERIES["k_truss"](spark, sf).collect()
+        assert rows
+        assert all(r["support"] >= 1 for r in rows)
+        strong = (
+            edges_src(spark, sf)
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .groupBy("a", "b").count()
+            .filter(F.col("count") >= K_CORE_MIN_MULT)
+            .count()
+        )
+        assert 0 < len(rows) < strong
