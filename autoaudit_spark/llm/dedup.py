@@ -208,7 +208,10 @@ def jaccard_pairs(
     shingle-skew table). Results CHANGE under the cap (documented
     recall trade: pairs similar ONLY through boilerplate disappear) —
     the capped query carries its own oracle."""
-    sh = shingles(docs)
+    # persist BEFORE deriving the df filter (review r7): `keep` and the
+    # semi-join probe side would otherwise each rebuild the tokenize/
+    # explode pipeline from scratch
+    sh = shingles(docs).persist()
     if df_cap is not None:
         keep = (
             sh.groupBy("shingle")
@@ -216,8 +219,7 @@ def jaccard_pairs(
             .filter(F.col("df") <= df_cap)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sh = sh.persist()
+        sh = sh.join(keep, "shingle", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         shingle_pair_counts_salted(sh) if salted else shingle_pair_counts(sh)

@@ -82,18 +82,21 @@ def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytes:
             else:
                 raise ValueError(f"corrupt GIF LZW code {code}")
             out += entry
+            if len(out) >= n_pixels:
+                # tolerate a missing END code once the pixel count is
+                # satisfied (sloppy encoders in the wild) — and stop
+                # BEFORE interpreting the final byte's padding bits as
+                # codes: pad bits can form an out-of-table value that
+                # would masquerade as corruption (review r7)
+                return bytes(out[:n_pixels])
             if prev is not None and len(table) < _MAX_CODE:
                 table.append(prev + entry[:1])
                 if len(table) == (1 << width) and width < 12:
                     width += 1
             prev = entry
-    # tolerate a missing END code iff the pixel count is already satisfied
-    # (seen in the wild from sloppy encoders)
-    if len(out) < n_pixels:
-        raise ValueError(
-            f"GIF LZW stream exhausted at {len(out)}/{n_pixels} pixels"
-        )
-    return bytes(out[:n_pixels])
+    raise ValueError(
+        f"GIF LZW stream exhausted at {len(out)}/{n_pixels} pixels"
+    )
 
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # §20: start, step

@@ -217,7 +217,8 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
             # a raw executor traceback
             raise NotImplementedError(
                 f"JPEG payload the vendored baseline decoder rejects "
-                f"({e}) and Pillow is unavailable — progressive/arithmetic "
+                f"({e}) and Pillow did not decode it (absent, or it "
+                "rejected the payload too) — progressive/arithmetic "
                 "JPEGs need Pillow; BMP/PGM/PPM/WAV decode natively"
             ) from e
     if magic[:4] == b"\x89PNG":
@@ -229,8 +230,9 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         except (ValueError, KeyError, IndexError, struct.error) as e:
             raise NotImplementedError(
                 f"PNG payload the vendored decoder rejects ({e}) and "
-                "Pillow is unavailable — Adam7-interlaced PNGs need "
-                "Pillow; BMP/PGM/PPM/WAV decode natively"
+                "Pillow did not decode it (absent, or it rejected the "
+                "payload too) — Adam7-interlaced PNGs need Pillow; "
+                "BMP/PGM/PPM/WAV decode natively"
             ) from e
     if magic[:4] == b"GIF8":  # GIF87a / GIF89a (r6 verdict #4: vendored)
         from .gifdec import decode_gif
@@ -241,7 +243,8 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
         except (ValueError, KeyError, IndexError, struct.error) as e:
             raise NotImplementedError(
                 f"GIF payload the vendored decoder rejects ({e}) and "
-                "Pillow is unavailable — BMP/PGM/PPM/WAV decode natively"
+                "Pillow did not decode it (absent, or it rejected the "
+                "payload too) — BMP/PGM/PPM/WAV decode natively"
             ) from e
     # every image format with a vendored decoder is handled above
     # (ADVICE r6: the old `known` sniff map was dead for PNG and is now

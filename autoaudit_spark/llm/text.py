@@ -1035,6 +1035,46 @@ PACK_CAPACITY = 512
 PACK_SHARD_SPAN = 128
 
 
+def _shard_cumsum(toks: DataFrame) -> DataFrame:
+    """Shard-decomposed exact running sum of `n_tokens` in doc_id order
+    (the r4-verdict scale fix, shared by `sequence_packing` and
+    `pps_sample` — review r7 deduplicated the two verbatim copies):
+    shard by floor(doc_id / PACK_SHARD_SPAN) (order-preserving: global
+    doc_id order == (shard, doc_id) order), cumsum WITHIN each shard in
+    parallel, then offset every shard by the sum of all earlier shards
+    via a broadcast prefix relation — the only unpartitioned window
+    runs over the shard relation, never the document stream. Exact
+    BIGINT sums regroup associatively, so `cum` (the inclusive running
+    total ending at each doc) is bit-identical to a single-window
+    form."""
+    from pyspark.sql.window import Window
+
+    sharded = toks.withColumn(
+        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
+    )
+    inner_w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inner = sharded.withColumn(
+        "inner_end", F.sum("n_tokens").over(inner_w).cast("long")
+    )
+    totals = sharded.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("shard_total")
+    )
+    prefix_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_total").over(prefix_w), F.lit(0))
+        .cast("long")
+        .alias("shard_prefix"),
+    )
+    return inner.join(F.broadcast(prefix), "shard").withColumn(
+        "cum", (F.col("shard_prefix") + F.col("inner_end")).cast("long")
+    )
+
+
 @query(
     "sequence_packing",
     oracle=f"""
@@ -1075,36 +1115,13 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document stream). Exact BIGINT sums regroup associatively, so
     the bins are bit-identical to the single-window form
     (`corpus_budget_quantile` is the same pattern for the budget cap)."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    sharded = toks.withColumn(
-        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
-    )
-    inner_w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    inner = sharded.withColumn(
-        "inner_end", F.sum("n_tokens").over(inner_w).cast("long")
-    )
-    totals = sharded.groupBy("shard").agg(
-        F.sum("n_tokens").cast("long").alias("shard_total")
-    )
-    prefix_w = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prefix = totals.select(
-        "shard",
-        F.coalesce(F.sum("shard_total").over(prefix_w), F.lit(0))
-        .cast("long")
-        .alias("shard_prefix"),
-    )
-    start = F.col("shard_prefix") + F.col("inner_end") - F.col("n_tokens")
+    start = F.col("cum") - F.col("n_tokens")
     return (
-        inner.join(F.broadcast(prefix), "shard")
+        _shard_cumsum(toks)
         .select(
             "doc_id",
             "n_tokens",
@@ -1283,25 +1300,13 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram set, and is flagged at ≥ {CONTAM_FRAC} overlap. The
     flag comparison runs on the same double division in both engines
     (identical int operands → identical double → identical compare)."""
+    from .dedup import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
-    n = F.size("t")
-    idx = F.sequence(F.lit(0), n - CONTAM_K)
-    grams = (
-        toks.filter(n >= CONTAM_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", F.slice("t", i + 1, CONTAM_K)
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
+    # the gram space IS the dedup module's word-k-gram shingle space
+    # (review r7: one tokenize/slice/explode/distinct pipeline, not two
+    # that could silently diverge)
+    grams = shingles(docs, k=CONTAM_K).withColumnRenamed("shingle", "gram")
     bench = (
         grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
         .select("gram")
@@ -1380,32 +1385,9 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride are picked once, so the sample size is ≈, not ==, the
     target). All quotients are exact BIGINT `div` on non-negative values
     (truncation == floor; the X45/corpus-mix discipline)."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    sharded = toks.withColumn(
-        "shard", F.floor(F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
-    )
-    inner_w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    inner = sharded.withColumn(
-        "inner_end", F.sum("n_tokens").over(inner_w).cast("long")
-    )
-    totals = sharded.groupBy("shard").agg(
-        F.sum("n_tokens").cast("long").alias("shard_total")
-    )
-    prefix_w = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prefix = totals.select(
-        "shard",
-        F.coalesce(F.sum("shard_total").over(prefix_w), F.lit(0))
-        .cast("long")
-        .alias("shard_prefix"),
     )
     stride = toks.agg(
         F.greatest(
@@ -1414,10 +1396,7 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stride")
     )
     return (
-        inner.join(F.broadcast(prefix), "shard")
-        .withColumn(
-            "cum", (F.col("shard_prefix") + F.col("inner_end")).cast("long")
-        )
+        _shard_cumsum(toks)
         .join(F.broadcast(stride))
         .filter(
             F.expr("cum div stride") > F.expr("(cum - n_tokens) div stride")

@@ -298,12 +298,20 @@ def q_relabel_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 100 TB-shaped formulation (hash-min label propagation / power
 # iteration), no vertex-centric runtime needed.
 # ---------------------------------------------------------------------------
-def connected_components(adj: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
     """Hash-min label propagation on the UNDIRECTED view: every node
     starts labeled with its own id; each round takes the min of its own
     and its neighbors' labels; converges in O(diameter) rounds. Each round
     is one join + one aggregate — the standard scalable CC formulation.
-    Deterministic → exactly oracle-checkable (recursive CTE)."""
+    Deterministic → exactly oracle-checkable (recursive CTE).
+
+    `max_iter` is a SAFETY BOUND, not a truncation: if the fixpoint is
+    not reached within it (diameter > max_iter — e.g. a duplicate CHAIN
+    in `dedup_components`' pair graph), the function raises rather than
+    silently returning non-converged labels that would diverge from the
+    closure oracle and mis-split clusters (review r7). Graphs that
+    legitimately exceed it want the pointer-doubling (large-star/
+    small-star) formulation, which converges in O(log diameter)."""
     und = (
         adj.select("src", "dst")
         .union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -343,6 +351,13 @@ def connected_components(adj: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        und.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} hash-min "
+            "rounds (graph diameter exceeds the bound) — raise max_iter or "
+            "use a pointer-doubling formulation for chain-like graphs"
+        )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -443,7 +458,16 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
     are order-independent), and the damping update runs in double with a
     pinned operation order — so every engine computes bit-identical
     ranks every round. Quantization error ≤1e-12/round, invisible at the
-    8dp output (NumPy parity test unchanged)."""
+    8dp output (NumPy parity test unchanged).
+
+    The r7 `residual` column (|rank − previous quantized rank|) needs at
+    least one completed round, so `iters` < 1 is rejected loudly rather
+    than failing with a missing-column AnalysisException (review r7)."""
+    if iters < 1:
+        raise ValueError(
+            f"pagerank needs iters >= 1 (got {iters}) — the residual "
+            "column compares the final two rounds"
+        )
     nodes = (
         adj.select(F.col("src").alias("node"))
         .union(adj.select(F.col("dst")))
@@ -1101,18 +1125,28 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_n = e.count()
+    converged = False
     for _ in range(TRUSS_ROUNDS):
         e_next = (
             e.join(edge_support(e), ["a", "b"])
             .filter(F.col("s") >= K_TRUSS - 2)
-            .select("a", "b")
+            .select("a", "b", "s")
             .localCheckpoint()
         )
         n = e_next.count()
-        e = e_next
-        if n == prev_n:  # monotone shrink → equal count == fixpoint
-            break
+        if n == prev_n:  # monotone shrink → equal count == fixpoint,
+            e = e_next   # and these supports WERE computed on a set
+            converged = True  # equal to the output set — reuse them
+            break        # (review r7: no redundant final enumeration)
+        e = e_next.select("a", "b")
         prev_n = n
+    if converged:
+        return e.select(
+            "a", "b", F.col("s").cast("long").alias("support")
+        ).orderBy("a", "b")
+    # round limit exhausted pre-fixpoint: the last filter's supports were
+    # computed on the PREVIOUS (larger) set — recompute on the survivors,
+    # exactly like the oracle's final supf pass
     return (
         e.join(edge_support(e), ["a", "b"], "left")
         .select(

@@ -545,6 +545,13 @@ def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # T3: stateful change-point detection over the sketch stream
 # ---------------------------------------------------------------------------
+#: hard per-key cap on distinct PENDING (incomplete) windows retained in
+#: the change-scorer state — bounds a stream that loses one row of every
+#: window (review r7); far above back_ws+1, so the complete-grid parity
+#: paths never trigger it
+MAX_PENDING_WINDOWS = 64
+
+
 def stateful_change_scores(
     sketches: DataFrame, n_sketch: int, back_ws: int = 4
 ) -> DataFrame:
@@ -559,11 +566,15 @@ def stateful_change_scores(
     mining.change.change_scores_from_matrix — SVD of the trailing
     history, cosine distance, argmax ratio).
 
-    State is bounded PER KEY: completed-and-scored windows older than the
-    deepest lookback are pruned — and so are incomplete windows that fall
-    behind the emission frontier (they can never be scored; ADVICE r6) —
-    so the store holds O(back_ws · n_sketch) floats per stream regardless
-    of stream length or lost rows."""
+    State is bounded PER KEY three ways: completed-and-scored windows
+    older than the deepest lookback are pruned; incomplete windows that
+    fall behind the emission frontier age out (they can never be scored;
+    ADVICE r6); and at most `MAX_PENDING_WINDOWS` distinct pending
+    windows are retained even when NOTHING ever completes (review r7 —
+    a stream that loses one row of every window would otherwise grow one
+    window per batch forever; the oldest pending windows evict first,
+    sacrificing pathologically-late completions for a hard
+    O(MAX_PENDING_WINDOWS · n_sketch) bound)."""
     out_schema = (
         "stream_id long, window_start long, z double, max_sketch integer"
     )
@@ -631,6 +642,19 @@ def _change_scores_fn(n_sketch: int, back_ws: int):
                 if w >= horizon
                 or (counts.get(w, 0) < n_sketch and w > last_ws)
             ]
+            ws = [ws[i] for i in keep]
+            sid = [sid[i] for i in keep]
+            val = [val[i] for i in keep]
+
+        # hard bound regardless of completeness (review r7): even when
+        # nothing ever completes (every window lossy), retain rows of at
+        # most the newest MAX_PENDING_WINDOWS distinct windows — oldest
+        # pending evict first (they could only have emitted via a
+        # pathologically late completion)
+        distinct_ws = sorted(set(ws))
+        if len(distinct_ws) > MAX_PENDING_WINDOWS:
+            floor_w = distinct_ws[-MAX_PENDING_WINDOWS]
+            keep = [i for i, w in enumerate(ws) if w >= floor_w]
             ws = [ws[i] for i in keep]
             sid = [sid[i] for i in keep]
             val = [val[i] for i in keep]
@@ -704,9 +728,11 @@ def stateful_change_cosine(
 
     State per key = trailing unscored triples + last emitted window,
     pruned to the deepest lookback exactly like `stateful_change_scores`
-    (incomplete windows behind the emission frontier age out too, ADVICE
-    r6) — O(back_ws · n_sketch) ints per stream, watermark-free bounded
-    even on a lossy stream."""
+    (incomplete windows behind the emission frontier age out, ADVICE r6;
+    at most MAX_PENDING_WINDOWS distinct pending windows survive even if
+    nothing ever completes, review r7) — watermark-free bounded at
+    O(MAX_PENDING_WINDOWS · n_sketch) ints per stream even on a lossy
+    stream."""
 
     out_schema = "window_start long, z double, max_sketch integer"
     state_schema = (
@@ -808,6 +834,16 @@ def _change_cosine_fn(n_sketch: int, back_ws: int):
                 if w >= horizon
                 or (counts.get(w, 0) < n_sketch and w > last_ws)
             ]
+            ws = [ws[i] for i in keep]
+            sid = [sid[i] for i in keep]
+            cents = [cents[i] for i in keep]
+
+        # hard bound regardless of completeness (review r7) — see
+        # stateful_change_scores
+        distinct_ws = sorted(set(ws))
+        if len(distinct_ws) > MAX_PENDING_WINDOWS:
+            floor_w = distinct_ws[-MAX_PENDING_WINDOWS]
+            keep = [i for i, w in enumerate(ws) if w >= floor_w]
             ws = [ws[i] for i in keep]
             sid = [sid[i] for i in keep]
             cents = [cents[i] for i in keep]

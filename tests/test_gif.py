@@ -207,3 +207,16 @@ class TestGifProperties:
             assert _lzw_decode(mcs, _lzw_encode(mcs, idx), len(idx)) == idx
 
         check()
+
+
+class TestGifReviewFixes:
+    def test_missing_end_with_pad_bits_decodes(self):
+        """Review r7: a stream whose END code is missing and whose final
+        byte pads with 1-bits must decode once the pixel count is
+        satisfied — the pad bits must not be read as a corrupt code.
+        Stream 0x44 0xFE at mcs=2: CLEAR, 0, 1, then pad."""
+        assert _lzw_decode(2, bytes([0x44, 0xFE]), 2) == b"\x00\x01"
+
+    def test_end_code_still_honored(self):
+        # the hand-packed fixture bytes, via the raw layer
+        assert _lzw_decode(2, bytes([0x44, 0x50]), 3) == b"\x00\x01\x00"

@@ -317,3 +317,20 @@ class TestKTruss:
             .count()
         )
         assert 0 < len(rows) < strong
+
+
+class TestConnectedComponentsConvergenceGuard:
+    def test_non_convergence_raises_loudly(self, spark):
+        """Review r7: a chain longer than max_iter must RAISE, not
+        silently return non-converged labels that diverge from the
+        closure oracle and mis-split dedup clusters."""
+        from autoaudit_spark.operators.graph import connected_components
+
+        path = [(i, i + 1) for i in range(10)]
+        adj = spark.createDataFrame(path, "src long, dst long")
+        with pytest.raises(ValueError, match="did not converge"):
+            connected_components(adj, max_iter=5)
+        # and with enough rounds the same chain converges to one label
+        got = {r["node"]: r["component"]
+               for r in connected_components(adj, max_iter=15).collect()}
+        assert set(got.values()) == {0}

@@ -577,3 +577,54 @@ class TestCDCOutOfOrder:
         assert [(r["user_id"], r["event_id"]) for r in out] == [
             (r["user_id"], r["event_id"]) for r in want
         ]
+
+class TestStateBounds:
+    def test_state_bounded_when_nothing_ever_completes(self):
+        """Review r7: a stream that loses one sketch row of EVERY window
+        (so nothing ever completes and the frontier never advances) must
+        still hold at most MAX_PENDING_WINDOWS distinct windows in
+        state."""
+        import pandas as pd
+
+        from autoaudit_spark.streaming.windowed import (
+            MAX_PENDING_WINDOWS,
+            _change_cosine_fn,
+            _change_scores_fn,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        n_sketch = 4
+        for factory, valcol, mk in (
+            (_change_cosine_fn, "cents", lambda i, s: 100 * (s + 1)),
+            (_change_scores_fn, "value", lambda i, s: float(s + 1)),
+        ):
+            score = factory(n_sketch, 4)
+            state = FakeState()
+            for batch in range(10):  # 10 batches x 20 windows, all lossy
+                rows = [
+                    (1_000_000 * (batch * 20 + i), s, mk(i, s))
+                    for i in range(20)
+                    for s in range(n_sketch - 1)  # sketch 3 always lost
+                ]
+                pdf = pd.DataFrame(
+                    rows, columns=["window_start", "sketch_id", valcol]
+                )
+                list(score((0,), iter([pdf]), state))
+            ws = state.get[0]
+            assert len(set(ws)) <= MAX_PENDING_WINDOWS
+            # the retained windows are the NEWEST ones
+            assert min(ws) >= 1_000_000 * (200 - MAX_PENDING_WINDOWS)
