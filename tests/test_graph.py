@@ -334,3 +334,30 @@ class TestConnectedComponentsConvergenceGuard:
         got = {r["node"]: r["component"]
                for r in connected_components(adj, max_iter=15).collect()}
         assert set(got.values()) == {0}
+
+
+class TestPointerJumpingCC:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """X66: a 200-node path converges in 10 jump rounds (measured);
+        plain hash-min would need 199 and raises its convergence guard."""
+        from autoaudit_spark.operators.graph import (
+            connected_components,
+            connected_components_jump,
+        )
+
+        path = [(i, i + 1) for i in range(200)]
+        adj = spark.createDataFrame(path, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_jump(adj, max_iter=10).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 201
+        with pytest.raises(ValueError, match="did not converge"):
+            connected_components(adj, max_iter=50)
+
+    def test_matches_plain_cc_on_fixture(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        a = [tuple(r) for r in QUERIES["connected_components"](spark, sf_dir).collect()]
+        b = [tuple(r) for r in QUERIES["connected_components_jump"](spark, sf_dir).collect()]
+        assert a == b and a
