@@ -38,9 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the two stateful scorers' state-aging fix, and the three iterative
 # queries that gained convergence-residual columns — pagerank /
 # seeded_ppr / label_propagation, oracles updated in lockstep); the
-# seven r7 newborns under the SAME-ROUND-WINDOW rule; the 21 queries
+# eight r7 newborns under the SAME-ROUND-WINDOW rule; the 21 queries
 # whose latest driver row was r3 (the staleness debt the r6 verdict
-# named); and 15 stalest-r4 greens as backfill (the remaining 32 r4
+# named); and 14 stalest-r4 greens as backfill (the remaining 33 r4
 # rows rotate in r8). After this round no query's latest row is older
 # than r4; verification debt stays zero by construction.
 #
@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur. r7 births: contamination_ngram, pps_sample,
 # dedup_components, near_dup_jaccard_salted, near_dup_jaccard_capped,
-# k_truss, connected_components_jump — all below.
+# k_truss, connected_components_jump, seeded_ppr_weighted — all below.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
     # -- r7 re-gates (code or oracle edited this round) --
@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "near_dup_jaccard_capped",   # df-capped Jaccard (own oracle)
     "k_truss",                   # edge-support peel (X65)
     "connected_components_jump", # pointer-jumping CC (X66, same oracle)
+    "seeded_ppr_weighted",       # money-weighted PPR (X67)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -89,8 +90,8 @@ _PRIORITY: list[str] = [
     "user_sessions",
     "window_alignment",
     "windowed_features",
-    # -- backfill: 15 stalest r4 greens (alphabetical head; the other
-    #    32 r4 rows rotate in r8) --
+    # -- backfill: 14 stalest r4 greens (alphabetical head; the other
+    #    33 r4 rows rotate in r8) --
     "account_features",
     "ann_cosine_topk",
     "ann_int8_topk",
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "date_functions",
     "dedup_retention",
     "degree_counts",
-    "filter_project",
 ]
 
 

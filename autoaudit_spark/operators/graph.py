@@ -868,6 +868,206 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("ppr").desc(), "node")
 
 
+def _seeded_ppr_weighted_sql(iters: int = PPR_ITERS) -> str:
+    """Unrolled DuckDB twin of `seeded_ppr_weighted`: `_seeded_ppr_sql`
+    with transition mass proportional to the exact DECIMAL(18,2)
+    pair-weight (money moved), not edge count. Nodes whose out-weight is
+    NULL or 0 are dangling (a handful of zero-value events exist at
+    sf0.1 — a 0/0 share would poison the round)."""
+    kk = "(SELECT k FROM sn)"
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        """wt AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(SUM(CAST(weight AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS w
+            FROM edges GROUP BY src, dst)""",
+        """ow AS (
+            SELECT src, CAST(SUM(w) AS DECIMAL(18,2)) AS ow
+            FROM wt GROUP BY src)""",
+        "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        f"""cand AS (
+            SELECT a.src FROM adj a JOIN adj b ON a.dst = b.src
+            GROUP BY a.src, b.dst HAVING COUNT(*) >= {MIN_PATHS})""",
+        "seeds AS (SELECT DISTINCT src AS node FROM cand)",
+        "sn AS (SELECT COUNT(*) AS k FROM seeds)",
+        f"""s0 AS (
+            SELECT nd.node,
+                   CASE WHEN o.ow IS NULL OR o.ow = 0 THEN 1 ELSE 0 END
+                       AS dangling,
+                   CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed,
+                   CAST(CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+                       / {kk} AS rank
+            FROM nodes nd LEFT JOIN ow o ON o.src = nd.node
+            LEFT JOIN seeds sd USING (node))""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT node, dangling, seed, "
+            f"CAST(rank AS DECIMAL(18,12)) AS rq FROM s{i})"
+        )
+        parts.append(
+            f"dg{i} AS (SELECT COALESCE(SUM(CASE WHEN dangling = 1 THEN rq "
+            f"END), 0) AS dmass FROM q{i})"
+        )
+        parts.append(
+            f"""cn{i} AS (
+            SELECT t.dst AS node,
+                   SUM(CAST(CAST(q.rq AS DOUBLE) * CAST(t.w AS DOUBLE)
+                            / CAST(o.ow AS DOUBLE)
+                            AS DECIMAL(18,15))) AS m
+            FROM wt t
+            JOIN q{i} q ON q.node = t.src
+            JOIN ow o ON o.src = t.src
+            WHERE o.ow > 0
+            GROUP BY t.dst)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+            SELECT q.node, q.dangling, q.seed,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       * (CAST(q.seed AS DOUBLE) / {kk})
+                   + CAST(0.85 AS DOUBLE)
+                     * (CAST(COALESCE(c.m, 0) AS DOUBLE)
+                        + CAST((SELECT dmass FROM dg{i}) AS DOUBLE)
+                          * (CAST(q.seed AS DOUBLE) / {kk}))
+                       AS rank,
+                   CAST(q.rq AS DOUBLE) AS prev_rank
+            FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT node, CAST(seed AS BIGINT) AS seed,
+        ROUND(rank, 8) AS wppr,
+        ROUND(ABS(rank - prev_rank), 8) AS residual
+        FROM s{iters} ORDER BY wppr DESC, node"""
+    )
+
+
+@query("seeded_ppr_weighted", oracle=_seeded_ppr_weighted_sql())
+def q_seeded_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 (r7): `seeded_ppr` with MONEY-weighted transitions — each
+    round a node passes suspicion mass to counterparties in proportion
+    to the exact DECIMAL(18,2) value transferred, not the edge count.
+    For audit scoring this is the better physics: one 10⁶ transfer
+    through an intermediary should carry more suspicion than a thousand
+    cent-sized pings (the flagship's count view and this weighted view
+    DISAGREEING is itself a signal worth surfacing).
+
+    Exactness discipline on top of `seeded_ppr`'s: pair weights and
+    out-weights are exact DECIMAL(18,2) cent sums; the per-edge share
+    is the pinned double chain (rq·w)/ow — decimal→double conversions
+    stay below the 2^53 divergence class at any test SF (cent intvals
+    ≤ ~1e8) and the order is identical in both engines; contributions
+    re-quantize to DECIMAL(18,15) before the order-free SUM. Nodes with
+    NULL or ZERO out-weight are dangling (sf0.1 has zero-value events;
+    a 0/0 share would poison the round) and return their mass to the
+    seeds. Per-round shape: one contribution shuffle keyed on src +
+    a broadcast 1-row dangling aggregate — identical to pagerank,
+    scale-clean."""
+    from ..sources import edges as edges_src
+
+    e = edges_src(spark, sf_dir)
+    wt = (
+        e.groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("weight").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("w")
+        )
+        .persist()
+    )
+    ow = wt.groupBy("src").agg(
+        F.sum("w").cast("decimal(18,2)").alias("ow")
+    )
+    adj = adjacency(spark, sf_dir)
+    seeds = (
+        two_hop_counts(adj).select(F.col("src").alias("node")).distinct()
+    ).persist()
+    k = seeds.count()
+    if k == 0:
+        raise ValueError(
+            "seeded_ppr_weighted: no flagged smurf-candidate seeds "
+            f"(no source with >= {MIN_PATHS} two-hop paths to one sink)"
+        )
+    nodes = node_universe(adj).persist()
+    state = (
+        nodes.join(ow.withColumnRenamed("src", "node"), "node", "left")
+        .join(seeds.withColumn("s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("ow").isNull() | (F.col("ow") == 0), 1
+            ).otherwise(0).alias("dangling"),
+            F.coalesce("s", F.lit(0)).alias("seed"),
+            (F.coalesce("s", F.lit(0)).cast("double") / k).alias("rank"),
+        )
+        .persist()
+    )
+    damping = 0.85
+    rq = F.col("rank").cast("decimal(18,12)")
+    seed_w = F.col("seed").cast("double") / F.lit(float(k))
+    share = wt.join(ow, "src").filter(F.col("ow") > 0)
+    for _ in range(PPR_ITERS):
+        dang = state.filter(F.col("dangling") == 1).agg(
+            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("dmass")
+        )
+        contrib = (
+            share.join(state, share.src == state.node)
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    rq.cast("double")
+                    * F.col("w").cast("double")
+                    / F.col("ow").cast("double")
+                )
+                .cast("decimal(18,15)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_state = (
+            state.select("node", "dangling", "seed", "rank")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "node",
+                "dangling",
+                "seed",
+                (
+                    F.lit(1.0 - damping) * seed_w
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
+                        ).cast("double")
+                        + F.col("dmass") * seed_w
+                    )
+                ).alias("rank"),
+                rq.cast("double").alias("prev_rank"),
+            )
+        )
+        new_state = new_state.localCheckpoint()
+        state.unpersist()
+        state = new_state
+    nodes.unpersist()
+    seeds.unpersist()
+    wt.unpersist()
+    return state.select(
+        "node",
+        F.col("seed").cast("long").alias("seed"),
+        F.round("rank", 8).alias("wppr"),
+        F.round(F.abs(F.col("rank") - F.col("prev_rank")), 8).alias(
+            "residual"
+        ),
+    ).orderBy(F.col("wppr").desc(), "node")
+
+
 _NODE_JACCARD_SQL = f"""
     {_ADJ_CTE},
     {_UND_SQL},

@@ -361,3 +361,46 @@ class TestPointerJumpingCC:
         a = [tuple(r) for r in QUERIES["connected_components"](spark, sf_dir).collect()]
         b = [tuple(r) for r in QUERIES["connected_components_jump"](spark, sf_dir).collect()]
         assert a == b and a
+
+
+class TestWeightedPPR:
+    def test_mass_conserved_and_seed_present(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["seeded_ppr_weighted"](spark, sf_dir).collect()
+        assert abs(sum(r["wppr"] for r in rows) - 1.0) < 1e-5
+        assert any(r["seed"] == 1 for r in rows)
+        assert all(r["residual"] >= 0 for r in rows)
+
+    def test_value_weighting_reorders_suspicion(self, spark, tmp_path):
+        """X67's point: equal edge COUNTS but unequal VALUE moved — the
+        weighted PPR concentrates suspicion on the big-money path while
+        the count form scores the mids equally."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        # seed star 0 -> {10,11,12} -> 5 (flagship flags src 0);
+        # one edge each, but 10 carries 1000.00 and 11/12 carry 1.00
+        pairs = [
+            (0, 10, 1000.0), (0, 11, 1.0), (0, 12, 1.0),
+            (10, 5, 1000.0), (11, 5, 1.0), (12, 5, 1.0),
+        ]
+        rows = [
+            (s, d, v, t0 + dt.timedelta(hours=i))
+            for i, (s, d, v) in enumerate(pairs)
+        ]
+        d = str(tmp_path / "wppr_star")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        w = {r["node"]: r["wppr"]
+             for r in QUERIES["seeded_ppr_weighted"](spark, d).collect()}
+        c = {r["node"]: r["ppr"]
+             for r in QUERIES["seeded_ppr"](spark, d).collect()}
+        # count form: the three mids are symmetric
+        assert c[10] == c[11] == c[12]
+        # weighted form: the 1000.00 conduit dominates its siblings
+        assert w[10] > 10 * w[11] and w[11] == w[12]
