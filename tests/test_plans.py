@@ -428,3 +428,39 @@ class TestRound6Plans:
         for s in schemas:
             assert "doc_id" not in s and "n_chars" not in s
         assert "HashAggregate" in p
+
+
+class TestRound7Plans:
+    def test_contamination_probe_is_left_semi(self, spark, q):
+        """X59: the benchmark overlap check must be a LEFT SEMI join
+        against the distinct gram set — ≤1 output row per candidate
+        gram, so no hot-gram fan-out — and the documents scan must not
+        read text-adjacent metadata it doesn't need."""
+        p = plan(q["contamination_ngram"](spark, SF))
+        assert "LeftSemi" in p, p
+        assert "CartesianProduct" not in p
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "n_chars" not in s and "lang" not in s
+
+    def test_pps_sample_windows_are_shard_decomposed(self, spark, q):
+        """X60: same contract as sequence_packing — the only
+        single-partition WINDOW runs over the one-row-per-shard prefix
+        relation, never the document stream. (Two SinglePartition
+        exchanges total: that window + the 1-row global stride
+        aggregate.)"""
+        p = plan(q["pps_sample"](spark, SF))
+        assert _unpartitioned_window_keys(p) == {"shard"}, p
+        assert len(re.findall(r"Arguments: SinglePartition", p)) == 2
+        assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id#\d+L ASC", p)
+
+    def test_capped_jaccard_df_filter_is_semi_join(self, spark, q):
+        """X64: the df cap is applied as a LEFT SEMI join against the
+        surviving-shingle set — no cartesian, no extra pair fan-out.
+        (The iterative X66/X67 plans are localCheckpoint-truncated, so
+        their per-round discipline is covered by the pagerank-family
+        docs + oracle instead of a final-plan assertion.)"""
+        p = plan(q["near_dup_jaccard_capped"](spark, SF))
+        assert "LeftSemi" in p, p
+        assert "CartesianProduct" not in p
