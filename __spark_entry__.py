@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "k_truss",                   # edge-support peel (X65)
     "connected_components_jump", # pointer-jumping CC (X66, same oracle)
     "seeded_ppr_weighted",       # money-weighted PPR (X67)
+    "pagerank_weighted",         # money-weighted global PageRank (X68)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "cube_events",
     "date_functions",
     "dedup_retention",
-    "degree_counts",
 ]
 
 

@@ -527,6 +527,92 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def damped_walk(
+    state: DataFrame,
+    trans: DataFrame,
+    iters: int,
+    tele_base,
+    dang_apply,
+    carry: tuple[str, ...] = (),
+    damping: float = 0.85,
+) -> DataFrame:
+    """The ONE damped-walk power-iteration loop shared by the whole
+    pagerank family (pagerank / pagerank_weighted / seeded_ppr /
+    seeded_ppr_weighted) — r7 factoring: four near-identical 40-line
+    loops collapsed into a single exactness-pinned kernel, so the
+    decimal-quantization discipline cannot desynchronize between
+    variants.
+
+    Inputs:
+      state  — persisted DataFrame(node, dangling:int, *carry, rank).
+      trans  — transition relation (src, dst, num:double, den) giving
+               per-edge share ``(rank_q · num) / den`` as a PINNED double
+               chain: count-based walks pass num=1.0 (x·1.0 is
+               IEEE-exact, so the chain equals rank_q/outdeg
+               bit-for-bit), money-weighted walks pass num=w, den=ow.
+      tele_base  — Column: the full (1−d)·teleport(v) term.
+      dang_apply — Column → Column: how a node reabsorbs the global
+               dangling mass (uniform walks divide by N, personalized
+               walks multiply by the seed weight — division vs
+               multiplication-by-reciprocal differ in floating point,
+               so the exact expression stays with the caller).
+
+    Per round (identical shape across variants, scale-clean): quantize
+    rank to DECIMAL(18,12); dangling mass as a broadcast 1-row decimal
+    aggregate (no driver collect); per-edge contributions re-quantized
+    to DECIMAL(18,15) before the order-free SUM (one shuffle keyed on
+    dst); pinned-order double update; localCheckpoint to truncate the
+    doubling lineage (see pagerank's note — on a real cluster swap for
+    checkpoint() if executor loss mid-computation matters). Returns the
+    final state with (node, dangling, *carry, rank, prev_rank) where
+    prev_rank is the previous round's quantized rank — the caller's
+    zero-extra-shuffle convergence residual."""
+    rq = F.col("rank").cast("decimal(18,12)")
+    trans = trans.persist()
+    for _ in range(iters):
+        dang = state.filter(F.col("dangling") == 1).agg(
+            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
+            .cast("double")
+            .alias("dmass")
+        )
+        contrib = (
+            trans.join(state, trans.src == state.node)
+            .select(
+                F.col("dst").alias("node"),
+                ((rq.cast("double") * F.col("num")) / F.col("den"))
+                .cast("decimal(18,15)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        new_state = (
+            state.select("node", "dangling", *carry, "rank")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "node",
+                "dangling",
+                *carry,
+                (
+                    tele_base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
+                        ).cast("double")
+                        + dang_apply(F.col("dmass"))
+                    )
+                ).alias("rank"),
+                rq.cast("double").alias("prev_rank"),
+            )
+        ).localCheckpoint()
+        state.unpersist()
+        state = new_state
+    trans.unpersist()
+    return state
+
+
 def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
     """Power iteration as repeated join+aggregate: rank_{t+1}(v) =
     (1−d)/N + d·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling_mass/N).
@@ -551,74 +637,29 @@ def pagerank(adj: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFram
             f"pagerank needs iters >= 1 (got {iters}) — the residual "
             "column compares the final two rounds"
         )
-    nodes = (
-        adj.select(F.col("src").alias("node"))
-        .union(adj.select(F.col("dst")))
-        .distinct()
-        .persist()
-    )
+    nodes = node_universe(adj).persist()
     n = nodes.count()
     deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     state = nodes.join(deg, "node", "left").select(
         "node",
-        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.when(F.coalesce("outdeg", F.lit(0)) == 0, 1).otherwise(0).alias(
+            "dangling"
+        ),
         F.lit(1.0 / n).alias("rank"),
     ).persist()
-    pbase = (1.0 - damping) / n
-    rq = F.col("rank").cast("decimal(18,12)")
-    for _ in range(iters):
-        # Dangling mass stays IN the plan as a broadcast 1-row aggregate —
-        # no per-iteration driver collect(), so each round is ONE job
-        # (r3 verdict, "Next round" #4). Decimal sum → order-independent;
-        # the double division dmass/n is IEEE-exact, bit-identical to the
-        # former driver-side float(dmass) / n.
-        dang = state.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
-            .cast("double")
-            .alias("dmass")
-        )
-        contrib = (
-            adj.join(state, adj.src == state.node)
-            .select(
-                F.col("dst").alias("node"),
-                (rq.cast("double") / F.col("outdeg"))
-                .cast("decimal(18,15)")
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_rank"))
-        )
-        new_state = (
-            state.select("node", "outdeg", "rank")
-            .join(contrib, "node", "left")
-            .join(F.broadcast(dang))
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(pbase)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(
-                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
-                        ).cast("double")
-                        + F.col("dmass") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-                # the pre-update quantized rank rides along so the FINAL
-                # round can emit a convergence residual at zero extra
-                # shuffles (r6 verdict #8) — intermediate rounds drop it
-                rq.cast("double").alias("prev_rank"),
-            )
-        )
-        # localCheckpoint (eager) truncates the logical plan each round —
-        # `state` appears twice per iteration (contrib + join), so without
-        # truncation the plan doubles every round (2^iters nodes: analysis
-        # blowup then driver OOM). On a cluster swap for checkpoint() with
-        # a reliable dir if executor loss matters mid-computation.
-        new_state = new_state.localCheckpoint()
-        state.unpersist()
-        state = new_state
+    # count-based transition: share = rank_q / outdeg, expressed as the
+    # helper's (rank_q · 1.0) / outdeg pinned chain (bit-identical)
+    trans = adj.join(deg.withColumnRenamed("node", "src"), "src").select(
+        "src", "dst", F.lit(1.0).alias("num"), F.col("outdeg").alias("den")
+    )
+    state = damped_walk(
+        state,
+        trans,
+        iters,
+        tele_base=F.lit((1.0 - damping) / n),
+        dang_apply=lambda d: d / F.lit(float(n)),
+        damping=damping,
+    )
     nodes.unpersist()
     # residual = |rank_10 − rank_9| per node (rank_9 via its quantized
     # DECIMAL(18,12) form — deterministic cross-engine; intvals ≤ 1e12
@@ -804,58 +845,28 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(seeds.withColumn("s", F.lit(1)), "node", "left")
         .select(
             "node",
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.when(F.coalesce("outdeg", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .alias("dangling"),
             F.coalesce("s", F.lit(0)).alias("seed"),
             (F.coalesce("s", F.lit(0)).cast("double") / k).alias("rank"),
         )
         .persist()
     )
     damping = 0.85
-    rq = F.col("rank").cast("decimal(18,12)")
     seed_w = F.col("seed").cast("double") / F.lit(float(k))
-    for _ in range(PPR_ITERS):
-        dang = state.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
-            .cast("double")
-            .alias("dmass")
-        )
-        contrib = (
-            adj.join(state, adj.src == state.node)
-            .select(
-                F.col("dst").alias("node"),
-                (rq.cast("double") / F.col("outdeg"))
-                .cast("decimal(18,15)")
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_rank"))
-        )
-        new_state = (
-            state.select("node", "outdeg", "seed", "rank")
-            .join(contrib, "node", "left")
-            .join(F.broadcast(dang))
-            .select(
-                "node",
-                "outdeg",
-                "seed",
-                (
-                    F.lit(1.0 - damping) * seed_w
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(
-                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
-                        ).cast("double")
-                        + F.col("dmass") * seed_w
-                    )
-                ).alias("rank"),
-                # pre-update quantized rank → final-round convergence
-                # residual at zero extra shuffles (r6 verdict #8)
-                rq.cast("double").alias("prev_rank"),
-            )
-        )
-        new_state = new_state.localCheckpoint()
-        state.unpersist()
-        state = new_state
+    trans = adj.join(deg.withColumnRenamed("node", "src"), "src").select(
+        "src", "dst", F.lit(1.0).alias("num"), F.col("outdeg").alias("den")
+    )
+    state = damped_walk(
+        state,
+        trans,
+        PPR_ITERS,
+        tele_base=F.lit(1.0 - damping) * seed_w,
+        dang_apply=lambda d: d * seed_w,
+        carry=("seed",),
+        damping=damping,
+    )
     nodes.unpersist()
     seeds.unpersist()
     return state.select(
@@ -868,6 +879,30 @@ def q_seeded_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("ppr").desc(), "node")
 
 
+def pair_weights(e: DataFrame) -> DataFrame:
+    """Exact DECIMAL(18,2) money moved per (src, dst) pair — the shared
+    transition-mass base of the money-weighted walks (seeded_ppr_weighted
+    / pagerank_weighted). Cent-exact decimal sums are order-free, so the
+    aggregate is deterministic under any shuffle."""
+    return e.groupBy("src", "dst").agg(
+        F.sum(F.col("weight").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("w")
+    )
+
+
+#: shared DuckDB CTE fragments for the money-weighted transition base —
+#: the oracle twins of `pair_weights` + its out-weight rollup
+_WT_SQL = """wt AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(SUM(CAST(weight AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS w
+            FROM edges GROUP BY src, dst)"""
+_OW_SQL = """ow AS (
+            SELECT src, CAST(SUM(w) AS DECIMAL(18,2)) AS ow
+            FROM wt GROUP BY src)"""
+
+
 def _seeded_ppr_weighted_sql(iters: int = PPR_ITERS) -> str:
     """Unrolled DuckDB twin of `seeded_ppr_weighted`: `_seeded_ppr_sql`
     with transition mass proportional to the exact DECIMAL(18,2)
@@ -877,14 +912,8 @@ def _seeded_ppr_weighted_sql(iters: int = PPR_ITERS) -> str:
     kk = "(SELECT k FROM sn)"
     parts = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
-        """wt AS MATERIALIZED (
-            SELECT src, dst,
-                   CAST(SUM(CAST(weight AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS w
-            FROM edges GROUP BY src, dst)""",
-        """ow AS (
-            SELECT src, CAST(SUM(w) AS DECIMAL(18,2)) AS ow
-            FROM wt GROUP BY src)""",
+        _WT_SQL,
+        _OW_SQL,
         "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
         "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
         f"""cand AS (
@@ -970,15 +999,7 @@ def q_seeded_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import edges as edges_src
 
     e = edges_src(spark, sf_dir)
-    wt = (
-        e.groupBy("src", "dst")
-        .agg(
-            F.sum(F.col("weight").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("w")
-        )
-        .persist()
-    )
+    wt = pair_weights(e).persist()
     ow = wt.groupBy("src").agg(
         F.sum("w").cast("decimal(18,2)").alias("ow")
     )
@@ -1007,54 +1028,28 @@ def q_seeded_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     damping = 0.85
-    rq = F.col("rank").cast("decimal(18,12)")
     seed_w = F.col("seed").cast("double") / F.lit(float(k))
-    share = wt.join(ow, "src").filter(F.col("ow") > 0)
-    for _ in range(PPR_ITERS):
-        dang = state.filter(F.col("dangling") == 1).agg(
-            F.coalesce(F.sum(rq), F.lit(0).cast("decimal(18,12)"))
-            .cast("double")
-            .alias("dmass")
+    # money-weighted transition: share = (rank_q · w) / ow, the same
+    # pinned chain as the helper's (rank_q · num) / den
+    trans = (
+        wt.join(ow, "src")
+        .filter(F.col("ow") > 0)
+        .select(
+            "src",
+            "dst",
+            F.col("w").cast("double").alias("num"),
+            F.col("ow").cast("double").alias("den"),
         )
-        contrib = (
-            share.join(state, share.src == state.node)
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    rq.cast("double")
-                    * F.col("w").cast("double")
-                    / F.col("ow").cast("double")
-                )
-                .cast("decimal(18,15)")
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_rank"))
-        )
-        new_state = (
-            state.select("node", "dangling", "seed", "rank")
-            .join(contrib, "node", "left")
-            .join(F.broadcast(dang))
-            .select(
-                "node",
-                "dangling",
-                "seed",
-                (
-                    F.lit(1.0 - damping) * seed_w
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(
-                            F.col("in_rank"), F.lit(0).cast("decimal(18,15)")
-                        ).cast("double")
-                        + F.col("dmass") * seed_w
-                    )
-                ).alias("rank"),
-                rq.cast("double").alias("prev_rank"),
-            )
-        )
-        new_state = new_state.localCheckpoint()
-        state.unpersist()
-        state = new_state
+    )
+    state = damped_walk(
+        state,
+        trans,
+        PPR_ITERS,
+        tele_base=F.lit(1.0 - damping) * seed_w,
+        dang_apply=lambda d: d * seed_w,
+        carry=("seed",),
+        damping=damping,
+    )
     nodes.unpersist()
     seeds.unpersist()
     wt.unpersist()
@@ -1066,6 +1061,136 @@ def q_seeded_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy(F.col("wppr").desc(), "node")
+
+
+def _pagerank_weighted_sql(iters: int = 10) -> str:
+    """Unrolled DuckDB twin of `pagerank_weighted`: `_pagerank_sql`'s
+    uniform-teleport discipline with `_seeded_ppr_weighted_sql`'s
+    money-weighted transition CTEs."""
+    nn = "(SELECT n FROM nn)"
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        _WT_SQL,
+        _OW_SQL,
+        "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""s0 AS (
+            SELECT nd.node,
+                   CASE WHEN o.ow IS NULL OR o.ow = 0 THEN 1 ELSE 0 END
+                       AS dangling,
+                   CAST(1.0 AS DOUBLE) / {nn} AS rank
+            FROM nodes nd LEFT JOIN ow o ON o.src = nd.node)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT node, dangling, "
+            f"CAST(rank AS DECIMAL(18,12)) AS rq FROM s{i})"
+        )
+        parts.append(
+            f"dg{i} AS (SELECT COALESCE(SUM(CASE WHEN dangling = 1 THEN rq "
+            f"END), 0) AS dmass FROM q{i})"
+        )
+        parts.append(
+            f"""cn{i} AS (
+            SELECT t.dst AS node,
+                   SUM(CAST(CAST(q.rq AS DOUBLE) * CAST(t.w AS DOUBLE)
+                            / CAST(o.ow AS DOUBLE)
+                            AS DECIMAL(18,15))) AS m
+            FROM wt t
+            JOIN q{i} q ON q.node = t.src
+            JOIN ow o ON o.src = t.src
+            WHERE o.ow > 0
+            GROUP BY t.dst)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+            SELECT q.node, q.dangling,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / {nn}
+                   + CAST(0.85 AS DOUBLE)
+                     * (CAST(COALESCE(c.m, 0) AS DOUBLE)
+                        + CAST((SELECT dmass FROM dg{i}) AS DOUBLE) / {nn})
+                       AS rank,
+                   CAST(q.rq AS DOUBLE) AS prev_rank
+            FROM q{i} q LEFT JOIN cn{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT node, ROUND(rank, 8) AS wrank,
+        ROUND(ABS(rank - prev_rank), 8) AS residual
+        FROM s{iters} ORDER BY node"""
+    )
+
+
+@query("pagerank_weighted", oracle=_pagerank_weighted_sql())
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (r7): money-weighted GLOBAL PageRank — the X67 transition
+    weighting (each node passes rank to counterparties in proportion to
+    the exact DECIMAL(18,2) value transferred) applied to the plain
+    uniform-teleport walk. Where `pagerank` ranks accounts by how many
+    counterparties route TO them, this ranks by how much VALUE routes to
+    them — the two orderings disagreeing on an account (high count-rank,
+    low value-rank or vice versa) is the same audit signal X67 surfaces
+    for the seeded walk, now corpus-wide rather than relative to the
+    flagged ring.
+
+    Exactness and plan shape are inherited wholesale from the shared
+    `damped_walk` kernel (per-round DECIMAL(18,12) quantization, pinned
+    (rq·w)/ow double chain, DECIMAL(18,15) order-free contribution sums,
+    broadcast 1-row dangling aggregate, localCheckpoint lineage
+    truncation): 10 rounds, each one contribution shuffle keyed on src —
+    identical per-round cost to pagerank, scale-clean. NULL/zero
+    out-weight nodes dangle (uniform redistribution, like pagerank)."""
+    from ..sources import edges as edges_src
+
+    e = edges_src(spark, sf_dir)
+    wt = pair_weights(e).persist()
+    ow = wt.groupBy("src").agg(
+        F.sum("w").cast("decimal(18,2)").alias("ow")
+    )
+    adj = adjacency(spark, sf_dir)
+    nodes = node_universe(adj).persist()
+    n = nodes.count()
+    damping = 0.85
+    state = (
+        nodes.join(ow.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("ow").isNull() | (F.col("ow") == 0), 1
+            ).otherwise(0).alias("dangling"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .persist()
+    )
+    trans = (
+        wt.join(ow, "src")
+        .filter(F.col("ow") > 0)
+        .select(
+            "src",
+            "dst",
+            F.col("w").cast("double").alias("num"),
+            F.col("ow").cast("double").alias("den"),
+        )
+    )
+    state = damped_walk(
+        state,
+        trans,
+        10,
+        tele_base=F.lit((1.0 - damping) / n),
+        dang_apply=lambda d: d / F.lit(float(n)),
+        damping=damping,
+    )
+    nodes.unpersist()
+    wt.unpersist()
+    return state.select(
+        "node",
+        F.round("rank", 8).alias("wrank"),
+        F.round(F.abs(F.col("rank") - F.col("prev_rank")), 8).alias(
+            "residual"
+        ),
+    ).orderBy("node")
 
 
 _NODE_JACCARD_SQL = f"""

@@ -404,3 +404,63 @@ class TestWeightedPPR:
         assert c[10] == c[11] == c[12]
         # weighted form: the 1000.00 conduit dominates its siblings
         assert w[10] > 10 * w[11] and w[11] == w[12]
+
+
+class TestWeightedPagerank:
+    def test_matches_numpy_weighted_power_iteration(self, spark, tmp_path):
+        """X68's semantics pinned against a dense NumPy power iteration
+        with value-proportional transition probabilities (d=0.85,
+        uniform teleport + uniform dangling redistribution, 10 iters)."""
+        import datetime as dt
+
+        import numpy as np
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        pairs = [
+            (0, 1, 10.0), (0, 2, 30.0), (1, 2, 5.0),
+            (2, 0, 7.5), (3, 2, 2.25),
+        ]  # node 1's two out-edges are NOT equal mass: P(0→2)=0.75
+        rows = [
+            (s, d, v, t0 + dt.timedelta(hours=i))
+            for i, (s, d, v) in enumerate(pairs)
+        ]
+        d = str(tmp_path / "wpr")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            r["node"]: r["wrank"]
+            for r in QUERIES["pagerank_weighted"](spark, d).collect()
+        }
+
+        n, damp = 4, 0.85
+        w = {(0, 1): 10.0, (0, 2): 30.0, (1, 2): 5.0, (2, 0): 7.5, (3, 2): 2.25}
+        ow = {0: 40.0, 1: 5.0, 2: 7.5, 3: 2.25}
+        r = np.full(n, 1.0 / n)
+        for _ in range(10):
+            nxt = np.full(n, (1 - damp) / n)  # no dangling node here
+            for (u, v), wt in w.items():
+                nxt[v] += damp * r[u] * wt / ow[u]
+            r = nxt
+        for node in range(n):
+            assert got[node] == pytest.approx(r[node], abs=1e-7), node
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_value_vs_count_rank_disagree(self, spark, sf_dir):
+        """The audit point: value-weighted and count-based global ranks
+        must produce a DIFFERENT ordering on the real fixture (else the
+        weighting adds nothing), while both conserve unit mass."""
+        from autoaudit_spark.registry import QUERIES
+
+        wr = {r["node"]: r["wrank"]
+              for r in QUERIES["pagerank_weighted"](spark, sf_dir).collect()}
+        cr = {r["node"]: r["rank"]
+              for r in QUERIES["pagerank"](spark, sf_dir).collect()}
+        assert set(wr) == set(cr)
+        assert abs(sum(wr.values()) - 1.0) < 1e-5
+        w_order = sorted(wr, key=lambda k: (-wr[k], k))
+        c_order = sorted(cr, key=lambda k: (-cr[k], k))
+        assert w_order != c_order
