@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "near_dup_jaccard_capped",   # df-capped Jaccard (own oracle)
     "k_truss",                   # edge-support peel (X65)
     "connected_components_jump", # pointer-jumping CC (X66, same oracle)
+    "connected_components_twostar",  # large-star/small-star CC (X69)
     "seeded_ppr_weighted",       # money-weighted PPR (X67)
     "pagerank_weighted",         # money-weighted global PageRank (X68)
     # -- the 21 queries whose latest driver row is r3 --
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "corpus_token_budget",
     "cube_events",
     "date_functions",
-    "dedup_retention",
 ]
 
 

@@ -470,6 +470,109 @@ def q_connected_components_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_jump(adjacency(spark, sf_dir)).orderBy("node")
 
 
+def connected_components_twostar(
+    adj: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    (X69, r7) — the edge-rewriting formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) that
+    complements the label-table variants already here: instead of
+    iterating a (node, label) state against a STATIC edge set
+    (`connected_components`, `connected_components_jump`), each round
+    REWRITES the edge set itself until it is a union of stars centered
+    at component minima.
+
+      large-star(u): with m = min(Γ(u) ∪ {u}), reconnect every strictly
+        LARGER neighbor v > u to m — emitted pairs (m, v) keep m < v, so
+        the canonical a<b form is free.
+      small-star(u): over edges directed to their larger endpoint
+        (u ← its smaller neighbors), reconnect every smaller neighbor
+        and u itself to m = min(Γ⁻(u)).
+
+    Both steps preserve the component partition (every emitted edge
+    connects nodes already connected through u) and monotonically shrink
+    a potential (Σ over edges of the larger endpoint's height), so the
+    alternation converges — in O(log² n) rounds worst-case, a handful in
+    practice — to exactly the star set {(min_c, v): v ∈ c}. At 100 TB
+    scale this shape has a property the label-table forms lack: the
+    working relation SHRINKS every round (toward one edge per non-min
+    node), whereas label tables stay node-sized for every round; each
+    round is two groupBy-min aggregates + two equi-joins on the current
+    edge set, and the convergence probe is a pair of anti-joins.
+
+    The fixpoint is verified structurally (edge set unchanged over a full
+    round); non-convergence within `max_iter` raises loudly (same
+    contract as the sibling variants)."""
+    all_nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    e = undirected_simple(adj).persist()
+    for _ in range(max_iter):
+        # large-star: full neighborhoods (both directions)
+        nbr = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        big_m = nbr.groupBy("u").agg(
+            F.min("v").alias("mv")
+        ).select("u", F.least("u", "mv").alias("m"))
+        e_large = (
+            nbr.join(big_m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: edges keyed at their LARGER endpoint (b > a by
+        # canonical form), so every neighbor v is < u and m = min(v)
+        dirr = e_large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        small_m = dirr.groupBy("u").agg(F.min("v").alias("m"))
+        e_small = (
+            dirr.join(small_m, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(
+                small_m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            e_small.exceptAll(e).isEmpty() and e.exceptAll(e_small).isEmpty()
+        )
+        e.unpersist()
+        e = e_small
+        if converged:
+            break
+    else:
+        all_nodes.unpersist()
+        raise ValueError(
+            f"connected_components_twostar did not converge in {max_iter} "
+            "alternating rounds — raise max_iter"
+        )
+    # star set → labels: non-center nodes appear exactly once as b with
+    # their center as a; centers and isolated/self-loop-only nodes label
+    # themselves via the coalesce
+    labels = all_nodes.join(
+        e.select(F.col("b").alias("node"), F.col("a").alias("comp")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("comp", F.col("node")).alias("component"))
+    all_nodes.unpersist()
+    return labels
+
+
+@query("connected_components_twostar", oracle=_CC_ORACLE)
+def q_connected_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: the edge-rewriting (large-star/small-star) CC under the SAME
+    closure oracle as `connected_components`/`connected_components_jump`
+    — all three formulations must produce identical labelings; they
+    differ only in round count and per-round relation size."""
+    return connected_components_twostar(adjacency(spark, sf_dir)).orderBy("node")
+
+
 @query(
     "triangle_count",
     oracle=f"""

@@ -363,6 +363,50 @@ class TestPointerJumpingCC:
         assert a == b and a
 
 
+class TestTwoStarCC:
+    def test_long_chain_converges(self, spark):
+        """X69: the edge-rewriting form also beats plain hash-min's
+        O(diameter) bound — a 200-node path converges well inside the
+        default 30 alternating rounds."""
+        from autoaudit_spark.operators.graph import connected_components_twostar
+
+        path = [(i, i + 1) for i in range(200)]
+        adj = spark.createDataFrame(path, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_twostar(adj).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 201
+
+    def test_multi_component_and_degenerates(self, spark):
+        """Star-set labeling covers the degenerate shapes: an isolated
+        self-loop node labels itself, a 2-node component labels at its
+        min, components don't bleed into each other."""
+        from autoaudit_spark.operators.graph import connected_components_twostar
+
+        edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (10, 11), (42, 42)]
+        adj = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"]
+               for r in connected_components_twostar(adj).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5,
+                       10: 10, 11: 10, 42: 42}
+
+    def test_non_convergence_raises_loudly(self, spark):
+        from autoaudit_spark.operators.graph import connected_components_twostar
+
+        path = [(i, i + 1) for i in range(200)]
+        adj = spark.createDataFrame(path, "src long, dst long")
+        with pytest.raises(ValueError, match="did not converge"):
+            connected_components_twostar(adj, max_iter=2)
+
+    def test_matches_plain_cc_on_fixture(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        a = [tuple(r) for r in QUERIES["connected_components"](spark, sf_dir).collect()]
+        c = [tuple(r) for r in QUERIES["connected_components_twostar"](spark, sf_dir).collect()]
+        assert a == c and a
+
+
 class TestWeightedPPR:
     def test_mass_conserved_and_seed_present(self, spark, sf_dir):
         from autoaudit_spark.registry import QUERIES
