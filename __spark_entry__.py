@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "connected_components_twostar",  # large-star/small-star CC (X69)
     "seeded_ppr_weighted",       # money-weighted PPR (X67)
     "pagerank_weighted",         # money-weighted global PageRank (X68)
+    "hits_scores",               # HITS hubs/authorities (X70)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "corpus_filter",
     "corpus_token_budget",
     "cube_events",
-    "date_functions",
 ]
 
 

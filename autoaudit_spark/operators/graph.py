@@ -845,6 +845,181 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(adjacency(spark, sf_dir)).orderBy("node")
 
 
+#: HITS mutual-reinforcement rounds — enough for the 8dp output to sit
+#: far inside the spectral-gap convergence envelope on the test graphs
+#: (the residual column reports the actual final-round movement)
+HITS_ITERS = 8
+
+
+def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) as mutually-recursive
+    join+aggregate rounds: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v),
+    each half-step L1-normalized (scores sum to 1 — HITS is defined up
+    to scale; L1 keeps every quantity a plain sum, which is what makes
+    the cross-engine decimal discipline work, where an L2 norm would
+    inject a sqrt into the hot chain). For audit work the two scores
+    split the flagship's degree view: high-hub accounts FAN MONEY OUT
+    to well-collected accounts (smurf sources), high-authority accounts
+    COLLECT from well-distributing ones (sinks) — the mutual
+    reinforcement is exactly the A·Aᵀ / Aᵀ·A structure the reference's
+    dense two-hop product probes one level of.
+
+    Exactness discipline (damped_walk's, adapted to the two-phase
+    round): scores quantize to DECIMAL(18,12) before each contribution
+    sum; the sums are pure decimal additions (exact, order-free — no
+    per-edge division here, unlike pagerank); each L1 total rides as a
+    broadcast 1-row decimal aggregate; the normalizing division is one
+    pinned decimal→double cast pair per node. Decimal→double casts stay
+    exact while intvals < 2^53, i.e. per-round L1 totals < ~9×10³ —
+    totals are bounded by the graph's max degree (post-normalization
+    scores sum to 1), so the discipline holds to ~10⁹-edge graphs with
+    hubs up to that bound; beyond it the oracle comparison (not the
+    algorithm) would drift ulps.
+
+    Per round: two contribution shuffles (by dst, then by src) + two
+    broadcast 1-row totals; localCheckpoint truncates the doubling
+    lineage. Scale shape identical to two pagerank rounds."""
+    nodes = node_universe(adj).persist()
+    n = nodes.count()
+    dec0 = F.lit(0).cast("decimal(18,12)")
+    state = nodes.select(
+        "node",
+        F.lit(0.0).alias("a"),
+        F.lit(1.0 / n).alias("h"),
+        F.lit(0.0).alias("prev_a"),
+    ).persist()
+    for _ in range(iters):
+        hq = F.col("h").cast("decimal(18,12)")
+        araw = (
+            adj.join(state, adj.src == state.node)
+            .select(F.col("dst").alias("node"), hq.alias("hq"))
+            .groupBy("node")
+            .agg(F.sum("hq").alias("ar"))
+        )
+        atot = araw.agg(
+            F.coalesce(F.sum("ar"), dec0).alias("at")
+        )
+        half = (
+            state.select("node", F.col("a").alias("pa"), "h")
+            .join(araw, "node", "left")
+            .join(F.broadcast(atot))
+            .select(
+                "node",
+                "pa",
+                (
+                    F.coalesce(F.col("ar"), dec0).cast("double")
+                    / F.col("at").cast("double")
+                ).alias("a"),
+                "h",
+            )
+        )
+        aq = F.col("a").cast("decimal(18,12)")
+        hraw = (
+            adj.join(half, adj.dst == half.node)
+            .select(F.col("src").alias("node"), aq.alias("aq"))
+            .groupBy("node")
+            .agg(F.sum("aq").alias("hr"))
+        )
+        htot = hraw.agg(
+            F.coalesce(F.sum("hr"), dec0).alias("ht")
+        )
+        state = (
+            half.select("node", "pa", "a")
+            .join(hraw, "node", "left")
+            .join(F.broadcast(htot))
+            .select(
+                "node",
+                "a",
+                (
+                    F.coalesce(F.col("hr"), dec0).cast("double")
+                    / F.col("ht").cast("double")
+                ).alias("h"),
+                F.col("pa").alias("prev_a"),
+            )
+        ).localCheckpoint()
+    nodes.unpersist()
+    return state.select(
+        "node",
+        F.round("a", 8).alias("authority"),
+        F.round("h", 8).alias("hub"),
+        F.round(F.abs(F.col("a") - F.col("prev_a")), 8).alias("residual"),
+    )
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled DuckDB twin of `hits_scores`: one (quantize-h, sum-in,
+    L1-total, normalize-a, quantize-a, sum-out, L1-total, normalize-h)
+    CTE octet per round, mirroring the Spark op order cast for cast."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        """s0 AS (
+            SELECT node, CAST(0.0 AS DOUBLE) AS a,
+                   CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS h,
+                   CAST(0.0 AS DOUBLE) AS prev_a
+            FROM nodes)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} AS MATERIALIZED (SELECT node, a, "
+            f"CAST(h AS DECIMAL(18,12)) AS hq FROM s{i})"
+        )
+        parts.append(
+            f"""ar{i} AS (
+            SELECT e.dst AS node, SUM(q.hq) AS ar
+            FROM adj e JOIN q{i} q ON q.node = e.src
+            GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"at{i} AS (SELECT COALESCE(SUM(ar), 0) AS at FROM ar{i})"
+        )
+        parts.append(
+            f"""ha{i} AS MATERIALIZED (
+            SELECT q.node, q.a AS pa,
+                   CAST(COALESCE(r.ar, 0) AS DOUBLE)
+                       / CAST((SELECT at FROM at{i}) AS DOUBLE) AS a,
+                   CAST(CAST(COALESCE(r.ar, 0) AS DOUBLE)
+                        / CAST((SELECT at FROM at{i}) AS DOUBLE)
+                        AS DECIMAL(18,12)) AS aq
+            FROM q{i} q LEFT JOIN ar{i} r USING (node))"""
+        )
+        parts.append(
+            f"""hr{i} AS (
+            SELECT e.src AS node, SUM(q.aq) AS hr
+            FROM adj e JOIN ha{i} q ON q.node = e.dst
+            GROUP BY e.src)"""
+        )
+        parts.append(
+            f"ht{i} AS (SELECT COALESCE(SUM(hr), 0) AS ht FROM hr{i})"
+        )
+        parts.append(
+            f"""s{i + 1} AS (
+            SELECT q.node, q.a,
+                   CAST(COALESCE(r.hr, 0) AS DOUBLE)
+                       / CAST((SELECT ht FROM ht{i}) AS DOUBLE) AS h,
+                   q.pa AS prev_a
+            FROM ha{i} q LEFT JOIN hr{i} r USING (node))"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT node, ROUND(a, 8) AS authority, ROUND(h, 8) AS hub,
+        ROUND(ABS(a - prev_a), 8) AS residual
+        FROM s{iters} ORDER BY node"""
+    )
+
+
+@query("hits_scores", oracle=_hits_sql())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: HITS hubs & authorities on the derived payment graph,
+    value-hash checked against an 8-round unrolled DuckDB twin (see
+    `hits_scores` for the L1/decimal discipline that makes a
+    mutually-recursive eigenvector algorithm bitwise oracle-able)."""
+    return hits_scores(adjacency(spark, sf_dir)).orderBy("node")
+
+
 PPR_ITERS = 6
 
 

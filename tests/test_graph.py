@@ -450,6 +450,49 @@ class TestWeightedPPR:
         assert w[10] > 10 * w[11] and w[11] == w[12]
 
 
+class TestHits:
+    def test_matches_numpy_iteration(self, spark):
+        """X70's semantics pinned against a dense NumPy HITS with L1
+        normalization per half-step (same convention as the operator)."""
+        import numpy as np
+
+        from autoaudit_spark.operators.graph import HITS_ITERS, hits_scores
+
+        edges = [(0, 2), (1, 2), (3, 2), (2, 4), (0, 4), (4, 0)]
+        adj = spark.createDataFrame(edges, "src long, dst long")
+        rows = hits_scores(adj).collect()
+        got_a = {r["node"]: r["authority"] for r in rows}
+        got_h = {r["node"]: r["hub"] for r in rows}
+
+        n = 5
+        A = np.zeros((n, n))
+        for u, v in edges:
+            A[u, v] = 1.0
+        h = np.full(n, 1.0 / n)
+        a = np.zeros(n)
+        for _ in range(HITS_ITERS):
+            a = A.T @ h
+            a = a / a.sum()
+            h = A @ a
+            h = h / h.sum()
+        for node in range(n):
+            assert got_a[node] == pytest.approx(a[node], abs=1e-7), node
+            assert got_h[node] == pytest.approx(h[node], abs=1e-7), node
+
+    def test_hub_authority_split_on_fixture(self, spark, sf_dir):
+        """Both score vectors are L1 distributions, carry a convergence
+        residual, and genuinely rank differently (sources vs sinks)."""
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["hits_scores"](spark, sf_dir).collect()
+        assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-5
+        assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-5
+        assert all(r["residual"] >= 0 for r in rows)
+        top_a = max(rows, key=lambda r: (r["authority"], -r["node"]))
+        top_h = max(rows, key=lambda r: (r["hub"], -r["node"]))
+        assert top_a["node"] != top_h["node"]
+
+
 class TestWeightedPagerank:
     def test_matches_numpy_weighted_power_iteration(self, spark, tmp_path):
         """X68's semantics pinned against a dense NumPy power iteration
