@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "seeded_ppr_weighted",       # money-weighted PPR (X67)
     "pagerank_weighted",         # money-weighted global PageRank (X68)
     "hits_scores",               # HITS hubs/authorities (X70)
+    "bigram_surprise",           # bigram-LM doc surprise (X71)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "connected_components",
     "corpus_filter",
     "corpus_token_budget",
-    "cube_events",
 ]
 
 

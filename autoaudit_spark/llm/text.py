@@ -874,6 +874,117 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bigram_surprise",
+    oracle="""
+    WITH doc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               lower(arr[i]) AS w1, lower(arr[i + 1]) AS w2
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM doc WHERE len(arr) >= 2
+        )
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    occ AS (
+        SELECT b.doc_id,
+               (log2(c1.c1) - log2(c2.c2)) * 1000000.0 AS t
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               SUM(CAST(FLOOR(t) AS BIGINT)
+                   + CASE WHEN t - FLOOR(t) >= 0.5 THEN 1 ELSE 0 END) AS s
+        FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST((2 * s + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+               / 1000000.0 AS mean_nll
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 (r7): per-document mean bigram surprise — the `unigram_logprob`
+    quality signal upgraded one Markov order: mean over a doc's adjacent
+    word pairs of −log₂ P(w₂|w₁) = log₂ C(w₁·) − log₂ C(w₁w₂), under the
+    corpus's own bigram counts. Scrambled or templated text separates far
+    harder here than under unigrams (word-salad keeps plausible unigram
+    frequencies but improbable transitions), which is why KenLM-style
+    corpus filters score with context. Self-scoring means every observed
+    bigram has C ≥ 1 — no smoothing needed, and only INTEGER-argument
+    log₂ appears (bit-identical cross-engine, the `unigram_logprob`
+    discipline).
+
+    NO engine-native ROUND anywhere (the r7 lesson: a mean landed on a
+    6dp half boundary at sf0.1 and DuckDB's ``std::round(x*1e6)/1e6``
+    disagreed with Spark's BigDecimal HALF_UP by one ulp-at-6dp):
+    each per-occurrence surprise is quantized to integer micro-nll by a
+    PINNED half-up — ``floor(t) + (t − floor(t) ≥ 0.5)`` with
+    t = x·10⁶, every op IEEE-deterministic on bit-identical doubles —
+    summed as exact BIGINTs (order-free), and the per-doc mean is the
+    exact integer half-up quotient ``(2s + n) div (2n)`` (s, n ≥ 0)
+    converted once to double. Deterministic to the last bit in both
+    engines at any scale.
+
+    Plan shape: bigrams are built map-side with arrays_zip over two
+    array slices — NO per-doc window, no shuffle to form pairs. Then one
+    bigram-vocabulary aggregate, one context aggregate (both map-side
+    combined), two vocabulary-sized equi-joins back onto the occurrence
+    stream, one per-doc aggregate. Docs with < 2 tokens have no bigrams
+    and drop out (both engines, by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id", F.transform(_tokens(F.col("text")), F.lower).alias("arr")
+        )
+        .filter(F.size("arr") >= 2)
+        .withColumn("w1s", F.expr("slice(arr, 1, size(arr) - 1)"))
+        .withColumn("w2s", F.expr("slice(arr, 2, size(arr) - 1)"))
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.w1s").alias("w1"),
+            F.col("p.w2s").alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    t = (F.log2("c1") - F.log2("c2")) * F.lit(1000000.0)
+    micro = (
+        F.floor(t)
+        + F.when(t - F.floor(t) >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(micro).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr(
+                    "CAST((2 * s + n_bigrams) div (2 * n_bigrams) AS DOUBLE)"
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: feature-hashing dimensionality (HashingTF equivalent)
 HTF_BUCKETS = 64
 

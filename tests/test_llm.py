@@ -820,3 +820,55 @@ class TestCappedJaccard:
         u = {tuple(r) for r in QUERIES["near_dup_jaccard"](spark, sf_dir).collect()}
         c = {tuple(r) for r in QUERIES["near_dup_jaccard_capped"](spark, sf_dir).collect()}
         assert c and u != c
+
+
+class TestBigramSurprise:
+    def test_hand_computed_fixture(self, spark, tmp_path):
+        """X71 semantics on a corpus small enough to do by hand:
+        bigram counts (a,b)=3 (b,a)=1 (b,c)=1; context counts a=3 b=2.
+        doc 1 'a b a b' -> (0 + 1 + 0)/3; doc 2 'a b c' -> (0 + 1)/2."""
+        from autoaudit_spark.registry import QUERIES
+
+        rows = [
+            (1, "a b a b", "en", "s", 7),
+            (2, "a b c", "en", "s", 5),
+            (3, "solo", "en", "s", 4),  # single token: no bigrams
+        ]
+        d = str(tmp_path / "bigram")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+            for r in QUERIES["bigram_surprise"](spark, d).collect()
+        }
+        assert got == {1: (3, round(1 / 3, 6)), 2: (2, 0.5)}
+
+    def test_scrambled_text_scores_higher(self, spark, tmp_path):
+        """The signal the operator exists for: repetitive natural order
+        scores low, the SAME unigram bag in an improbable order scores
+        high — unigram_logprob cannot see this difference."""
+        from autoaudit_spark.registry import QUERIES
+
+        natural = "the cat sat . " * 10
+        scrambled = "the the the the cat . sat cat sat . " * 2 + "cat the . sat " * 5
+        rows = [
+            (1, natural.strip(), "en", "s", 1),
+            (2, scrambled.strip(), "en", "s", 1),
+        ]
+        d = str(tmp_path / "scramble")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r["mean_nll"]
+               for r in QUERIES["bigram_surprise"](spark, d).collect()}
+        assert got[2] > got[1]
+
+    def test_fixture_invariants(self, spark, sf_dir):
+        from autoaudit_spark.registry import QUERIES
+
+        rows = QUERIES["bigram_surprise"](spark, sf_dir).collect()
+        assert rows
+        assert all(r["mean_nll"] >= 0 and r["n_bigrams"] >= 1 for r in rows)
