@@ -57,6 +57,16 @@ HEADLINE = [
     "contamination_ngram",    # llm: benchmark n-gram decontamination
     "dedup_components",       # llm: near-dup clusters + canonical keep
     "pps_sample",             # llm: token-mass systematic sample
+    # -- late-r7 additions: the remaining r7 operators without standing
+    #    perf rows (all 26 rows above UNCHANGED, so both prior band sets
+    #    still read directly against their keys) --
+    "k_truss",                # graph: edge-support peel (fixpoint rounds)
+    "near_dup_jaccard_salted",  # llm: shingle-skew salted twin (×8)
+    "near_dup_jaccard_capped",  # llm: df-capped Jaccard (at-source skew fix)
+    "connected_components_twostar",  # graph: edge-rewriting CC (X69)
+    "pagerank_weighted",      # graph: 10-round money-weighted walk (X68)
+    "hits_scores",            # graph: 8 two-phase HITS rounds (X70)
+    "bigram_surprise",        # llm: bigram-LM doc surprise (X71)
 ]
 
 
