@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "pagerank_weighted",         # money-weighted global PageRank (X68)
     "hits_scores",               # HITS hubs/authorities (X70)
     "bigram_surprise",           # bigram-LM doc surprise (X71)
+    "butterfly_counts",          # bipartite 2x2 biclique motif (X72)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -94,8 +95,10 @@ _PRIORITY: list[str] = [
     "user_sessions",
     "window_alignment",
     "windowed_features",
-    # -- backfill: 14 stalest r4 greens (alphabetical head; the other
-    #    33 r4 rows rotate in r8) --
+    # -- backfill: stalest r4 greens (alphabetical head; entries here
+    #    are evicted one-per-late-r7-birth to keep the window at 50 —
+    #    every evictee already holds an r4 driver row and rotates in
+    #    r8 with the other r4 rows) --
     "account_features",
     "ann_cosine_topk",
     "ann_int8_topk",
@@ -105,7 +108,6 @@ _PRIORITY: list[str] = [
     "bucketed_degree_join",
     "connected_components",
     "corpus_filter",
-    "corpus_token_budget",
 ]
 
 

@@ -2456,3 +2456,71 @@ def q_two_hop_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("path_cnt") >= MIN_PATHS)
         .orderBy(F.col("flow_capacity").desc(), "src", "dst")
     )
+
+
+#: butterfly pruning: a dst pair needs >= 2 common srcs to close any
+#: 2x2 biclique at all.
+MIN_BUTTERFLY_COMMON = 2
+
+_BUTTERFLY_SQL = f"""
+    {_ADJ_CTE},
+    pairs AS (
+        SELECT x.dst AS d1, y.dst AS d2, COUNT(*) AS c
+        FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY x.dst, y.dst
+        HAVING COUNT(*) >= {MIN_BUTTERFLY_COMMON}
+    ),
+    bf AS (SELECT d1, d2, (c * (c - 1)) // 2 AS nb FROM pairs)
+    SELECT node, CAST(SUM(nb) AS BIGINT) AS butterflies
+    FROM (SELECT d1 AS node, nb FROM bf
+          UNION ALL SELECT d2 AS node, nb FROM bf)
+    GROUP BY node
+    ORDER BY butterflies DESC, node
+    """
+
+
+@query("butterfly_counts", oracle=_BUTTERFLY_SQL)
+def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-destination butterfly (2x2 biclique) counts on the bipartite
+    src->dst transfer graph (X72, r7): a butterfly is two accounts both
+    paying the SAME two counterparties — the smallest fraud-ring motif
+    (shared-mule evidence that degree or triangle counts on the
+    projected graph cannot attribute back to the counterparty). For
+    each dst, the number of butterflies it participates in.
+
+    Shape (the side-choice argument from public butterfly-counting work,
+    e.g. Sanei-Mehri et al. 2018): wedge on the SRC side — per-account
+    distinct-counterparty fan-out is bounded by the counterparty
+    catalog, so wedge volume is Sum_u C(fanout(u), 2), LINEAR in
+    accounts; wedging on dst instead would cost C(accounts-per-dst, 2)
+    on every hot counterparty — quadratic in accounts. The dst-pair
+    relation out of the wedge aggregate is at most C(|catalog|, 2)
+    rows, so everything downstream of the one wedge shuffle is
+    catalog-sized. Both endpoint contributions come from ONE pass over
+    that relation (explode, not a self-referencing union, so the wedge
+    join is computed once — no cache needed). C(c,2) and the per-node
+    sums are exact BIGINT; the oracle's `//` truncation equals floor
+    here because c >= {MIN_BUTTERFLY_COMMON} keeps the product
+    non-negative (the X45 signed-`//` caveat does not arise)."""
+    adj = adjacency(spark, sf_dir)
+    x, y = adj.alias("x"), adj.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .groupBy(F.col("x.dst").alias("d1"), F.col("y.dst").alias("d2"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= MIN_BUTTERFLY_COMMON)
+        .withColumn("nb", F.expr("c * (c - 1) div 2"))
+    )
+    return (
+        pairs.select(
+            F.explode(F.array(F.col("d1"), F.col("d2"))).alias("node"),
+            "nb",
+        )
+        .groupBy("node")
+        .agg(F.sum("nb").alias("butterflies"))
+        .orderBy(F.desc("butterflies"), "node")
+    )

@@ -64,6 +64,8 @@ def test_round7_rotation_in_window():
         "contamination_ngram", "pps_sample", "dedup_components",
         "near_dup_jaccard_salted", "near_dup_jaccard_capped", "k_truss",
         "connected_components_jump", "seeded_ppr_weighted",
+        "connected_components_twostar", "pagerank_weighted",
+        "hits_scores", "bigram_surprise", "butterfly_counts",
         # the 21 r3-stale queries
         "background_edges", "chunk_documents", "direction_mapped_edges",
         "feature_pairs", "focus_plot_sum", "iforest_points",

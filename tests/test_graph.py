@@ -551,3 +551,56 @@ class TestWeightedPagerank:
         w_order = sorted(wr, key=lambda k: (-wr[k], k))
         c_order = sorted(cr, key=lambda k: (-cr[k], k))
         assert w_order != c_order
+
+
+class TestButterflyCounts:
+    def test_planted_k23_plus_noise(self, spark, tmp_path):
+        """K_{2,3} (two accounts x three shared counterparties) holds
+        C(3,2)*C(2,2) = 3 butterflies — every dst sits in exactly 2 of
+        them; a third account touching only ONE of the dsts adds no
+        butterfly and must not appear."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        i = 0
+        for s in (1000, 1001):
+            for d in (10, 11, 12):
+                rows.append((s, d, 1.0, t0 + dt.timedelta(hours=i)))
+                i += 1
+        rows.append((2000, 10, 1.0, t0 + dt.timedelta(hours=i)))  # noise
+        d = str(tmp_path / "bf")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {r["node"]: r["butterflies"]
+               for r in QUERIES["butterfly_counts"](spark, d).collect()}
+        assert got == {10: 2, 11: 2, 12: 2}
+
+    def test_brute_force_parity_sf0001(self, spark):
+        """Independent implementation: per-dst butterfly counts from
+        Python set intersections over all dst pairs must match the
+        src-side wedge aggregation exactly (whole relation, sf0.001)."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import adjacency
+
+        sf = "/root/testdata/sf0.001"
+        nbrs = defaultdict(set)
+        for r in adjacency(spark, sf).collect():
+            nbrs[r["dst"]].add(r["src"])
+        expect = defaultdict(int)
+        for d1, d2 in combinations(sorted(nbrs), 2):
+            c = len(nbrs[d1] & nbrs[d2])
+            if c >= 2:
+                nb = c * (c - 1) // 2
+                expect[d1] += nb
+                expect[d2] += nb
+        got = {r["node"]: r["butterflies"]
+               for r in QUERIES["butterfly_counts"](spark, sf).collect()}
+        assert got == dict(expect)
