@@ -73,6 +73,8 @@ _PRIORITY: list[str] = [
     "hits_scores",               # HITS hubs/authorities (X70)
     "bigram_surprise",           # bigram-LM doc surprise (X71)
     "butterfly_counts",          # bipartite 2x2 biclique motif (X72)
+    "threshold_structuring",     # just-below-threshold binomial z (X73)
+    "round_number_bias",         # whole-unit amount binomial z (X74)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -106,8 +108,6 @@ _PRIORITY: list[str] = [
     "asof_join_attribution",
     "attention_routing_hashed",
     "bucketed_degree_join",
-    "connected_components",
-    "corpus_filter",
 ]
 
 

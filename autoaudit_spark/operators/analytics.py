@@ -803,3 +803,122 @@ def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: reporting threshold for the structuring screen; the suspicious band
+#: is [STRUCTURING_BAND_LO, STRUCTURING_THRESHOLD) — amounts kept JUST
+#: under the limit (the classic CTR-avoidance pattern the reference's
+#: smurf generator models as many sub-threshold transfers).
+STRUCTURING_THRESHOLD = 100.0
+STRUCTURING_BAND_LO = 90.0
+
+#: minimum transactions before a user's band/round-number rate is scored
+RATE_BIAS_MIN_TX = 20
+
+
+def _rate_bias(
+    ev: DataFrame, flag, n_flag: str, frac: str, z: str
+) -> DataFrame:
+    """Shared binomial rate-bias skeleton (X73/X74): per-user count of
+    flagged transactions vs the corpus base rate p0, scored with the
+    normal-approximation binomial z. One shuffle on user_id + a 1-row
+    broadcast global aggregate; z is a pinned chain of IEEE ops on
+    exact counts — (n_f - n_tx*p0) / sqrt((n_tx*p0) * (1.0-p0)) with
+    the same parenthesization in the oracle, so unrounded doubles
+    hash-match cross-engine."""
+    lf = flag.cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_tx"), F.sum(lf).alias(n_flag)
+    )
+    tot = ev.agg(
+        F.count("*").alias("_N"), F.sum(lf).alias("_B")
+    )
+    p0 = F.col("_B").cast("double") / F.col("_N")
+    nf = F.col(n_flag).cast("double")
+    zc = (nf - F.col("n_tx") * p0) / F.sqrt(
+        (F.col("n_tx") * p0) * (F.lit(1.0) - p0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_tx") >= RATE_BIAS_MIN_TX)
+        .select(
+            "user_id",
+            F.col("n_tx").cast("long").alias("n_tx"),
+            F.col(n_flag).cast("long").alias(n_flag),
+            (nf / F.col("n_tx")).alias(frac),
+            zc.alias(z),
+        )
+        .orderBy(F.desc(z), "user_id")
+    )
+
+
+def _rate_bias_sql(flag_sql: str, n_flag: str, frac: str, z: str) -> str:
+    return f"""
+    WITH per AS (
+        SELECT user_id, COUNT(*) AS n_tx,
+               SUM(CAST(({flag_sql}) AS BIGINT)) AS nf
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS big_n,
+               SUM(CAST(({flag_sql}) AS BIGINT)) AS big_b
+        FROM events
+    )
+    SELECT user_id, CAST(n_tx AS BIGINT) AS n_tx,
+           CAST(nf AS BIGINT) AS {n_flag},
+           CAST(nf AS DOUBLE) / n_tx AS {frac},
+           (CAST(nf AS DOUBLE) - n_tx * (CAST(big_b AS DOUBLE) / big_n))
+             / SQRT((n_tx * (CAST(big_b AS DOUBLE) / big_n))
+                    * (1.0 - (CAST(big_b AS DOUBLE) / big_n))) AS {z}
+    FROM per CROSS JOIN tot
+    WHERE n_tx >= {RATE_BIAS_MIN_TX}
+    ORDER BY {z} DESC, user_id
+    """
+
+
+@query(
+    "threshold_structuring",
+    oracle=_rate_bias_sql(
+        f"value >= {STRUCTURING_BAND_LO} AND value < {STRUCTURING_THRESHOLD}",
+        "n_band", "band_frac", "z_band",
+    ),
+)
+def q_threshold_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring screen (X73, r7): per account, how over-represented
+    are amounts JUST UNDER the reporting threshold — the behavioral
+    fingerprint of splitting a large transfer to dodge a reporting
+    limit, i.e. exactly the smurfing economics the reference's
+    generator plants (`smurf_generator.py` spreads a sum over many
+    small transfers). Counts in [{STRUCTURING_BAND_LO},
+    {STRUCTURING_THRESHOLD}) per user vs the corpus base rate, binomial
+    z under the normal approximation, ranked by z.
+
+    Scale: one user_id hash aggregate over the event scan (map-side
+    combine) + a 1-row broadcast global; no window over a data-sized
+    relation, no second scan — the flag is computed once inside both
+    aggregates of the same scan."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = (F.col("value") >= STRUCTURING_BAND_LO) & (
+        F.col("value") < STRUCTURING_THRESHOLD
+    )
+    return _rate_bias(ev, flag, "n_band", "band_frac", "z_band")
+
+
+@query(
+    "round_number_bias",
+    oracle=_rate_bias_sql(
+        "value = ROUND(value, 0)", "n_round", "round_frac", "z_round"
+    ),
+)
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias (X74, r7): per account, over-use of whole-unit
+    amounts vs the corpus base rate — fabricated or internally-invented
+    figures cluster on round numbers while organic prices carry cents
+    (the psychological-pricing complement of `benford_digits`, per-
+    account instead of corpus-wide). Whole-unit test is `value =
+    ROUND(value, 0)`: both engines round the EXACT double half-away-
+    from-zero at scale 0, so the equality is bit-deterministic; same
+    binomial-z skeleton and scale posture as `threshold_structuring`."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = F.col("value") == F.round(F.col("value"), 0)
+    return _rate_bias(ev, flag, "n_round", "round_frac", "z_round")

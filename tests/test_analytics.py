@@ -651,3 +651,57 @@ class TestMortonLayout:
         # nothing prunes; Morton clusters both dims → real skipping
         assert z_cand < lin_cand
         assert z_cand <= z_total // 2  # at least half the files skipped
+
+
+class TestRateBiasScreens:
+    def _write(self, spark, path, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [
+            (i, t0 + dt.timedelta(minutes=i), u, "pay", v, "{}")
+            for i, (u, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    def test_planted_structurer_ranks_first(self, spark, tmp_path):
+        """An account keeping every transfer just under the threshold
+        must top the z ranking with a large positive score; organic
+        accounts (amounts far from the band) sit at negative z."""
+        from autoaudit_spark.operators.analytics import RATE_BIAS_MIN_TX
+        from autoaudit_spark.registry import QUERIES
+
+        rows = [(1, 95.0 + (i % 5)) for i in range(RATE_BIAS_MIN_TX)]
+        rows += [(2, 10.0 + i) for i in range(RATE_BIAS_MIN_TX)]
+        rows += [(3, 150.0 + i) for i in range(RATE_BIAS_MIN_TX)]
+        d = str(tmp_path / "st")
+        self._write(spark, d, rows)
+
+        out = QUERIES["threshold_structuring"](spark, d).collect()
+        assert out[0]["user_id"] == 1
+        assert out[0]["n_band"] == RATE_BIAS_MIN_TX
+        assert out[0]["band_frac"] == 1.0
+        assert out[0]["z_band"] > 3
+        assert all(r["z_band"] < 0 for r in out[1:])
+
+    def test_planted_round_number_account(self, spark, tmp_path):
+        """All-whole-dollar account flags; an all-cents account scores
+        negative. Sub-minimum accounts are excluded entirely."""
+        from autoaudit_spark.operators.analytics import RATE_BIAS_MIN_TX
+        from autoaudit_spark.registry import QUERIES
+
+        rows = [(1, float(100 + i)) for i in range(RATE_BIAS_MIN_TX)]
+        rows += [(2, 100.37 + i) for i in range(RATE_BIAS_MIN_TX)]
+        rows += [(9, 500.0)]  # below min support
+        d = str(tmp_path / "rn")
+        self._write(spark, d, rows)
+
+        out = {r["user_id"]: r for r in
+               QUERIES["round_number_bias"](spark, d).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["round_frac"] == 1.0 and out[1]["z_round"] > 3
+        assert out[2]["n_round"] == 0 and out[2]["z_round"] < 0
