@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "butterfly_counts",          # bipartite 2x2 biclique motif (X72)
     "threshold_structuring",     # just-below-threshold binomial z (X73)
     "round_number_bias",         # whole-unit amount binomial z (X74)
+    "cusum_upshifts",            # exact-integer CUSUM changepoints (X75)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "anomaly_scores_mahalanobis",
     "asof_join_attribution",
     "attention_routing_hashed",
-    "bucketed_degree_join",
 ]
 
 

@@ -922,3 +922,96 @@ def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     flag = F.col("value") == F.round(F.col("value"), 0)
     return _rate_bias(ev, flag, "n_round", "round_frac", "z_round")
+
+
+#: CUSUM decision threshold as a multiple of the allowance k (the
+#: global mean transaction, in cents): an excursion must accumulate
+#: CUSUM_H_MULT mean-transactions of excess before it flags.
+CUSUM_H_MULT = 5
+
+_CUSUM_SQL = f"""
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    k AS (SELECT CAST(ROUND(AVG(cents), 0) AS BIGINT) AS kc FROM c),
+    cs AS (
+        SELECT user_id, event_id, ts, kc,
+               SUM(cents - kc) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM c CROSS JOIN k
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, kc,
+               cum - LEAST(0, MIN(cum) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS sp
+        FROM cs
+    ),
+    f AS (
+        SELECT user_id, event_id, ts, kc, sp,
+               COALESCE(LAG(sp) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), 0) AS prev
+        FROM s
+    )
+    SELECT user_id, event_id, ts, CAST(sp AS BIGINT) AS s_plus_cents
+    FROM f
+    WHERE sp >= {CUSUM_H_MULT} * kc AND prev < {CUSUM_H_MULT} * kc
+    ORDER BY user_id, ts, event_id
+    """
+
+
+@query("cusum_upshifts", oracle=_CUSUM_SQL)
+def q_cusum_upshifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account CUSUM upward level-shift detection (X75, r7): the
+    sequential changepoint statistic S_t = max(0, S_{{t-1}} + x_t - k)
+    over each account's transaction stream (x = amount in cents, k =
+    the corpus mean transaction) flags the moment an account STARTS
+    transacting persistently above normal — the onset-of-activity
+    change the reference's window-level SVD change score (`AA-CD.py`)
+    sees only at window granularity, here located at the exact
+    transaction. Emits each UPCROSSING of the decision threshold
+    h = {CUSUM_H_MULT}·k (sp >= h where the previous sp < h).
+
+    The recursion is windowed exactly via the reflection identity
+    S_t = C_t - min(0, min_{{j<=t}} C_j) with C the running sum of
+    (x - k): three per-user ordered window passes (running sum,
+    running min, lag), ALL in exact BIGINT cents — no float
+    accumulation, so the cross-engine hash is bitwise by construction
+    (windowed double sums would be segment-tree order-dependent in the
+    oracle engine). The allowance k is a 1-row broadcast; mean cents
+    is exact-integer-sum / count, identical IEEE in both engines.
+
+    Scale: one shuffle on user_id, then linear streaming frames within
+    each partition; per-account history is the only state."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    k = c.agg(F.round(F.avg("cents"), 0).cast("long").alias("kc"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = F.col("kc") * CUSUM_H_MULT
+    cs = c.crossJoin(F.broadcast(k)).withColumn(
+        "cum", F.sum(F.col("cents") - F.col("kc")).over(w)
+    )
+    s = cs.withColumn(
+        "sp", F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))
+    ).withColumn("prev", F.coalesce(F.lag("sp").over(wl), F.lit(0)))
+    return (
+        s.filter((F.col("sp") >= h) & (F.col("prev") < h))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("sp").cast("long").alias("s_plus_cents"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

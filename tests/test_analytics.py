@@ -705,3 +705,63 @@ class TestRateBiasScreens:
         assert set(out) == {1, 2}
         assert out[1]["round_frac"] == 1.0 and out[1]["z_round"] > 3
         assert out[2]["n_round"] == 0 and out[2]["z_round"] < 0
+
+
+class TestCusumUpshifts:
+    def test_planted_shift_flags_once_at_onset(self, spark, tmp_path):
+        """A quiet account that suddenly starts large transfers crosses
+        h exactly once, at/after the shift onset; a steady low-value
+        account never flags."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: 30 quiet (10.00) then 20 big (200.00); user 2 all quiet.
+        # corpus mean stays low because user 2 dominates.
+        for i in range(30):
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1, "pay", 10.0, "{}"))
+        for i in range(30, 50):
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1, "pay", 200.0, "{}"))
+        for i in range(50, 250):
+            rows.append((i, t0 + dt.timedelta(minutes=i), 2, "pay", 10.0, "{}"))
+        d = str(tmp_path / "cu")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        out = QUERIES["cusum_upshifts"](spark, d).collect()
+        assert [r["user_id"] for r in out] == [1]
+        assert out[0]["event_id"] >= 30  # flagged at/after the onset
+
+    def test_reflection_identity_matches_recursion(self, spark):
+        """The windowed form S_t = C_t - min(0, running_min(C)) must
+        equal the textbook recursion S_t = max(0, S_{t-1} + x - k)
+        replayed in Python over every account (sf0.001, upcrossings of
+        the same h)."""
+        from collections import defaultdict
+
+        from autoaudit_spark.operators.analytics import CUSUM_H_MULT
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        sf = "/root/testdata/sf0.001"
+        ev = sorted(
+            (r["user_id"], r["ts"], r["event_id"], round(r["value"] * 100))
+            for r in load_table(spark, sf, "events").collect()
+        )
+        kc = round(sum(c for *_, c in ev) / len(ev))
+        h = CUSUM_H_MULT * kc
+        s_by_user, prev_by_user = defaultdict(int), defaultdict(int)
+        expect = []
+        for u, ts, eid, cents in ev:
+            s = max(0, s_by_user[u] + cents - kc)
+            if s >= h and prev_by_user[u] < h:
+                expect.append((u, eid, s))
+            s_by_user[u] = prev_by_user[u] = s
+        got = [(r["user_id"], r["event_id"], r["s_plus_cents"])
+               for r in QUERIES["cusum_upshifts"](spark, sf).collect()]
+        assert got == expect

@@ -66,7 +66,7 @@ def test_round7_rotation_in_window():
         "connected_components_jump", "seeded_ppr_weighted",
         "connected_components_twostar", "pagerank_weighted",
         "hits_scores", "bigram_surprise", "butterfly_counts",
-        "threshold_structuring", "round_number_bias",
+        "threshold_structuring", "round_number_bias", "cusum_upshifts",
         # the 21 r3-stale queries
         "background_edges", "chunk_documents", "direction_mapped_edges",
         "feature_pairs", "focus_plot_sum", "iforest_points",
