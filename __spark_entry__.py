@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "threshold_structuring",     # just-below-threshold binomial z (X73)
     "round_number_bias",         # whole-unit amount binomial z (X74)
     "cusum_upshifts",            # exact-integer CUSUM changepoints (X75)
+    "dsir_importance",           # hashed-LM importance weights (X76)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "ann_int8_topk",
     "anomaly_scores_mahalanobis",
     "asof_join_attribution",
-    "attention_routing_hashed",
 ]
 
 

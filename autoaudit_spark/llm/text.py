@@ -1520,3 +1520,152 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: DSIR target domain: importance weights select raw data resembling
+#: the English slice (Xie et al. 2023, "Data Selection for Language
+#: Models via Importance Resampling" — public).
+DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+               AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY doc_id, term
+    ),
+    vb AS (
+        SELECT term, CAST({_ARITH_TOK_SQL.format(tok='term')} % {HTF_BUCKETS}
+            AS BIGINT) AS bucket
+        FROM (SELECT DISTINCT term FROM tf)
+    ),
+    db AS (
+        SELECT tf.doc_id, vb.bucket, CAST(SUM(tf.n) AS BIGINT) AS n
+        FROM tf JOIN vb USING (term) GROUP BY tf.doc_id, vb.bucket
+    ),
+    raw AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS cr FROM db GROUP BY bucket),
+    tgt AS (
+        SELECT db.bucket, CAST(SUM(db.n) AS BIGINT) AS ct
+        FROM db JOIN documents d ON d.doc_id = db.doc_id
+        WHERE d.lang = '{DSIR_TARGET_LANG}'
+        GROUP BY db.bucket
+    ),
+    ratio AS (
+        SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct,
+               CAST(ROUND(LOG2(COALESCE(t.ct, 0) + 1), 6) AS DECIMAL(18,6))
+               - CAST(ROUND(LOG2(r.cr + 1), 6) AS DECIMAL(18,6)) AS lr
+        FROM raw r LEFT JOIN tgt t USING (bucket)
+    ),
+    tot AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+        FROM ratio
+    ),
+    perdoc AS (
+        SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_toks,
+               SUM(CAST(db.n * ratio.lr AS DECIMAL(28,6))) AS s
+        FROM db JOIN ratio USING (bucket)
+        GROUP BY db.doc_id
+    )
+    SELECT p.doc_id, p.n_toks,
+           ROUND(CAST(p.s AS DOUBLE)
+                 + p.n_toks * (ROUND(LOG2(tr + {HTF_BUCKETS}), 6)
+                               - ROUND(LOG2(tt + {HTF_BUCKETS}), 6)),
+                 6) AS log_weight
+    FROM perdoc p CROSS JOIN tot
+    ORDER BY p.doc_id
+    """
+
+
+@query("dsir_importance", oracle=_DSIR_SQL)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (X76, r7): per-document
+    log importance weight log(p_target(d)/p_raw(d)) under hashed
+    unigram bag-of-words models with add-one smoothing — the standard
+    importance-resampling data-selection signal (Xie et al. 2023,
+    public): score raw web data by how much it resembles a target
+    domain (here the '{DSIR_TARGET_LANG}' slice), then sample
+    proportionally. Pairs with `pps_sample`/`sample_stratified` as the
+    selection stage of the corpus pipeline.
+
+    Exactness: every probability is (count+1)/(total+B), so each log
+    term is an INTEGER-argument log2 (bit-identical cross-engine, the
+    `unigram_logprob` discipline), 6dp-quantized to DECIMAL for the
+    order-free per-doc sum; the doc-length term n_d·(log2(Tr+B) −
+    log2(Tt+B)) is a pinned scalar chain on the broadcast 1-row
+    totals.
+
+    Scale: the per-char hash runs on DISTINCT terms (vocabulary-sized);
+    bucket models are {HTF_BUCKETS} rows (broadcast); the only
+    data-sized stages are the tf aggregate and the per-doc sum —
+    two user-keyed shuffles with map-side combine, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(F.col("text")), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    vb = tf.select("term").distinct().select(
+        "term",
+        (arith_token_hash(F.col("term")) % HTF_BUCKETS).alias("bucket"),
+    )
+    db = (
+        tf.join(vb, "term")
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("n").cast("long").alias("cr"))
+    tgt = (
+        db.join(
+            docs.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id"),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("ct"))
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            "cr",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            (
+                F.round(F.log2(F.coalesce("ct", F.lit(0)) + 1), 6).cast(
+                    "decimal(18,6)"
+                )
+                - F.round(F.log2(F.col("cr") + 1), 6).cast("decimal(18,6)")
+            ).alias("lr"),
+        )
+    )
+    tot = ratio.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    perdoc = (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_toks"),
+            F.sum(
+                (F.col("n") * F.col("lr")).cast("decimal(28,6)")
+            ).alias("s"),
+        )
+    )
+    k_term = F.round(F.log2(F.col("tr") + HTF_BUCKETS), 6) - F.round(
+        F.log2(F.col("tt") + HTF_BUCKETS), 6
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(
+                F.col("s").cast("double") + F.col("n_toks") * k_term, 6
+            ).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

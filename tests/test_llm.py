@@ -872,3 +872,76 @@ class TestBigramSurprise:
         rows = QUERIES["bigram_surprise"](spark, sf_dir).collect()
         assert rows
         assert all(r["mean_nll"] >= 0 and r["n_bigrams"] >= 1 for r in rows)
+
+
+class TestDsirImportance:
+    @staticmethod
+    def _py_hash(term):
+        acc = 0
+        for ch in term:
+            acc = (acc * 131 + ord(ch)) % 1000000007
+        return acc
+
+    def test_planted_domain_separation(self, spark, tmp_path):
+        """Docs made of target-domain vocabulary must get positive log
+        importance weight; docs of non-target vocabulary negative —
+        the resampling signal DSIR sorts on."""
+        from autoaudit_spark.llm.text import HTF_BUCKETS
+        from autoaudit_spark.registry import QUERIES
+
+        # guard: the two planted words must not collide in bucket space
+        assert (self._py_hash("alpha") % HTF_BUCKETS
+                != self._py_hash("beta") % HTF_BUCKETS)
+        rows = []
+        for i in range(10):
+            rows.append((i, "alpha " * 20, "en", "s", 100))
+        for i in range(10, 20):
+            rows.append((i, "beta " * 20, "de", "s", 100))
+        d = str(tmp_path / "dsir")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+
+        got = {r["doc_id"]: r["log_weight"]
+               for r in QUERIES["dsir_importance"](spark, d).collect()}
+        assert all(got[i] > 0 for i in range(10))
+        assert all(got[i] < 0 for i in range(10, 20))
+
+    def test_python_replication_sf0001(self, spark):
+        """Independent replication: hashed-bucket add-one log-ratio
+        weights recomputed in pure Python (engine rounding semantics:
+        half-away at 6dp) match every doc's output."""
+        import math
+        import re
+        from collections import defaultdict
+
+        from autoaudit_spark.llm.text import DSIR_TARGET_LANG, HTF_BUCKETS
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        def r6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents").collect()
+        db, raw, tgt = defaultdict(lambda: defaultdict(int)), defaultdict(int), defaultdict(int)
+        for r in docs:
+            for term in re.split(r"\s+", r["text"].strip()):
+                b = self._py_hash(term.lower()) % HTF_BUCKETS
+                db[r["doc_id"]][b] += 1
+                raw[b] += 1
+                if r["lang"] == DSIR_TARGET_LANG:
+                    tgt[b] += 1
+        tr, tt = sum(raw.values()), sum(tgt.values())
+        lr = {b: r6(math.log2(tgt.get(b, 0) + 1)) - r6(math.log2(raw[b] + 1))
+              for b in raw}
+        k = r6(math.log2(tr + HTF_BUCKETS)) - r6(math.log2(tt + HTF_BUCKETS))
+        got = {r["doc_id"]: (r["n_toks"], r["log_weight"])
+               for r in QUERIES["dsir_importance"](spark, sf).collect()}
+        assert set(got) == set(db)
+        for did, buckets in db.items():
+            n = sum(buckets.values())
+            lw = sum(c * lr[b] for b, c in buckets.items()) + n * k
+            assert got[did][0] == n
+            assert abs(got[did][1] - lw) < 2e-6, did
