@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "round_number_bias",         # whole-unit amount binomial z (X74)
     "cusum_upshifts",            # exact-integer CUSUM changepoints (X75)
     "dsir_importance",           # hashed-LM importance weights (X76)
+    "repeated_passages",         # cross-doc dup-passage islands (X77)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "ann_cosine_topk",
     "ann_int8_topk",
     "anomaly_scores_mahalanobis",
-    "asof_join_attribution",
 ]
 
 

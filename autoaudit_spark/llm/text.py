@@ -8,7 +8,7 @@ byte-identical DuckDB oracle (tokenizer: `split(trim(text), '\\s+')` ↔
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1668,4 +1668,131 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: repeated-passage gram width (word n-grams; Lee et al. 2022's exact
+#: substring dedup uses 50-token spans — 5 here so the testdata's short
+#: docs exercise the merge logic)
+PASSAGE_GRAM = 5
+
+
+def _passage_gram_sql() -> str:
+    parts = " || ' ' || ".join(
+        f"lower(arr[i + {k}])" for k in range(PASSAGE_GRAM)
+    )
+    return f"""
+    WITH doc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, {parts} AS gram
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - {PASSAGE_GRAM - 1}))
+                       AS i
+            FROM doc WHERE len(arr) >= {PASSAGE_GRAM}
+        )
+    ),
+    rep AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        ) WHERE df >= 2
+    ),
+    dup AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+    lagged AS (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {PASSAGE_GRAM}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM lagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(MAX(pos) + {PASSAGE_GRAM - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) + {PASSAGE_GRAM} - MIN(pos) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, start_pos
+    """
+
+
+@query("repeated_passages", oracle=_passage_gram_sql())
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage extraction (X77, r7): the
+    within-corpus half of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public): mark every word-{PASSAGE_GRAM}-gram that occurs in >= 2
+    distinct documents, then merge each doc's duplicated gram starts
+    into maximal contiguous passages (gaps-and-islands with gap =
+    {PASSAGE_GRAM}, so overlapping AND back-to-back covered spans
+    fuse). Output: (doc, token span, length, dup-gram count) — the
+    actionable span list a passage-level deduper cuts, where doc-level
+    MinHash (`near_dup_minhash_lsh`) only says "similar somewhere".
+
+    Scale: no pair join anywhere — the df filter is a grouped
+    COUNT(DISTINCT doc) on the gram key (two-level hash agg), the
+    dup-position recovery is one equi-join back on gram, and the merge
+    is per-doc ordered windows on integer positions. Linear in corpus
+    token count; a boilerplate gram adds join fan-out only at its own
+    true multiplicity (every copy IS a real passage row), never
+    quadratic pair work. Production swap: xxhash64 the gram string
+    before the df aggregate so the shuffle key is 8 bytes (the
+    `hashing_tf` discipline); kept as the raw string here for the
+    exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.transform(_tokens(F.col("text")), F.lower)
+    base = docs.select("doc_id", arr.alias("arr")).filter(
+        F.size("arr") >= PASSAGE_GRAM
+    )
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.element_at("arr", F.col("pos") + k)
+            for k in range(PASSAGE_GRAM)
+        ],
+    )
+    g = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("arr") - (PASSAGE_GRAM - 1))
+        ).alias("pos"),
+        "arr",
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), gram.alias("gram"))
+    rep = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    dup = g.join(rep, "gram").select("doc_id", "pos")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = dup.withColumn("prev", F.lag("pos").over(wl)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > PASSAGE_GRAM),
+                1,
+            ).otherwise(0)
+        ).over(wc),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (PASSAGE_GRAM - 1)).alias("end_pos"),
+            (F.max("pos") + PASSAGE_GRAM - F.min("pos")).alias("n_tokens"),
+            F.count("*").cast("long").alias("n_dup_grams"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "start_pos")
     )

@@ -945,3 +945,70 @@ class TestDsirImportance:
             lw = sum(c * lr[b] for b, c in buckets.items()) + n * k
             assert got[did][0] == n
             assert abs(got[did][1] - lw) < 2e-6, did
+
+
+class TestRepeatedPassages:
+    def test_planted_shared_passage(self, spark, tmp_path):
+        """Two docs sharing a 12-token boilerplate run produce ONE
+        merged island each, spanning exactly the shared tokens (8
+        duplicated 5-gram starts); a doc with unique text emits
+        nothing."""
+        from autoaudit_spark.registry import QUERIES
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        rows = [
+            (0, "x0 y0 " + shared + " z0", "en", "s", 1),
+            (1, "p1 q1 r1 s1 " + shared, "en", "s", 1),
+            (2, "totally unique words here nothing shared at all ok", "en", "s", 1),
+        ]
+        d = str(tmp_path / "rp")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+
+        out = [(r["doc_id"], r["start_pos"], r["end_pos"], r["n_tokens"],
+                r["n_dup_grams"])
+               for r in QUERIES["repeated_passages"](spark, d).collect()]
+        # doc 0: shared starts at token 3 (1-based); doc 1: at token 5
+        assert out == [(0, 3, 14, 12, 8), (1, 5, 16, 12, 8)]
+
+    def test_python_replication_sf0001(self, spark):
+        """Brute-force replication (dict-of-grams df filter + linear
+        island merge in Python) matches every span on the real
+        fixture."""
+        import re
+        from collections import defaultdict
+
+        from autoaudit_spark.llm.text import PASSAGE_GRAM
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = {r["doc_id"]: [w.lower() for w in re.split(r"\s+", r["text"].strip())]
+                for r in load_table(spark, sf, "documents").collect()}
+        where = defaultdict(set)
+        for did, toks in docs.items():
+            for i in range(len(toks) - PASSAGE_GRAM + 1):
+                where[tuple(toks[i:i + PASSAGE_GRAM])].add(did)
+        expect = []
+        for did in sorted(docs):
+            toks = docs[did]
+            starts = [i + 1 for i in range(len(toks) - PASSAGE_GRAM + 1)
+                      if len(where[tuple(toks[i:i + PASSAGE_GRAM])]) >= 2]
+            run = []
+            for p in starts:
+                if run and p - run[-1] <= PASSAGE_GRAM:
+                    run.append(p)
+                else:
+                    if run:
+                        expect.append((did, run[0], run[-1] + PASSAGE_GRAM - 1,
+                                       run[-1] + PASSAGE_GRAM - run[0], len(run)))
+                    run = [p]
+            if run:
+                expect.append((did, run[0], run[-1] + PASSAGE_GRAM - 1,
+                               run[-1] + PASSAGE_GRAM - run[0], len(run)))
+        got = [(r["doc_id"], r["start_pos"], r["end_pos"], r["n_tokens"],
+                r["n_dup_grams"])
+               for r in QUERIES["repeated_passages"](spark, sf).collect()]
+        assert got == expect
