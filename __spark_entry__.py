@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "cusum_upshifts",            # exact-integer CUSUM changepoints (X75)
     "dsir_importance",           # hashed-LM importance weights (X76)
     "repeated_passages",         # cross-doc dup-passage islands (X77)
+    "butterfly_counts_salted",   # bulk-payer skew twin, same oracle
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "account_features",
     "ann_cosine_topk",
     "ann_int8_topk",
-    "anomaly_scores_mahalanobis",
 ]
 
 

@@ -2479,6 +2479,30 @@ _BUTTERFLY_SQL = f"""
     """
 
 
+def _butterfly_counts(
+    spark: SparkSession, sf_dir: str, salted: bool
+) -> DataFrame:
+    adj = adjacency(spark, sf_dir)
+    nbr = adj.select(
+        F.col("dst").alias("node"), F.col("src").alias("nb")
+    )
+    common = (
+        wedge_common_counts_salted(nbr, MIN_BUTTERFLY_COMMON)
+        if salted
+        else wedge_common_counts(nbr, MIN_BUTTERFLY_COMMON)
+    )
+    pairs = common.withColumn("bfl", F.expr("c * (c - 1) div 2"))
+    return (
+        pairs.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node"),
+            "bfl",
+        )
+        .groupBy("node")
+        .agg(F.sum("bfl").alias("butterflies"))
+        .orderBy(F.desc("butterflies"), "node")
+    )
+
+
 @query("butterfly_counts", oracle=_BUTTERFLY_SQL)
 def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-destination butterfly (2x2 biclique) counts on the bipartite
@@ -2493,7 +2517,12 @@ def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-counterparty fan-out is bounded by the counterparty
     catalog, so wedge volume is Sum_u C(fanout(u), 2), LINEAR in
     accounts; wedging on dst instead would cost C(accounts-per-dst, 2)
-    on every hot counterparty — quadratic in accounts. The dst-pair
+    on every hot counterparty — quadratic in accounts. The wedge core
+    IS `wedge_common_counts` with (node=dst, shared key=src) — the same
+    measured kernel as `node_jaccard`, so the whole wedge-skew story
+    (tools/skewprobe.py, BASELINE.md) transfers: a super-source's
+    quadratic work concentrates on its src key, and the REGISTERED
+    salted twin `butterfly_counts_salted` spreads it ×8. The dst-pair
     relation out of the wedge aggregate is at most C(|catalog|, 2)
     rows, so everything downstream of the one wedge shuffle is
     catalog-sized. Both endpoint contributions come from ONE pass over
@@ -2502,25 +2531,19 @@ def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact BIGINT; the oracle's `//` truncation equals floor
     here because c >= {MIN_BUTTERFLY_COMMON} keeps the product
     non-negative (the X45 signed-`//` caveat does not arise)."""
-    adj = adjacency(spark, sf_dir)
-    x, y = adj.alias("x"), adj.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.src") == F.col("y.src"))
-            & (F.col("x.dst") < F.col("y.dst")),
-        )
-        .groupBy(F.col("x.dst").alias("d1"), F.col("y.dst").alias("d2"))
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= MIN_BUTTERFLY_COMMON)
-        .withColumn("nb", F.expr("c * (c - 1) div 2"))
-    )
-    return (
-        pairs.select(
-            F.explode(F.array(F.col("d1"), F.col("d2"))).alias("node"),
-            "nb",
-        )
-        .groupBy("node")
-        .agg(F.sum("nb").alias("butterflies"))
-        .orderBy(F.desc("butterflies"), "node")
-    )
+    return _butterfly_counts(spark, sf_dir, salted=False)
+
+
+@query("butterfly_counts_salted", oracle=_BUTTERFLY_SQL)
+def q_butterfly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened butterfly twin (X72, r7): identical semantics and
+    oracle as `butterfly_counts`, with the wedge core swapped for
+    `wedge_common_counts_salted` — a super-source account's quadratic
+    pair work scatters over 8 salt sub-keys (side x salt =
+    hash(node, nb) pmod 8, side y replicated ×8; every wedge meets
+    exactly once). The one-swap mitigation for the production case the
+    unsalted docstring names: a src whose distinct-counterparty fan-out
+    is itself huge (bulk payer / exchange wallet), where C(fanout,2)
+    on one key dominates the stage. Measured on the hub fixture by
+    tools/skewprobe.py (BASELINE.md wedge-skew table — same kernel)."""
+    return _butterfly_counts(spark, sf_dir, salted=True)

@@ -604,3 +604,15 @@ class TestButterflyCounts:
         got = {r["node"]: r["butterflies"]
                for r in QUERIES["butterfly_counts"](spark, sf).collect()}
         assert got == dict(expect)
+
+    def test_salted_twin_bit_identical(self, spark):
+        """The registered skew twin must agree bitwise with the
+        unsalted form on the real fixture (skewprobe asserts the same
+        on the planted bulk-payer fixture)."""
+        from autoaudit_spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        a = [tuple(r) for r in QUERIES["butterfly_counts"](spark, sf).collect()]
+        b = [tuple(r) for r in
+             QUERIES["butterfly_counts_salted"](spark, sf).collect()]
+        assert a == b

@@ -225,6 +225,73 @@ def wedge_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+SUPER_SRC = -88       # synthetic bulk-payer account (outside real ids)
+SUPER_FANOUT = 2000   # distinct counterparties attached to it
+
+
+def super_source_neighbors(spark, sf_dir: str):
+    """Butterfly wedge fixture (r7): the real (node=dst, nb=src)
+    relation plus one bulk-payer source adjacent to SUPER_FANOUT
+    synthetic counterparties — its src key carries C(fanout, 2) wedge
+    pairs, the quadratic hot key of `butterfly_counts`' wedge join."""
+    adj = adjacency(spark, sf_dir)
+    nbr = adj.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    extra = spark.range(SUPER_FANOUT).select(
+        (F.lit(10_000) + F.col("id")).alias("node"),
+        F.lit(SUPER_SRC).cast("long").alias("nb"),
+    )
+    return nbr.unionByName(extra)
+
+
+def butterfly_probe(spark, sf_dir: str) -> dict:
+    """butterfly_counts' wedge join (r6 verdict, "Next round" #5 applied
+    to the r7 birth): unsalted `wedge_common_counts` (AQE skew-join on)
+    vs the salted twin on the bulk-payer fixture — wall time, per-task
+    wedge work, bit-identical assertion. Same kernel as `wedge_probe`;
+    the hot key here is a SOURCE with huge distinct-counterparty
+    fan-out rather than a shared neighbor hub."""
+    from autoaudit_spark.operators.graph import (
+        MIN_BUTTERFLY_COMMON,
+        wedge_common_counts,
+        wedge_common_counts_salted,
+    )
+
+    nbr = super_source_neighbors(spark, sf_dir).persist()
+    n_rows = nbr.count()
+    fanout = nbr.filter(F.col("nb") == SUPER_SRC).count()
+
+    t0 = time.monotonic()
+    unsalted = wedge_common_counts(nbr, MIN_BUTTERFLY_COMMON)
+    unsalted.write.format("noop").mode("overwrite").save()
+    t_unsalted = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    salted = wedge_common_counts_salted(
+        nbr, MIN_BUTTERFLY_COMMON, salt_buckets=SALT_BUCKETS
+    )
+    salted.write.format("noop").mode("overwrite").save()
+    t_salted = round(time.monotonic() - t0, 2)
+
+    rows_a = {tuple(r) for r in unsalted.collect()}
+    rows_b = {tuple(r) for r in salted.collect()}
+    assert rows_a == rows_b, "salted butterfly wedge diverged"
+    out = {
+        "metric": "butterfly_wedge_skew_probe",
+        "sf_dir": sf_dir,
+        "nbr_rows": n_rows,
+        "super_src_fanout": fanout,
+        "wall_sec": {"unsalted_aqe": t_unsalted, "salted": t_salted},
+        "wedge_pairs_per_task": {
+            "unsalted": wedge_work_per_task(nbr, salted=False),
+            "salted": wedge_work_per_task(nbr, salted=True),
+        },
+        "result_rows": len(rows_a),
+        "results_identical": True,
+    }
+    nbr.unpersist()
+    return out
+
+
 BOILERPLATE = "standard legal disclaimer text"  # SHINGLE_K-word shingle
 BOILER_FRACTION = 0.30  # docs carrying the boilerplate shingle
 
@@ -328,11 +395,16 @@ def shingle_probe(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("skewprobe")
     spark.range(1).count()
 
+    if only == "butterfly":
+        print(json.dumps(butterfly_probe(spark, sf_dir)))
+        return
     print(json.dumps(shingle_probe(spark, sf_dir)))
     print(json.dumps(wedge_probe(spark, sf_dir)))
+    print(json.dumps(butterfly_probe(spark, sf_dir)))
 
     adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
     n_edges = adj.count()
