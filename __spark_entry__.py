@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "dsir_importance",           # hashed-LM importance weights (X76)
     "repeated_passages",         # cross-doc dup-passage islands (X77)
     "butterfly_counts_salted",   # bulk-payer skew twin, same oracle
+    "user_profile_divergence",   # per-account KL vs corpus mix (X78)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     #    r8 with the other r4 rows) --
     "account_features",
     "ann_cosine_topk",
-    "ann_int8_topk",
 ]
 
 

@@ -1015,3 +1015,88 @@ def q_cusum_upshifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+_PROFILE_KL_SQL = """
+    WITH per AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    un AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM per
+        GROUP BY user_id
+    ),
+    gl AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cg
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM gl),
+    terms AS (
+        SELECT per.user_id, un.n,
+               CAST(ROUND(
+                   (CAST(per.c AS DOUBLE) / un.n)
+                   * (ROUND(LOG2(per.c), 6) - ROUND(LOG2(un.n), 6)
+                      - ROUND(LOG2(gl.cg), 6) + ROUND(LOG2(tot.ng), 6)),
+                   9) AS DECIMAL(18,9)) AS t
+        FROM per
+        JOIN un USING (user_id)
+        JOIN gl USING (event_type)
+        CROSS JOIN tot
+    )
+    SELECT user_id, CAST(MIN(n) AS BIGINT) AS n_events,
+           CAST(SUM(t) AS DOUBLE) AS kl_bits
+    FROM terms GROUP BY user_id
+    ORDER BY kl_bits DESC, user_id
+    """
+
+
+@query("user_profile_divergence", oracle=_PROFILE_KL_SQL)
+def q_user_profile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-profile divergence (X78, r7): per-account KL
+    divergence (in bits) between the account's event-type mix and the
+    corpus mix — the per-account complement of `type_entropy` (global)
+    and `chisq_type_segment` (per-segment): an account whose ACTION
+    DISTRIBUTION is unlike everyone else's is anomalous even when every
+    individual count is unremarkable. KL(p_u || p_g) =
+    Σ_type (c/n)·(log₂c − log₂n − log₂c_g + log₂N_g).
+
+    Exactness discipline: all four logs are INTEGER-argument log₂
+    (bit-identical cross-engine), 6dp-rounded; each type's term is one
+    pinned IEEE chain 9dp-DECIMAL-quantized so the per-account sum is
+    order-free (a bare SUM of doubles would be aggregation-order-
+    dependent). Scale: two hash aggregates over the event scan; the
+    type dictionary (broadcast) and the 1-row total are the only
+    joined relations besides the account-sized `un`."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    un = per.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    glob = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cg")
+    )
+    tot = glob.agg(F.sum("cg").cast("long").alias("ng"))
+    term = (F.col("c").cast("double") / F.col("n")) * (
+        F.round(F.log2("c"), 6)
+        - F.round(F.log2("n"), 6)
+        - F.round(F.log2("cg"), 6)
+        + F.round(F.log2("ng"), 6)
+    )
+    terms = (
+        per.join(un, "user_id")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(term, 9).cast("decimal(18,9)").alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("n_events"),
+            F.sum("t").cast("double").alias("kl_bits"),
+        )
+        .orderBy(F.desc("kl_bits"), "user_id")
+    )

@@ -765,3 +765,73 @@ class TestCusumUpshifts:
         got = [(r["user_id"], r["event_id"], r["s_plus_cents"])
                for r in QUERIES["cusum_upshifts"](spark, sf).collect()]
         assert got == expect
+
+
+class TestUserProfileDivergence:
+    def test_planted_divergent_account(self, spark, tmp_path):
+        """An account doing ONLY the corpus-rare action tops the KL
+        ranking; accounts matching the corpus mix score near zero."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, i = [], 0
+        # 9 conformist accounts: 8 view / 2 click; 1 deviant: all error
+        for u in range(1, 10):
+            for _ in range(8):
+                rows.append((i, t0 + dt.timedelta(minutes=i), u, "view", 1.0, "{}")); i += 1
+            for _ in range(2):
+                rows.append((i, t0 + dt.timedelta(minutes=i), u, "click", 1.0, "{}")); i += 1
+        for _ in range(10):
+            rows.append((i, t0 + dt.timedelta(minutes=i), 99, "error", 1.0, "{}")); i += 1
+        d = str(tmp_path / "kl")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        out = QUERIES["user_profile_divergence"](spark, d).collect()
+        assert out[0]["user_id"] == 99
+        assert out[0]["kl_bits"] > 3  # log2(100/10) ≈ 3.32 bits
+        # conformists: identical mix to each other, tiny divergence
+        assert all(abs(r["kl_bits"]) < 0.2 for r in out[1:])
+
+    def test_python_replication_sf0001(self, spark):
+        """Textbook KL recomputed in Python (engine rounding at 6dp on
+        the logs, 9dp on the terms) matches every account."""
+        import math
+        from collections import Counter, defaultdict
+
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        def r(x, p):
+            s = 10 ** p
+            return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+        sf = "/root/testdata/sf0.001"
+        ev = load_table(spark, sf, "events").collect()
+        per = Counter((e["user_id"], e["event_type"]) for e in ev)
+        gl = Counter(e["event_type"] for e in ev)
+        ng = len(ev)
+        n_u = defaultdict(int)
+        for (u, _), c in per.items():
+            n_u[u] += c
+        expect = {}
+        for u in n_u:
+            kl = 0.0
+            for (uu, t), c in per.items():
+                if uu != u:
+                    continue
+                term = (c / n_u[u]) * (
+                    r(math.log2(c), 6) - r(math.log2(n_u[u]), 6)
+                    - r(math.log2(gl[t]), 6) + r(math.log2(ng), 6))
+                kl += r(term, 9)
+            expect[u] = (n_u[u], kl)
+        got = {row["user_id"]: (row["n_events"], row["kl_bits"])
+               for row in QUERIES["user_profile_divergence"](spark, sf).collect()}
+        assert set(got) == set(expect)
+        for u, (n, kl) in expect.items():
+            assert got[u][0] == n
+            assert abs(got[u][1] - kl) < 1e-9, u
