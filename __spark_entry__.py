@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "repeated_passages",         # cross-doc dup-passage islands (X77)
     "butterfly_counts_salted",   # bulk-payer skew twin, same oracle
     "user_profile_divergence",   # per-account KL vs corpus mix (X78)
+    "account_succession",        # rotating-account candidates (X79)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     #    every evictee already holds an r4 driver row and rotates in
     #    r8 with the other r4 rows) --
     "account_features",
-    "ann_cosine_topk",
 ]
 
 

@@ -2547,3 +2547,119 @@ def q_butterfly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one key dominates the stage. Measured on the hub fixture by
     tools/skewprobe.py (BASELINE.md wedge-skew table — same kernel)."""
     return _butterfly_counts(spark, sf_dir, salted=True)
+
+
+#: succession report size — the top similarity pairs, annotated with
+#: activity-span overlap, that an investigator reviews
+SUCCESSION_TOPK = 100
+
+_SUCCESSION_SQL = f"""
+    {_ADJ_CTE},
+    deg AS (SELECT src, COUNT(*) AS d FROM adj GROUP BY src),
+    common AS (
+        SELECT x.src AS u, y.src AS v, COUNT(*) AS c
+        FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY x.src, y.src
+        HAVING COUNT(*) >= {MIN_PATHS}
+    ),
+    spans AS (
+        SELECT user_id AS src,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS f,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS l
+        FROM events GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT c.u, c.v, CAST(c.c AS BIGINT) AS n_common,
+               CAST(c.c AS DOUBLE) / (du.d + dv.d - c.c) AS jaccard,
+               GREATEST(0, LEAST(su.l, sv.l) - GREATEST(su.f, sv.f))
+                   AS ov,
+               GREATEST(su.l, sv.l) - LEAST(su.f, sv.f) AS un,
+               GREATEST(su.f, sv.f) - LEAST(su.l, sv.l) AS gap_us
+        FROM common c
+        JOIN deg du ON du.src = c.u
+        JOIN deg dv ON dv.src = c.v
+        JOIN spans su ON su.src = c.u
+        JOIN spans sv ON sv.src = c.v
+    )
+    SELECT u, v, n_common, jaccard,
+           CASE WHEN un > 0 THEN CAST(ov AS DOUBLE) / un
+                ELSE CAST(0.0 AS DOUBLE) END AS overlap_frac,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM pairs
+    ORDER BY jaccard DESC, u, v
+    LIMIT {SUCCESSION_TOPK}
+    """
+
+
+@query("account_succession", oracle=_SUCCESSION_SQL)
+def q_account_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-succession candidates (X79, r7): pairs of accounts with
+    near-identical counterparty sets, annotated with how their ACTIVITY
+    SPANS relate — the rotating-account pattern (a flagged smurf
+    account is retired and a fresh one takes over the same mule
+    network: high counterparty Jaccard, near-zero span overlap,
+    positive gap). Top {SUCCESSION_TOPK} pairs by Jaccard; overlap_frac
+    (intersection/union of the two activity intervals) and gap_us
+    (positive = fully disjoint, negative = overlap amount) let the
+    investigator sort the succession tail from mere co-membership.
+
+    Shape: the `wedge_common_counts` kernel with (node=src, shared
+    key=dst) — the OPPOSITE orientation from `butterfly_counts`, so
+    here the quadratic hot key is a popular counterparty (deg² sender
+    pairs); the measured wedge-skew mitigations (BASELINE.md — salted
+    kernel one swap away, df-cap at source) apply verbatim. Span
+    bounds are one user-keyed min/max aggregate in exact epoch MICROS
+    (unix_micros / epoch_us — BIGINT in both engines; second-truncating
+    extractions would diverge); jaccard and overlap_frac are single
+    IEEE divisions on exact integers. The top-k cut has a total
+    (jaccard DESC, u, v) order, so the LIMIT boundary is deterministic
+    cross-engine."""
+    from ..sources import edges as edges_src
+
+    adj = adjacency(spark, sf_dir)
+    nbr = adj.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+    common = wedge_common_counts(nbr, MIN_PATHS)
+    deg = adj.groupBy("src").agg(F.count("*").alias("d"))
+    spans = (
+        edges_src(spark, sf_dir)
+        .groupBy(F.col("src"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("f"),
+            F.unix_micros(F.max("ts")).alias("l"),
+        )
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    su = spans.select(
+        F.col("src").alias("u"), F.col("f").alias("fu"), F.col("l").alias("lu")
+    )
+    sv = spans.select(
+        F.col("src").alias("v"), F.col("f").alias("fv"), F.col("l").alias("lv")
+    )
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least("lu", "lv") - F.greatest("fu", "fv"),
+    )
+    un = F.greatest("lu", "lv") - F.least("fu", "fv")
+    gap = F.greatest("fu", "fv") - F.least("lu", "lv")
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .join(su, "u")
+        .join(sv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("long").alias("n_common"),
+            (
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c"))
+            ).alias("jaccard"),
+            F.when(un > 0, ov.cast("double") / un)
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+            gap.cast("long").alias("gap_us"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(SUCCESSION_TOPK)
+    )

@@ -616,3 +616,46 @@ class TestButterflyCounts:
         b = [tuple(r) for r in
              QUERIES["butterfly_counts_salted"](spark, sf).collect()]
         assert a == b
+
+
+class TestAccountSuccession:
+    def test_planted_rotation(self, spark, tmp_path):
+        """Account 2 takes over account 1's exact mule network a month
+        after account 1 goes quiet: jaccard 1.0, overlap 0, positive
+        gap. Accounts 3/4 share the same counterparties but operate
+        CONCURRENTLY: overlap_frac ~1, negative gap."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        jan = dt.datetime(2024, 1, 1)
+        feb = dt.datetime(2024, 2, 15)
+        rows, i = [], 0
+        mules = [10, 11, 12, 13]
+        for d in mules:          # account 1: January
+            rows.append((d, jan + dt.timedelta(hours=i), 1, "pay", 9.0, "{}")); i += 1
+        for d in mules:          # account 2: mid-February onward
+            rows.append((d, feb + dt.timedelta(hours=i), 2, "pay", 9.0, "{}")); i += 1
+        for d in mules:          # accounts 3 & 4: concurrent, same span
+            rows.append((d, jan + dt.timedelta(hours=i), 3, "pay", 9.0, "{}"))
+            rows.append((d, jan + dt.timedelta(hours=i), 4, "pay", 9.0, "{}")); i += 1
+        d0 = str(tmp_path / "succ")
+        # dst derives from event_id % 150: encode each row's mule id in
+        # the event_id while keeping ids unique
+        data = [
+            (n * 150 + dst, ts, u, t, v, p)
+            for n, (dst, ts, u, t, v, p) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d0}/events.parquet")
+
+        out = {(r["u"], r["v"]): r for r in
+               QUERIES["account_succession"](spark, d0).collect()}
+        succ = out[(1, 2)]
+        assert succ["jaccard"] == 1.0 and succ["n_common"] == 4
+        assert succ["overlap_frac"] == 0.0 and succ["gap_us"] > 0
+        conc = out[(3, 4)]
+        assert conc["jaccard"] == 1.0
+        assert conc["overlap_frac"] > 0.9 and conc["gap_us"] < 0
