@@ -67,6 +67,17 @@ HEADLINE = [
     "pagerank_weighted",      # graph: 10-round money-weighted walk (X68)
     "hits_scores",            # graph: 8 two-phase HITS rounds (X70)
     "bigram_surprise",        # llm: bigram-LM doc surprise (X71)
+    # -- continuation-session r7 births: perf rows land the round they
+    #    are born (all 33 rows above UNCHANGED) --
+    "butterfly_counts",       # graph: src-side wedge 2x2 bicliques (X72)
+    "butterfly_counts_salted",  # graph: bulk-payer skew twin (x8)
+    "threshold_structuring",  # analytics: binomial band-rate z (X73)
+    "round_number_bias",      # analytics: whole-unit rate z (X74)
+    "cusum_upshifts",         # analytics: BIGINT CUSUM onsets (X75)
+    "dsir_importance",        # llm: hashed-LM importance weights (X76)
+    "repeated_passages",      # llm: dup-passage islands (X77)
+    "user_profile_divergence",  # analytics: per-account KL (X78)
+    "account_succession",     # graph: overlap pairs + spans (X79)
 ]
 
 
