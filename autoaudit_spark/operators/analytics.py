@@ -825,7 +825,12 @@ def _rate_bias(
     broadcast global aggregate; z is a pinned chain of IEEE ops on
     exact counts — (n_f - n_tx*p0) / sqrt((n_tx*p0) * (1.0-p0)) with
     the same parenthesization in the oracle, so unrounded doubles
-    hash-match cross-engine."""
+    hash-match cross-engine. Degenerate base rates (p0 = 0 or 1 — no
+    flagged transaction anywhere, or nothing BUT flagged ones) make
+    the binomial variance 0: z is NULL then, guarded by the exact
+    INTEGER test 0 < B < N in BOTH engines (review r7: without the
+    guard Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB
+    returns NULL — a crash plus an oracle mismatch)."""
     lf = flag.cast("long")
     per = ev.groupBy("user_id").agg(
         F.count("*").alias("n_tx"), F.sum(lf).alias(n_flag)
@@ -835,8 +840,10 @@ def _rate_bias(
     )
     p0 = F.col("_B").cast("double") / F.col("_N")
     nf = F.col(n_flag).cast("double")
-    zc = (nf - F.col("n_tx") * p0) / F.sqrt(
-        (F.col("n_tx") * p0) * (F.lit(1.0) - p0)
+    zc = F.when(
+        (F.col("_B") > 0) & (F.col("_B") < F.col("_N")),
+        (nf - F.col("n_tx") * p0)
+        / F.sqrt((F.col("n_tx") * p0) * (F.lit(1.0) - p0)),
     )
     return (
         per.crossJoin(F.broadcast(tot))
@@ -867,9 +874,11 @@ def _rate_bias_sql(flag_sql: str, n_flag: str, frac: str, z: str) -> str:
     SELECT user_id, CAST(n_tx AS BIGINT) AS n_tx,
            CAST(nf AS BIGINT) AS {n_flag},
            CAST(nf AS DOUBLE) / n_tx AS {frac},
-           (CAST(nf AS DOUBLE) - n_tx * (CAST(big_b AS DOUBLE) / big_n))
-             / SQRT((n_tx * (CAST(big_b AS DOUBLE) / big_n))
-                    * (1.0 - (CAST(big_b AS DOUBLE) / big_n))) AS {z}
+           CASE WHEN big_b > 0 AND big_b < big_n THEN
+               (CAST(nf AS DOUBLE) - n_tx * (CAST(big_b AS DOUBLE) / big_n))
+                 / SQRT((n_tx * (CAST(big_b AS DOUBLE) / big_n))
+                        * (1.0 - (CAST(big_b AS DOUBLE) / big_n)))
+           ELSE NULL END AS {z}
     FROM per CROSS JOIN tot
     WHERE n_tx >= {RATE_BIAS_MIN_TX}
     ORDER BY {z} DESC, user_id

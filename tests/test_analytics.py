@@ -706,6 +706,24 @@ class TestRateBiasScreens:
         assert out[1]["round_frac"] == 1.0 and out[1]["z_round"] > 3
         assert out[2]["n_round"] == 0 and out[2]["z_round"] < 0
 
+    def test_degenerate_base_rate_yields_null_z(self, spark, tmp_path):
+        """Review r7: p0 = 1 (every amount whole-unit) must yield NULL
+        z in BOTH engines, not a Spark ANSI DIVIDE_BY_ZERO crash."""
+        from autoaudit_spark.operators.analytics import RATE_BIAS_MIN_TX
+        from autoaudit_spark.registry import QUERIES
+
+        rows = [(1, float(i + 1)) for i in range(RATE_BIAS_MIN_TX)]
+        d = str(tmp_path / "degen")
+        self._write(spark, d, rows)
+
+        out = QUERIES["round_number_bias"](spark, d).collect()
+        assert len(out) == 1
+        assert out[0]["round_frac"] == 1.0 and out[0]["z_round"] is None
+        # and p0 = 0: no amount in the structuring band
+        out2 = QUERIES["threshold_structuring"](spark, d).collect()
+        assert len(out2) == 1
+        assert out2[0]["n_band"] == 0 and out2[0]["z_band"] is None
+
 
 class TestCusumUpshifts:
     def test_planted_shift_flags_once_at_onset(self, spark, tmp_path):

@@ -18,7 +18,8 @@ deterministic and engine-comparable — byte sizes scale linearly).
 Verifies the two forms agree bit-identically on the skewed fixture, then
 prints ONE JSON line for BASELINE.md.
 
-Usage: python tools/skewprobe.py [sf_dir]
+Usage: python tools/skewprobe.py [sf_dir] [butterfly]
+(second arg 'butterfly' runs only the butterfly wedge probe)
 """
 
 from __future__ import annotations
