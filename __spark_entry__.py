@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "butterfly_counts_salted",   # bulk-payer skew twin, same oracle
     "user_profile_divergence",   # per-account KL vs corpus mix (X78)
     "account_succession",        # rotating-account candidates (X79)
+    "ewma_spike_flags",          # dyadic-exact EWMA spikes (X80)
     # -- the 21 queries whose latest driver row is r3 --
     "background_edges",
     "chunk_documents",
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     #    are evicted one-per-late-r7-birth to keep the window at 50 —
     #    every evictee already holds an r4 driver row and rotates in
     #    r8 with the other r4 rows) --
-    "account_features",
 ]
 
 

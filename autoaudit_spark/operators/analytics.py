@@ -1109,3 +1109,120 @@ def q_user_profile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("kl_bits"), "user_id")
     )
+
+
+#: EWMA baseline: dyadic decay 2^-(k-1) over the EWMA_LAGS most recent
+#: prior transactions; a transaction EWMA_SPIKE_MULT x its baseline
+#: flags, once EWMA_MIN_HIST history rows exist.
+EWMA_LAGS = 16
+EWMA_MIN_HIST = 8
+EWMA_SPIKE_MULT = 4
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG(cents, {k}) OVER w * (CAST(1 AS DOUBLE) / {1 << (k - 1)}), 0.0)"
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(cents, {k}) OVER w IS NOT NULL"
+        f" THEN CAST(1 AS DOUBLE) / {1 << (k - 1)} ELSE 0.0 END"
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+def _ewma_sql() -> str:
+    num, den = _ewma_terms_sql()
+    return f"""
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT user_id, event_id, ts, cents,
+               ROW_NUMBER() OVER w AS rn,
+               ({num}) / NULLIF(({den}), 0.0) AS baseline
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, cents,
+           CAST(baseline AS DOUBLE) AS baseline_cents
+    FROM b
+    WHERE rn > {EWMA_MIN_HIST}
+      AND CAST(cents AS DOUBLE) >= {EWMA_SPIKE_MULT} * baseline
+    ORDER BY user_id, ts, event_id
+    """
+
+
+@query("ewma_spike_flags", oracle=_ewma_sql())
+def q_ewma_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spend-baseline spike detection (X80, r7): per account, an
+    exponentially-decayed baseline over the {EWMA_LAGS} most recent
+    PRIOR transactions (weight 2^-(k-1) on the k-th most recent), and a
+    flag on any transaction >= {EWMA_SPIKE_MULT}x its own baseline —
+    the memory-ful complement of `cusum_upshifts` (CUSUM finds
+    persistent level shifts; this finds individual spikes against a
+    recency-weighted norm, the standard velocity/limit-check shape).
+
+    The exactness trick making an all-float recursion hash-exact: every
+    weight is DYADIC (1/2^k built as an exact power-of-two DIVISION,
+    never a parsed double literal or libm pow), cents are BIGINT, so
+    every product has a short exact mantissa and the {EWMA_LAGS}-term
+    sum stays well inside 53 bits — the numerator, denominator, and
+    the final single division are all EXACT IEEE in both engines (a
+    conventional float-alpha EWMA would drift by evaluation order).
+    Truncating the tail at {EWMA_LAGS} lags (weight < 1/32768 beyond)
+    is what makes the window form exact AND bounded.
+
+    Scale: one shuffle on user_id, then {EWMA_LAGS} LAG reads over one
+    per-account ordered pass — no self-joins, no state beyond the
+    window frame."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        F.coalesce(
+            F.lag("cents", k).over(w) * (F.lit(1.0) / F.lit(1 << (k - 1))),
+            F.lit(0.0),
+        )
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    den = sum(
+        F.when(
+            F.lag("cents", k).over(w).isNotNull(),
+            F.lit(1.0) / F.lit(1 << (k - 1)),
+        ).otherwise(F.lit(0.0))
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    b = c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        (num / F.nullif(den, F.lit(0.0))).alias("baseline"),
+    )
+    return (
+        b.filter(
+            (F.col("rn") > EWMA_MIN_HIST)
+            & (
+                F.col("cents").cast("double")
+                >= F.lit(float(EWMA_SPIKE_MULT)) * F.col("baseline")
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            F.col("baseline").cast("double").alias("baseline_cents"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -78,6 +78,7 @@ HEADLINE = [
     "repeated_passages",      # llm: dup-passage islands (X77)
     "user_profile_divergence",  # analytics: per-account KL (X78)
     "account_succession",     # graph: overlap pairs + spans (X79)
+    "ewma_spike_flags",       # analytics: dyadic-exact EWMA spikes (X80)
 ]
 
 

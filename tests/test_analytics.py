@@ -853,3 +853,70 @@ class TestUserProfileDivergence:
         for u, (n, kl) in expect.items():
             assert got[u][0] == n
             assert abs(got[u][1] - kl) < 1e-9, u
+
+
+class TestEwmaSpikeFlags:
+    def test_planted_spike_flags_only_the_spike(self, spark, tmp_path):
+        """A steady account with one 5x transaction flags exactly that
+        transaction; a uniformly steady account flags nothing, and
+        nothing flags inside the first EWMA_MIN_HIST rows."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.analytics import EWMA_MIN_HIST
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, i = [], 0
+        for k in range(30):                      # user 1: steady + spike at 20
+            v = 500.0 if k == 20 else 100.0
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1, "pay", v, "{}")); i += 1
+        for k in range(30):                      # user 2: steady
+            rows.append((i, t0 + dt.timedelta(minutes=i), 2, "pay", 100.0, "{}")); i += 1
+        # user 3: a 10x jump INSIDE the warm-up window -> no flag
+        for k in range(EWMA_MIN_HIST):
+            v = 1000.0 if k == EWMA_MIN_HIST - 1 else 100.0
+            rows.append((i, t0 + dt.timedelta(minutes=i), 3, "pay", v, "{}")); i += 1
+        d = str(tmp_path / "ewma")
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        out = QUERIES["ewma_spike_flags"](spark, d).collect()
+        assert len(out) == 1
+        assert out[0]["user_id"] == 1 and out[0]["event_id"] == 20
+        assert out[0]["cents"] == 50000
+        assert out[0]["baseline_cents"] == 10000.0  # all-steady history
+
+    def test_python_replication_sf0001(self, spark):
+        """Dyadic-weight EWMA recomputed exactly in Python (same
+        truncation, same warm-up rule) matches every flagged row
+        BITWISE — the weights are exact, so == not approx."""
+        from collections import defaultdict
+
+        from autoaudit_spark.operators.analytics import (
+            EWMA_LAGS, EWMA_MIN_HIST, EWMA_SPIKE_MULT,
+        )
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import load_table
+
+        sf = "/root/testdata/sf0.001"
+        ev = sorted(
+            (r["user_id"], r["ts"], r["event_id"], round(r["value"] * 100))
+            for r in load_table(spark, sf, "events").collect()
+        )
+        hist = defaultdict(list)
+        expect = []
+        for u, ts, eid, cents in ev:
+            h = hist[u]
+            lags = h[::-1][:EWMA_LAGS]
+            num = sum(c * (1.0 / (1 << k)) for k, c in enumerate(lags))
+            den = sum(1.0 / (1 << k) for k in range(len(lags)))
+            if len(h) > EWMA_MIN_HIST - 1 and den > 0:
+                baseline = num / den
+                if cents >= EWMA_SPIKE_MULT * baseline:
+                    expect.append((u, eid, cents, baseline))
+            h.append(cents)
+        got = [(r["user_id"], r["event_id"], r["cents"], r["baseline_cents"])
+               for r in QUERIES["ewma_spike_flags"](spark, sf).collect()]
+        assert got == expect

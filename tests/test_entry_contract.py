@@ -68,7 +68,7 @@ def test_round7_rotation_in_window():
         "hits_scores", "bigram_surprise", "butterfly_counts",
         "threshold_structuring", "round_number_bias", "cusum_upshifts",
         "dsir_importance", "repeated_passages", "butterfly_counts_salted",
-        "user_profile_divergence", "account_succession",
+        "user_profile_divergence", "account_succession", "ewma_spike_flags",
         # the 21 r3-stale queries
         "background_edges", "chunk_documents", "direction_mapped_edges",
         "feature_pairs", "focus_plot_sum", "iforest_points",
