@@ -464,3 +464,67 @@ class TestRound7Plans:
         p = plan(q["near_dup_jaccard_capped"](spark, SF))
         assert "LeftSemi" in p, p
         assert "CartesianProduct" not in p
+
+
+class TestR7ContinuationPlans:
+    def test_butterfly_prunes_scan_and_explodes_jvm_side(self, spark, q):
+        """X72: the scan must read only the two id columns, and the
+        endpoint fan-out must be a JVM Generate (explode), not a
+        self-referencing union that would recompute the wedge.
+        (Exchange reuse across the two identical adjacency sides is an
+        AQE runtime artifact — observed as ReusedExchange in the
+        executed sf0.1 plan — so it is not asserted on the static
+        plan.)"""
+        p = plan(q["butterfly_counts"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "Generate" in p and "explode" in p
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "value" not in s and "props" not in s
+
+    def test_rate_bias_single_scan_pair_of_aggregates(self, spark, q):
+        """X73/X74: per-user stats + the 1-row global must come from
+        hash aggregates over the events scan with the 1-row side
+        BROADCAST — no data-sized unpartitioned window, no shuffle of
+        the global side."""
+        for name in ("threshold_structuring", "round_number_bias"):
+            p = plan(q[name](spark, SF))
+            assert "BroadcastNestedLoopJoin" in p, p
+            assert _unpartitioned_window_keys(p) == set(), p
+
+    def test_cusum_and_ewma_windows_are_user_partitioned(self, spark, q):
+        """X75/X80: every ordered window runs PARTITIONED on user_id —
+        per-account sequences, no global sort of the event stream."""
+        for name in ("cusum_upshifts", "ewma_spike_flags"):
+            p = plan(q[name](spark, SF))
+            assert _unpartitioned_window_keys(p) == set(), p
+            assert re.search(r"windowspecdefinition\(user_id#\d+L", p), p
+
+    def test_dsir_bucket_models_broadcast(self, spark, q):
+        """X76: the 64-row bucket ratio relation and the 1-row totals
+        join back by BROADCAST; the only shuffles key on term / doc /
+        bucket hash aggregates."""
+        p = plan(q["dsir_importance"](spark, SF))
+        assert "BroadcastHashJoin" in p, p
+        assert "BroadcastNestedLoopJoin" in p, p  # 1-row totals
+        assert "CartesianProduct" not in p
+
+    def test_repeated_passages_no_pair_join(self, spark, q):
+        """X77: gram df filtering and position recovery are equi-joins
+        and aggregates ONLY — no join condition multiplies gram
+        occurrences against each other (the no-quadratic-work claim),
+        and the island windows are doc-partitioned."""
+        p = plan(q["repeated_passages"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert _unpartitioned_window_keys(p) == set(), p
+        assert re.search(r"windowspecdefinition\(doc_id#\d+L", p), p
+
+    def test_succession_wedge_then_account_sized_joins(self, spark, q):
+        """X79: the span/degree joins after the wedge aggregate are
+        plain equi-joins (account-sized sides), and the top-k cut is a
+        TakeOrderedAndProject, not a global sort + limit of separate
+        stages."""
+        p = plan(q["account_succession"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p, p
