@@ -268,3 +268,121 @@ class TestR4OperatorProperties:
         mean = sx / n
         direct = sum((c - mean) ** 2 for c in counts) / n
         assert math.isclose(max(var, 0.0), direct, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# -------------------------------------------------------------------------
+# r7 continuation kernels: the math the Spark forms rely on
+# -------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 60_000), min_size=1, max_size=200),
+    k=st.integers(1, 10_000),
+)
+def test_cusum_reflection_identity(xs, k):
+    """X75's windowed form S_t = C_t − min(0, running-min C) equals the
+    textbook recursion S_t = max(0, S_{t−1} + x_t − k) for EVERY prefix
+    of every sequence — the identity the three window passes encode."""
+    s = 0
+    c = 0
+    running_min = 0  # min(0, min of C so far)
+    for x in xs:
+        s = max(0, s + x - k)
+        c += x - k
+        running_min = min(running_min, c)
+        assert s == c - running_min
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cents=st.lists(st.integers(0, 60_000), min_size=1, max_size=16),
+    seed=st.integers(0, 2**31),
+)
+def test_ewma_dyadic_sum_is_order_invariant(cents, seed):
+    """X80's exactness claim: with dyadic weights 1/2^k and BIGINT
+    cents, every term and the ≤16-term sum are exact doubles — so the
+    float sum is IDENTICAL under any summation order (a conventional
+    float-alpha EWMA fails this)."""
+    import random
+
+    terms = [c * (1.0 / (1 << k)) for k, c in enumerate(cents)]
+    fwd = sum(terms)
+    rev = sum(reversed(terms))
+    rng = random.Random(seed)
+    shuffled = terms[:]
+    rng.shuffle(shuffled)
+    assert fwd == rev == sum(shuffled)
+    # and each term is exactly representable: round-trip through Fraction
+    from fractions import Fraction
+
+    for k, c in enumerate(cents):
+        assert Fraction(terms[k]) == Fraction(c, 1 << k)
+
+
+bipartite_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(100, 114)),
+    min_size=1,
+    max_size=120,
+    unique=True,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(edges=bipartite_edges)
+def test_butterfly_side_choice_counts_agree(edges):
+    """X72's side-choice argument: the global butterfly count computed
+    by wedging on the src side (Σ over dst pairs C(common srcs, 2))
+    equals the dst-side wedge form (Σ over src pairs C(common dsts, 2))
+    — both enumerate every 2×2 biclique exactly once — and the per-dst
+    counts sum to exactly 2× the global count."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    nb_src = defaultdict(set)  # src -> dsts
+    nb_dst = defaultdict(set)  # dst -> srcs
+    for s, d in edges:
+        nb_src[s].add(d)
+        nb_dst[d].add(s)
+
+    def pairs_total(nbrs):
+        tot = 0
+        for a, b in combinations(sorted(nbrs), 2):
+            c = len(nbrs[a] & nbrs[b])
+            tot += c * (c - 1) // 2
+        return tot
+
+    total_by_dst_pairs = pairs_total(nb_dst)
+    total_by_src_pairs = pairs_total(nb_src)
+    assert total_by_dst_pairs == total_by_src_pairs
+
+    per_dst = defaultdict(int)
+    for d1, d2 in combinations(sorted(nb_dst), 2):
+        c = len(nb_dst[d1] & nb_dst[d2])
+        nb = c * (c - 1) // 2
+        per_dst[d1] += nb
+        per_dst[d2] += nb
+    assert sum(per_dst.values()) == 2 * total_by_dst_pairs
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    starts=st.lists(st.integers(1, 300), min_size=0, max_size=60, unique=True),
+    gap=st.integers(1, 10),
+)
+def test_island_merge_partitions_starts(starts, gap):
+    """X77's gaps-and-islands merge: islands partition the duplicated
+    start set, consecutive starts within an island are ≤ gap apart,
+    and adjacent islands are separated by > gap."""
+    ordered = sorted(starts)
+    islands = []
+    for p in ordered:
+        if islands and p - islands[-1][-1] <= gap:
+            islands[-1].append(p)
+        else:
+            islands.append([p])
+    assert [p for isl in islands for p in isl] == ordered
+    for isl in islands:
+        assert all(b - a <= gap for a, b in zip(isl, isl[1:]))
+    for a, b in zip(islands, islands[1:]):
+        assert b[0] - a[-1] > gap
