@@ -821,8 +821,10 @@ def _rate_bias(
 ) -> DataFrame:
     """Shared binomial rate-bias skeleton (X73/X74): per-user count of
     flagged transactions vs the corpus base rate p0, scored with the
-    normal-approximation binomial z. One shuffle on user_id + a 1-row
-    broadcast global aggregate; z is a pinned chain of IEEE ops on
+    normal-approximation binomial z. ONE scan + one user_id shuffle:
+    the per-user relation is localCheckpoint-ed and the 1-row global
+    is summed FROM it (identical by additivity of counts), so the
+    event stream is read once however many consumers follow; z is a pinned chain of IEEE ops on
     exact counts — (n_f - n_tx*p0) / sqrt((n_tx*p0) * (1.0-p0)) with
     the same parenthesization in the oracle, so unrounded doubles
     hash-match cross-engine. Degenerate base rates (p0 = 0 or 1 — no
@@ -834,9 +836,9 @@ def _rate_bias(
     lf = flag.cast("long")
     per = ev.groupBy("user_id").agg(
         F.count("*").alias("n_tx"), F.sum(lf).alias(n_flag)
-    )
-    tot = ev.agg(
-        F.count("*").alias("_N"), F.sum(lf).alias("_B")
+    ).localCheckpoint()
+    tot = per.agg(
+        F.sum("n_tx").alias("_N"), F.sum(n_flag).alias("_B")
     )
     p0 = F.col("_B").cast("double") / F.col("_N")
     nf = F.col(n_flag).cast("double")
@@ -1073,7 +1075,10 @@ def q_user_profile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical cross-engine), 6dp-rounded; each type's term is one
     pinned IEEE chain 9dp-DECIMAL-quantized so the per-account sum is
     order-free (a bare SUM of doubles would be aggregation-order-
-    dependent). Scale: two hash aggregates over the event scan; the
+    dependent). Scale: two hash aggregates over the event scan
+    (checkpointing the (user, type) relation was MEASURED SLOWER at
+    sf0.1 — 1.96 vs 1.40 s warm — the re-aggregation is cheaper than
+    the materialization barrier, so the declarative form stands); the
     type dictionary (broadcast) and the 1-row total are the only
     joined relations besides the account-sized `un`."""
     ev = load_table(spark, sf_dir, "events")
