@@ -32,82 +32,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-7
-# rotation (round-6 verdict, "Next round" #2): the flagship canary;
-# this round's re-gates (corpus_mix_allocation's exact integer `div`,
-# the two stateful scorers' state-aging fix, and the three iterative
-# queries that gained convergence-residual columns — pagerank /
-# seeded_ppr / label_propagation, oracles updated in lockstep); the
-# eight r7 newborns under the SAME-ROUND-WINDOW rule; the 21 queries
-# whose latest driver row was r3 (the staleness debt the r6 verdict
-# named); and 14 stalest-r4 greens as backfill (the remaining 33 r4
-# rows rotate in r8). After this round no query's latest row is older
-# than r4; verification debt stays zero by construction.
+# value-hash row; rows-only queries the weaker rows check). Round-8
+# rotation (round-7 verdict, "Next round" #1 — THE round's top item):
+# the flagship canary; this round's single birth (harmonic_centrality,
+# same-round-window rule); the two CC re-gates whose oracles gained a
+# convergence `rounds_used` column (connected_components_jump /
+# connected_components_twostar — plain connected_components gets the
+# same column and is already in the rotation pool below); and ALL 46
+# queries whose latest driver row is r4 (the verdict estimated ~42;
+# the recomputed pool from CORRECTNESS_r01-r07 is 46, which is why r8
+# carries exactly ONE birth — 1 + 1 + 2 + 46 = 50). After this round
+# no registered query's latest driver row is older than r5.
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
-# spiral cannot recur. r7 births: contamination_ngram, pps_sample,
-# dedup_components, near_dup_jaccard_salted, near_dup_jaccard_capped,
-# k_truss, connected_components_jump, seeded_ppr_weighted — all below.
+# spiral cannot recur. r8 birth: harmonic_centrality. The other three
+# r7-verdict operator candidates (windowed k-truss, MinHash
+# cross-source overlap, per-src butterfly) defer to r9, where the
+# rotation pool (the 45 r5-latest rows) leaves birth slots again.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
-    # -- r7 re-gates (code or oracle edited this round) --
-    "corpus_mix_allocation",     # base_alloc via exact BIGINT div
-    "stream_change_cosine",      # incomplete-window state aging
-    "stream_change_scores",      # same aging fix (rows-only)
-    "pagerank",                  # + residual column (oracle updated)
-    "seeded_ppr",                # + residual column (oracle updated)
-    "label_propagation",         # + changed flag (oracle updated)
     # -- born this round (same-round-window rule) --
-    "contamination_ngram",       # benchmark n-gram decontamination
-    "pps_sample",                # token-mass systematic PPS sample
-    "dedup_components",          # near-dup clusters + canonical keep
-    "near_dup_jaccard_salted",   # shingle-skew twin, same oracle as X6
-    "near_dup_jaccard_capped",   # df-capped Jaccard (own oracle)
-    "k_truss",                   # edge-support peel (X65)
-    "connected_components_jump", # pointer-jumping CC (X66, same oracle)
-    "connected_components_twostar",  # large-star/small-star CC (X69)
-    "seeded_ppr_weighted",       # money-weighted PPR (X67)
-    "pagerank_weighted",         # money-weighted global PageRank (X68)
-    "hits_scores",               # HITS hubs/authorities (X70)
-    "bigram_surprise",           # bigram-LM doc surprise (X71)
-    "butterfly_counts",          # bipartite 2x2 biclique motif (X72)
-    "threshold_structuring",     # just-below-threshold binomial z (X73)
-    "round_number_bias",         # whole-unit amount binomial z (X74)
-    "cusum_upshifts",            # exact-integer CUSUM changepoints (X75)
-    "dsir_importance",           # hashed-LM importance weights (X76)
-    "repeated_passages",         # cross-doc dup-passage islands (X77)
-    "butterfly_counts_salted",   # bulk-payer skew twin, same oracle
-    "user_profile_divergence",   # per-account KL vs corpus mix (X78)
-    "account_succession",        # rotating-account candidates (X79)
-    "ewma_spike_flags",          # dyadic-exact EWMA spikes (X80)
-    # -- the 21 queries whose latest driver row is r3 --
-    "background_edges",
-    "chunk_documents",
-    "direction_mapped_edges",
-    "feature_pairs",
-    "focus_plot_sum",
-    "iforest_points",
-    "inout_zero_fill",
-    "multimodal_assemble",
-    "powerlaw_fit",
-    "range_join_event_context",
-    "sample_stratified",
-    "sink_accounts",
-    "stream_sketch_sums",
-    "stream_value_milestones",
-    "term_frequencies",
-    "tfidf_top_terms",
-    "topk_per_group",
-    "trailing_window_avg",
-    "user_sessions",
-    "window_alignment",
-    "windowed_features",
-    # -- backfill: stalest r4 greens (alphabetical head; entries here
-    #    are evicted one-per-late-r7-birth to keep the window at 50 —
-    #    every evictee already holds an r4 driver row and rotates in
-    #    r8 with the other r4 rows) --
+    "harmonic_centrality",       # bounded-depth reach centrality (X81)
+    # -- r8 re-gates (oracle gained the rounds_used convergence column) --
+    "connected_components_jump",
+    "connected_components_twostar",
+    # -- the 46 queries whose latest driver row is r4 (full pool;
+    #    connected_components below is ALSO an r8 re-gate) --
+    "account_features",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "anomaly_scores_mahalanobis",
+    "asof_join_attribution",
+    "attention_routing_hashed",
+    "bucketed_degree_join",
+    "connected_components",
+    "corpus_filter",
+    "corpus_token_budget",
+    "cube_events",
+    "date_functions",
+    "dedup_retention",
+    "degree_counts",
+    "filter_project",
+    "global_argmax",
+    "heavy_pairs",
+    "intersect_except_users",
+    "json_props_extract",
+    "json_source_roundtrip",
+    "log_bin_means",
+    "media_features_hashed",
+    "media_frame_sample",
+    "media_pipeline_real",
+    "near_dup_levenshtein",
+    "near_dup_minhash_hashed",
+    "node_universe",
+    "orc_source_roundtrip",
+    "partition_pruned_scan",
+    "profit_by_nation_year",
+    "revenue_by_nation",
+    "rollup_orders",
+    "salted_user_totals",
+    "scalar_math",
+    "sketch_values_hashed",
+    "stream_dedup_exact",
+    "stream_user_sessions",
+    "stream_window_event_stats",
+    "text_normalize",
+    "two_hop_intermediaries",
+    "two_hop_salted",
+    "union_dedup",
+    "value_percentiles",
+    "weight_stats",
+    "window_event_stats",
+    "window_topk_accounts",
 ]
 
 

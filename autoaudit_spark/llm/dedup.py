@@ -208,10 +208,15 @@ def jaccard_pairs(
     shingle-skew table). Results CHANGE under the cap (documented
     recall trade: pairs similar ONLY through boilerplate disappear) —
     the capped query carries its own oracle."""
-    # persist BEFORE deriving the df filter (review r7): `keep` and the
-    # semi-join probe side would otherwise each rebuild the tokenize/
-    # explode pipeline from scratch
-    sh = shingles(docs).persist()
+    # Exactly ONE relation is persisted per call — the final shingle
+    # space the sizes/intersection branches share. Persisting the
+    # pre-cap base AS WELL (the r7-review form) leaked a second
+    # session-lifetime cache entry per capped call (r7 ADVICE): the
+    # handle was overwritten and never unpersisted. The df filter's
+    # agg + left-semi probe re-derive the tokenize/explode lineage
+    # inside the one capped materialization job instead — a single
+    # extra map-side pass, not a standing cache leak.
+    sh = shingles(docs)
     if df_cap is not None:
         keep = (
             sh.groupBy("shingle")
@@ -219,7 +224,8 @@ def jaccard_pairs(
             .filter(F.col("df") <= df_cap)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi").persist()
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         shingle_pair_counts_salted(sh) if salted else shingle_pair_counts(sh)
@@ -835,9 +841,10 @@ QUALITY_MIN = 0.6
 
 
 def retention_components(docs: DataFrame) -> DataFrame:
-    """(node, component) over the exact-Jaccard near-dup pair graph —
-    hash-min label propagation (O(diameter) rounds, one join + one
-    aggregate per round; see operators/graph.py:176)."""
+    """(node, component, rounds_used) over the exact-Jaccard near-dup
+    pair graph — hash-min label propagation (O(diameter) rounds, one
+    join + one aggregate per round; see operators/graph.py:176).
+    Consumers select the columns they need; rounds_used rides along."""
     from ..operators.graph import connected_components
 
     pairs = jaccard_pairs(docs)

@@ -311,7 +311,17 @@ def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
     silently returning non-converged labels that would diverge from the
     closure oracle and mis-split clusters (review r7). Graphs that
     legitimately exceed it want the pointer-doubling (large-star/
-    small-star) formulation, which converges in O(log diameter)."""
+    small-star) formulation, which converges in O(log diameter).
+
+    Emits a `rounds_used` column (r7 verdict #3 — the X62-residual
+    pattern applied to the CC family): the number of hash-min rounds
+    executed INCLUDING the final round that proved the fixpoint
+    (changed == 0). The counter is the driver loop index carried as a
+    literal — zero extra shuffles. Observability contract: a user
+    comparing the three CC variants reads identical (node, component)
+    labelings and DIFFERENT rounds_used (O(d) here vs O(log d) for the
+    jump/two-star forms) — the convergence behavior is now data, not a
+    log line."""
     und = (
         adj.select("src", "dst")
         .union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -324,7 +334,8 @@ def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    rounds_used = 0
+    for r in range(1, max_iter + 1):
         neigh = (
             und.join(labels, und.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -350,6 +361,7 @@ def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            rounds_used = r
             break
     else:
         und.unpersist()
@@ -359,11 +371,29 @@ def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
             "use a pointer-doubling formulation for chain-like graphs"
         )
     und.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    return labels.select(
+        "node",
+        F.col("label").alias("component"),
+        F.lit(rounds_used).cast("int").alias("rounds_used"),
+    )
 
 
-_CC_ORACLE = f"""
-    WITH RECURSIVE edges AS ({EDGES_SQL}),
+# --- CC oracles: closure labels + per-variant round simulation ---------
+#
+# The component LABELS are checked against an algorithm-independent
+# recursive-closure computation (min reachable node id) — a shared
+# algorithmic bug in Spark and a mirrored SQL simulation could not slip
+# past it. The `rounds_used` convergence column (r8: verdict #3) is the
+# one thing closure cannot know — it is ALGORITHM-specific — so each
+# variant's oracle additionally unrolls its own round recurrence
+# (the k_truss/HITS materialized-CTE precedent) just far enough to find
+# the first no-change round, and takes ONLY the round count from it.
+# If the true fixpoint exceeds the unroll, MIN(r) over the no-change
+# flags is NULL and the driver comparison fails loudly (same contract
+# as the Spark-side max_iter raise). Unroll depths are measured
+# fixpoints at sf0.001/0.01/0.1 plus margin (see the constants).
+
+_CC_CLOSURE_PARTS = f"""edges AS ({EDGES_SQL}),
     adj AS (SELECT DISTINCT src, dst FROM edges),
     und AS (SELECT src AS a, dst AS b FROM adj
             UNION SELECT dst, src FROM adj),
@@ -373,17 +403,148 @@ _CC_ORACLE = f"""
         UNION
         SELECT u.b AS node, r.label
         FROM reach r JOIN und u ON u.a = r.node
-    )
-    SELECT node, MIN(label) AS component
-    FROM reach GROUP BY node ORDER BY node
+    ),
+    comp AS (
+        SELECT node, MIN(label) AS component
+        FROM reach GROUP BY node
+    )"""
+
+_CC_FINAL_SQL = """
+    SELECT c.node, c.component,
+           CAST((SELECT MIN(r) FROM simchg WHERE NOT ch) AS INTEGER)
+               AS rounds_used
+    FROM comp c ORDER BY node
     """
 
+#: unrolled-simulation depths for the three CC oracles — measured
+#: fixpoints on the derived events adjacency: hash-min 4/3/3, jump
+#: 4/3/3, two-star 3/2/2 at sf0.001/0.01/0.1 (one dense component,
+#: tiny diameter — rounds SHRINK as density grows); the 2x+ margin
+#: covers SF drift, and an exceeded unroll fails loudly (NULL rounds)
+CC_HASHMIN_UNROLL = 10
+CC_JUMP_UNROLL = 8
+CC_TWOSTAR_UNROLL = 8
 
-@query("connected_components", oracle=_CC_ORACLE)
+
+def _cc_chg_union(rounds: int) -> str:
+    return "simchg AS (" + " UNION ALL ".join(
+        f"SELECT * FROM c{r}" for r in range(1, rounds + 1)
+    ) + ")"
+
+
+def _cc_hashmin_sql(rounds: int = CC_HASHMIN_UNROLL) -> str:
+    """Closure labels + an unrolled hash-min simulation (one neighbor-min
+    aggregate + one LEAST per round, all-integer → exact) for rounds_used."""
+    parts = [_CC_CLOSURE_PARTS,
+             "sl0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS (
+            SELECT u.b AS node, MIN(l.label) AS nlabel
+            FROM und u JOIN sl{r - 1} l ON l.node = u.a GROUP BY u.b)"""
+        )
+        parts.append(
+            f"""sl{r} AS MATERIALIZED (
+            SELECT l.node,
+                   LEAST(l.label, COALESCE(n.nlabel, l.label)) AS label
+            FROM sl{r - 1} l LEFT JOIN n{r} n USING (node))"""
+        )
+        parts.append(
+            f"""c{r} AS (SELECT {r} AS r, EXISTS (
+            SELECT 1 FROM sl{r} a JOIN sl{r - 1} b USING (node)
+            WHERE a.label <> b.label) AS ch)"""
+        )
+    parts.append(_cc_chg_union(rounds))
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + _CC_FINAL_SQL
+
+
+def _cc_jump_sql(rounds: int = CC_JUMP_UNROLL) -> str:
+    """Closure labels + the pointer-jumping recurrence
+    l(v) <- least(l(v), min neighbor label, l(l(v))) unrolled."""
+    parts = [_CC_CLOSURE_PARTS,
+             "sl0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS (
+            SELECT u.b AS node, MIN(l.label) AS nlabel
+            FROM und u JOIN sl{r - 1} l ON l.node = u.a GROUP BY u.b)"""
+        )
+        parts.append(
+            f"""sl{r} AS MATERIALIZED (
+            SELECT l.node,
+                   LEAST(l.label,
+                         COALESCE(n.nlabel, l.label),
+                         COALESCE(j.label, l.label)) AS label
+            FROM sl{r - 1} l
+            LEFT JOIN n{r} n USING (node)
+            LEFT JOIN sl{r - 1} j ON j.node = l.label)"""
+        )
+        parts.append(
+            f"""c{r} AS (SELECT {r} AS r, EXISTS (
+            SELECT 1 FROM sl{r} a JOIN sl{r - 1} b USING (node)
+            WHERE a.label <> b.label) AS ch)"""
+        )
+    parts.append(_cc_chg_union(rounds))
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + _CC_FINAL_SQL
+
+
+def _cc_twostar_sql(rounds: int = CC_TWOSTAR_UNROLL) -> str:
+    """Closure labels + the alternating large-star/small-star edge
+    rewrite unrolled; a round's change flag is set-inequality of the
+    edge relation before and after (two EXCEPT probes, mirroring the
+    Spark side's exceptAll pair on distinct relations)."""
+    parts = [
+        _CC_CLOSURE_PARTS,
+        """ts0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""nb{r} AS (
+            SELECT a AS u, b AS v FROM ts{p}
+            UNION ALL SELECT b, a FROM ts{p})"""
+        )
+        parts.append(
+            f"""bg{r} AS (
+            SELECT u, LEAST(u, MIN(v)) AS m FROM nb{r} GROUP BY u)"""
+        )
+        parts.append(
+            f"""el{r} AS MATERIALIZED (
+            SELECT DISTINCT g.m AS a, n.v AS b
+            FROM nb{r} n JOIN bg{r} g USING (u) WHERE n.v > n.u)"""
+        )
+        parts.append(
+            f"""sm{r} AS (
+            SELECT u, MIN(v) AS m
+            FROM (SELECT b AS u, a AS v FROM el{r}) GROUP BY u)"""
+        )
+        parts.append(
+            f"""ts{r} AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT s.m AS a, d.v AS b
+                FROM (SELECT b AS u, a AS v FROM el{r}) d
+                JOIN sm{r} s USING (u) WHERE s.m <> d.v
+                UNION ALL
+                SELECT m AS a, u AS b FROM sm{r}))"""
+        )
+        parts.append(
+            f"""c{r} AS (SELECT {r} AS r,
+            EXISTS (SELECT a, b FROM ts{r} EXCEPT SELECT a, b FROM ts{p})
+            OR EXISTS (SELECT a, b FROM ts{p} EXCEPT SELECT a, b FROM ts{r})
+                AS ch)"""
+        )
+    parts.append(_cc_chg_union(rounds))
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + _CC_FINAL_SQL
+
+
+@query("connected_components", oracle=_cc_hashmin_sql())
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CC on the derived adjacency; the oracle computes min reachable
-    label via recursive closure (fine at oracle scale; the Spark side is
-    the O(diameter)-round scale path)."""
+    """CC on the derived adjacency; the oracle checks labels against an
+    algorithm-independent recursive closure (min reachable id) and
+    `rounds_used` against an unrolled hash-min simulation (r8: the
+    convergence column — see the oracle-block comment above)."""
     return connected_components(adjacency(spark, sf_dir)).orderBy("node")
 
 
@@ -419,7 +580,8 @@ def connected_components_jump(adj: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    rounds_used = 0
+    for r in range(1, max_iter + 1):
         neigh = (
             und.join(labels, und.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -451,6 +613,7 @@ def connected_components_jump(adj: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            rounds_used = r
             break
     else:
         und.unpersist()
@@ -459,14 +622,19 @@ def connected_components_jump(adj: DataFrame, max_iter: int = 25) -> DataFrame:
             "rounds — diameter above 2^max_iter is not a real graph"
         )
     und.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    return labels.select(
+        "node",
+        F.col("label").alias("component"),
+        F.lit(rounds_used).cast("int").alias("rounds_used"),
+    )
 
 
-@query("connected_components_jump", oracle=_CC_ORACLE)
+@query("connected_components_jump", oracle=_cc_jump_sql())
 def q_connected_components_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X66: the pointer-jumping CC twin under the SAME closure oracle as
-    `connected_components` — results must be identical; only the round
-    count (O(log d) vs O(d)) differs. The chain-graph scale path."""
+    """X66: the pointer-jumping CC twin — labels under the SAME closure
+    check as `connected_components` (results must be identical), and its
+    OWN unrolled round simulation for `rounds_used`, which is where the
+    variants differ (O(log d) vs O(d)). The chain-graph scale path."""
     return connected_components_jump(adjacency(spark, sf_dir)).orderBy("node")
 
 
@@ -510,7 +678,8 @@ def connected_components_twostar(
         .persist()
     )
     e = undirected_simple(adj).persist()
-    for _ in range(max_iter):
+    rounds_used = 0
+    for r in range(1, max_iter + 1):
         # large-star: full neighborhoods (both directions)
         nbr = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -545,6 +714,7 @@ def connected_components_twostar(
         e.unpersist()
         e = e_small
         if converged:
+            rounds_used = r
             break
     else:
         all_nodes.unpersist()
@@ -559,18 +729,171 @@ def connected_components_twostar(
         e.select(F.col("b").alias("node"), F.col("a").alias("comp")),
         "node",
         "left",
-    ).select("node", F.coalesce("comp", F.col("node")).alias("component"))
+    ).select(
+        "node",
+        F.coalesce("comp", F.col("node")).alias("component"),
+        F.lit(rounds_used).cast("int").alias("rounds_used"),
+    )
     all_nodes.unpersist()
     return labels
 
 
-@query("connected_components_twostar", oracle=_CC_ORACLE)
+@query("connected_components_twostar", oracle=_cc_twostar_sql())
 def q_connected_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X69: the edge-rewriting (large-star/small-star) CC under the SAME
-    closure oracle as `connected_components`/`connected_components_jump`
-    — all three formulations must produce identical labelings; they
-    differ only in round count and per-round relation size."""
+    """X69: the edge-rewriting (large-star/small-star) CC — labels under
+    the SAME closure check as the sibling variants (all three must
+    produce identical labelings), `rounds_used` under its own unrolled
+    alternating-round simulation; the variants differ only in round
+    count and per-round relation size."""
     return connected_components_twostar(adjacency(spark, sf_dir)).orderBy("node")
+
+
+#: bounded BFS depth for harmonic centrality — 3 hops is the audit
+#: horizon the flagship's two-hop product implies (one hop beyond the
+#: smurf pattern); ALSO the scale governor: on small-world graphs the
+#: d-hop ball approaches the whole graph fast, so the depth cap — not
+#: sampling — is what keeps the pair relation at Σ|ball_d(v)| instead
+#: of N². Raising it is a conscious cost decision, not a default.
+HARMONIC_DEPTH = 3
+
+
+def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFrame:
+    """Bounded-depth harmonic centrality (X81, r8 — verdict #4):
+    H_D(v) = Σ_{u≠v, dist(u,v)≤D} 1/dist(u,v) on the undirected simple
+    graph — "which accounts sit near everything". The reference's
+    candidate ordering (`AA-Smurf.py:105-110`, two-hop path counts) is a
+    crude proxy for exactly this reach notion; harmonic centrality is
+    the principled version (Boldi & Vigna, "Axioms for Centrality",
+    2014 — handles disconnected graphs where closeness breaks).
+
+    Implementation is the CC family's frontier kernel run for D rounds
+    with an explicit visited set: per round, frontier ⋈ neighbor
+    relation → distinct candidate pairs → anti-join against seen pairs
+    = the exact distance-d shell; each shell is reduced IMMEDIATELY to
+    per-source counts (n_d), so nothing distance-annotated accumulates
+    beyond the (src, node) seen set. localCheckpoint truncates the
+    per-round lineage (pagerank discipline).
+
+    Exactness: the shell counts are BIGINT-exact; the harmonic score is
+    a PINNED left-associated IEEE chain n1/1.0 + n2/2.0 + ... + nD/D.0
+    — each term one correctly-rounded double division of an exact
+    integer, summed in a fixed order mirrored token-for-token by the
+    oracle, so the all-float output stays hash-exact cross-engine (the
+    X73/X80 discipline; no ROUND anywhere).
+
+    100 TB posture: every join is an equi-join on a node id or a
+    (src, node) pair key; the frontier/seen relations are bounded by
+    Σ|ball_D(v)| (the depth cap's job); no driver-side state beyond the
+    D-step loop; counts fold map-side before the final node-keyed
+    assembly."""
+    if depth < 1:
+        raise ValueError("harmonic_centrality needs depth >= 1")
+    und = undirected_simple(adj)
+    nbr = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    nodes = node_universe(adj).persist()
+    frontier = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("c")
+    ).localCheckpoint()
+    seen = frontier
+    shell_counts: list[DataFrame] = []
+    for d in range(1, depth + 1):
+        cand = (
+            frontier.join(nbr, frontier.c == nbr.u)
+            .select("s", F.col("v").alias("c"))
+            .distinct()
+        )
+        shell = cand.join(seen, ["s", "c"], "left_anti").localCheckpoint()
+        shell_counts.append(
+            shell.groupBy("s").agg(F.count("*").alias(f"n{d}"))
+        )
+        seen = seen.union(shell)
+        frontier = shell
+    out = nodes
+    for d, cnt in enumerate(shell_counts, start=1):
+        out = out.join(cnt, out.node == cnt.s, "left").drop("s")
+        out = out.withColumn(
+            f"n{d}", F.coalesce(F.col(f"n{d}"), F.lit(0)).cast("long")
+        )
+    harmonic = F.col("n1").cast("double")
+    for d in range(2, depth + 1):
+        harmonic = harmonic + F.col(f"n{d}").cast("double") / F.lit(float(d))
+    result = out.select(
+        "node", *[f"n{d}" for d in range(1, depth + 1)],
+        harmonic.alias("harmonic"),
+    )
+    nbr.unpersist()
+    nodes.unpersist()
+    return result
+
+
+def _harmonic_sql(depth: int = HARMONIC_DEPTH) -> str:
+    """DuckDB twin of `harmonic_centrality`: distance shells as
+    DISTINCT-candidate EXCEPT previous-shells chains (set semantics ==
+    the Spark side's distinct + left-anti), counts per shell, and the
+    SAME left-associated double chain for the harmonic score."""
+    parts = [
+        f"edges AS ({EDGES_SQL})",
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        """und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst)""",
+        "nbr AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        "d1 AS MATERIALIZED (SELECT u AS s, v AS c FROM nbr)",
+    ]
+    for d in range(2, depth + 1):
+        prev = d - 1
+        parts.append(
+            f"""cand{d} AS (
+            SELECT DISTINCT p.s, b.v AS c
+            FROM d{prev} p JOIN nbr b ON b.u = p.c)"""
+        )
+        excepts = " ".join(
+            f"EXCEPT SELECT s, c FROM d{k}" for k in range(prev, 0, -1)
+        )
+        parts.append(
+            f"""d{d} AS MATERIALIZED (
+            SELECT s, c FROM cand{d}
+            {excepts}
+            EXCEPT SELECT node AS s, node AS c FROM nodes)"""
+        )
+    for d in range(1, depth + 1):
+        parts.append(
+            f"cnt{d} AS (SELECT s, COUNT(*) AS n{d} FROM d{d} GROUP BY s)"
+        )
+    ns = ", ".join(
+        f"CAST(COALESCE(c{d}.n{d}, 0) AS BIGINT) AS n{d}"
+        for d in range(1, depth + 1)
+    )
+    chain = "CAST(COALESCE(c1.n1, 0) AS DOUBLE)" + "".join(
+        f" + CAST(COALESCE(c{d}.n{d}, 0) AS DOUBLE) / {d}.0"
+        for d in range(2, depth + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN cnt{d} c{d} ON c{d}.s = n.node"
+        for d in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT n.node, {ns}, {chain} AS harmonic
+    FROM nodes n{joins}
+    ORDER BY n.node
+    """
+    )
+
+
+@query("harmonic_centrality", oracle=_harmonic_sql())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: bounded-depth (D=3) harmonic centrality over the derived
+    adjacency — per-distance shell counts (n1, n2, n3: BIGINT-exact)
+    plus the pinned-chain harmonic score. The near-everything account
+    ranking the reference's two-hop candidate ordering approximates."""
+    return harmonic_centrality(adjacency(spark, sf_dir)).orderBy("node")
 
 
 @query(
@@ -894,6 +1217,12 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
         F.lit(1.0 / n).alias("h"),
         F.lit(0.0).alias("prev_a"),
     ).persist()
+    # the initial state is read by three round-1 jobs (araw checkpoint,
+    # hraw checkpoint, state checkpoint) — persisted for those, then
+    # released once the first localCheckpoint supersedes it (r7 ADVICE:
+    # the overwritten handle leaked one cache entry per invocation),
+    # matching damped_walk's per-round unpersist discipline
+    init_state = state
     for _ in range(iters):
         hq = F.col("h").cast("decimal(18,12)")
         araw = (
@@ -945,6 +1274,9 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
                 F.col("pa").alias("prev_a"),
             )
         ).localCheckpoint()
+        if init_state is not None:
+            init_state.unpersist()
+            init_state = None
     nodes.unpersist()
     return state.select(
         "node",

@@ -330,10 +330,13 @@ class TestConnectedComponentsConvergenceGuard:
         adj = spark.createDataFrame(path, "src long, dst long")
         with pytest.raises(ValueError, match="did not converge"):
             connected_components(adj, max_iter=5)
-        # and with enough rounds the same chain converges to one label
-        got = {r["node"]: r["component"]
-               for r in connected_components(adj, max_iter=15).collect()}
+        # and with enough rounds the same chain converges to one label;
+        # rounds_used = eccentricity of the min node (10 hops for the
+        # 11-node path) + the confirming no-change round
+        rows = connected_components(adj, max_iter=15).collect()
+        got = {r["node"]: r["component"] for r in rows}
         assert set(got.values()) == {0}
+        assert {r["rounds_used"] for r in rows} == {11}
 
 
 class TestPointerJumpingCC:
@@ -356,11 +359,19 @@ class TestPointerJumpingCC:
             connected_components(adj, max_iter=50)
 
     def test_matches_plain_cc_on_fixture(self, spark, sf_dir):
+        """Labelings identical across variants; rounds_used is each
+        algorithm's own (constant per result, >= 1) — the jump form
+        never needs more rounds than plain hash-min."""
         from autoaudit_spark.registry import QUERIES
 
-        a = [tuple(r) for r in QUERIES["connected_components"](spark, sf_dir).collect()]
-        b = [tuple(r) for r in QUERIES["connected_components_jump"](spark, sf_dir).collect()]
+        ra = QUERIES["connected_components"](spark, sf_dir).collect()
+        rb = QUERIES["connected_components_jump"](spark, sf_dir).collect()
+        a = [(r["node"], r["component"]) for r in ra]
+        b = [(r["node"], r["component"]) for r in rb]
         assert a == b and a
+        (rounds_a,) = {r["rounds_used"] for r in ra}
+        (rounds_b,) = {r["rounds_used"] for r in rb}
+        assert 1 <= rounds_b <= rounds_a
 
 
 class TestTwoStarCC:
@@ -402,9 +413,13 @@ class TestTwoStarCC:
     def test_matches_plain_cc_on_fixture(self, spark, sf_dir):
         from autoaudit_spark.registry import QUERIES
 
-        a = [tuple(r) for r in QUERIES["connected_components"](spark, sf_dir).collect()]
-        c = [tuple(r) for r in QUERIES["connected_components_twostar"](spark, sf_dir).collect()]
+        ra = QUERIES["connected_components"](spark, sf_dir).collect()
+        rc = QUERIES["connected_components_twostar"](spark, sf_dir).collect()
+        a = [(r["node"], r["component"]) for r in ra]
+        c = [(r["node"], r["component"]) for r in rc]
         assert a == c and a
+        (rounds_c,) = {r["rounds_used"] for r in rc}
+        assert rounds_c >= 1
 
 
 class TestWeightedPPR:
@@ -659,3 +674,72 @@ class TestAccountSuccession:
         conc = out[(3, 4)]
         assert conc["jaccard"] == 1.0
         assert conc["overlap_frac"] > 0.9 and conc["gap_us"] < 0
+
+
+class TestHarmonicCentrality:
+    def test_star_with_pendant_chain(self, spark):
+        """X81 planted fixture: star 0-{1..5} plus pendant chain 5-6-7.
+        Shell counts and the pinned-chain harmonic are hand-computed;
+        float equality is EXACT because the test replays the identical
+        left-associated IEEE chain."""
+        from autoaudit_spark.operators.graph import harmonic_centrality
+
+        edges = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (5, 6), (6, 7)]
+        adj = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["n1"], r["n2"], r["n3"], r["harmonic"])
+            for r in harmonic_centrality(adj).collect()
+        }
+        assert got[0] == (5, 1, 1, 5 + 1 / 2.0 + 1 / 3.0)
+        assert got[5] == (2, 5, 0, 2 + 5 / 2.0 + 0 / 3.0)
+        assert got[7] == (1, 1, 1, 1 + 1 / 2.0 + 1 / 3.0)
+        assert got[1] == (1, 4, 1, 1 + 4 / 2.0 + 1 / 3.0)
+        assert len(got) == 8
+
+    def test_brute_force_parity_random_graphs(self, spark):
+        """Random multigraphs (self-loops included — they must drop) vs
+        a pure-Python bounded BFS."""
+        import random
+        from collections import defaultdict
+
+        from autoaudit_spark.operators.graph import harmonic_centrality
+
+        for seed in (1, 7):
+            rnd = random.Random(seed)
+            n = 12
+            edges = sorted(
+                {(rnd.randrange(n), rnd.randrange(n)) for _ in range(18)}
+            )
+            adj = spark.createDataFrame(edges, "src long, dst long")
+            nbrs, nodes = defaultdict(set), set()
+            for s, d in edges:
+                nodes |= {s, d}
+                if s != d:
+                    nbrs[s].add(d)
+                    nbrs[d].add(s)
+            exp = {}
+            for v in nodes:
+                dist, frontier = {v: 0}, {v}
+                for dd in (1, 2, 3):
+                    nxt = set().union(*(nbrs[u] for u in frontier)) - set(
+                        dist
+                    ) if frontier else set()
+                    for u in nxt:
+                        dist[u] = dd
+                    frontier = nxt
+                c = [
+                    sum(1 for x in dist.values() if x == dd) for dd in (1, 2, 3)
+                ]
+                exp[v] = (c[0], c[1], c[2], c[0] + c[1] / 2.0 + c[2] / 3.0)
+            got = {
+                r["node"]: (r["n1"], r["n2"], r["n3"], r["harmonic"])
+                for r in harmonic_centrality(adj).collect()
+            }
+            assert got == exp
+
+    def test_depth_validated(self, spark):
+        from autoaudit_spark.operators.graph import harmonic_centrality
+
+        adj = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="depth"):
+            harmonic_centrality(adj, depth=0)
