@@ -79,6 +79,9 @@ HEADLINE = [
     "user_profile_divergence",  # analytics: per-account KL (X78)
     "account_succession",     # graph: overlap pairs + spans (X79)
     "ewma_spike_flags",       # analytics: dyadic-exact EWMA spikes (X80)
+    # -- r8 birth: perf rows land the round they are born (all 43 rows
+    #    above UNCHANGED) --
+    "harmonic_centrality",    # graph: bounded-depth BFS shells (X81)
 ]
 
 

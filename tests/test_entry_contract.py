@@ -49,35 +49,36 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round7_rotation_in_window():
-    """Round-7 rotation (r6 verdict 'Next round' #2): flagship canary,
-    this round's re-gates (exact-div mix allocation, state-aging stream
-    scorers, residual-column iterative family), the three r7 newborns
-    (same-round-window rule), and the 21 queries whose latest driver
-    row was r3 — the staleness debt the r6 verdict named."""
+def test_round8_rotation_in_window():
+    """Round-8 rotation (r7 verdict 'Next round' #1 — the round's top
+    item): flagship canary, the single r8 birth (same-round-window
+    rule), the two CC re-gates whose oracles gained the rounds_used
+    convergence column, and ALL 46 queries whose latest driver row was
+    r4 (the recomputed staleness pool; the verdict estimated ~42, which
+    is why this round carries exactly one birth)."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + r7 re-gates + newborns (same-round-window rule)
-        "two_hop_candidates", "corpus_mix_allocation",
-        "stream_change_cosine", "stream_change_scores",
-        "pagerank", "seeded_ppr", "label_propagation",
-        "contamination_ngram", "pps_sample", "dedup_components",
-        "near_dup_jaccard_salted", "near_dup_jaccard_capped", "k_truss",
-        "connected_components_jump", "seeded_ppr_weighted",
-        "connected_components_twostar", "pagerank_weighted",
-        "hits_scores", "bigram_surprise", "butterfly_counts",
-        "threshold_structuring", "round_number_bias", "cusum_upshifts",
-        "dsir_importance", "repeated_passages", "butterfly_counts_salted",
-        "user_profile_divergence", "account_succession", "ewma_spike_flags",
-        # the 21 r3-stale queries
-        "background_edges", "chunk_documents", "direction_mapped_edges",
-        "feature_pairs", "focus_plot_sum", "iforest_points",
-        "inout_zero_fill", "multimodal_assemble", "powerlaw_fit",
-        "range_join_event_context", "sample_stratified", "sink_accounts",
-        "stream_sketch_sums", "stream_value_milestones",
-        "term_frequencies", "tfidf_top_terms", "topk_per_group",
-        "trailing_window_avg", "user_sessions", "window_alignment",
-        "windowed_features",
+        # canary + r8 birth + CC re-gates
+        "two_hop_candidates", "harmonic_centrality",
+        "connected_components_jump", "connected_components_twostar",
+        # the 46 r4-latest queries (connected_components also re-gates)
+        "account_features", "ann_cosine_topk", "ann_int8_topk",
+        "anomaly_scores_mahalanobis", "asof_join_attribution",
+        "attention_routing_hashed", "bucketed_degree_join",
+        "connected_components", "corpus_filter", "corpus_token_budget",
+        "cube_events", "date_functions", "dedup_retention",
+        "degree_counts", "filter_project", "global_argmax",
+        "heavy_pairs", "intersect_except_users", "json_props_extract",
+        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
+        "media_frame_sample", "media_pipeline_real", "near_dup_levenshtein",
+        "near_dup_minhash_hashed", "node_universe", "orc_source_roundtrip",
+        "partition_pruned_scan", "profit_by_nation_year",
+        "revenue_by_nation", "rollup_orders", "salted_user_totals",
+        "scalar_math", "sketch_values_hashed", "stream_dedup_exact",
+        "stream_user_sessions", "stream_window_event_stats",
+        "text_normalize", "two_hop_intermediaries", "two_hop_salted",
+        "union_dedup", "value_percentiles", "weight_stats",
+        "window_event_stats", "window_topk_accounts",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"

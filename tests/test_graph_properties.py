@@ -157,3 +157,64 @@ class TestTemporalStrictness:
             for r in QUERIES["two_hop_temporal"](spark, d).collect()
         }
         assert got == {(0, 2): 9}
+
+
+class TestCCRoundsUsedProperty:
+    """r8: the hash-min `rounds_used` column has a closed-form meaning —
+    labels stabilize once every node's ≤r-hop ball contains its
+    component minimum, so rounds_used = max_v dist(v, min of v's
+    component) + 1 (the +1 is the confirming no-change round). Pinning
+    the closed form keeps the column honest: a silent extra round (or a
+    broken change probe) shifts it."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=6),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_rounds_equal_min_eccentricity_plus_one(self, spark, pairs):
+        from collections import deque
+
+        from autoaudit_spark.operators.graph import connected_components
+
+        adj = spark.createDataFrame(pairs, "src long, dst long")
+        rows = connected_components(adj).collect()
+        got = {r["node"]: r["component"] for r in rows}
+        rounds = {r["rounds_used"] for r in rows}
+
+        nbrs: dict[int, set[int]] = {}
+        for s, d in pairs:
+            nbrs.setdefault(s, set())
+            nbrs.setdefault(d, set())
+            if s != d:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+        # brute components (BFS) + eccentricity of each component min
+        comp: dict[int, int] = {}
+        ecc = 0
+        for v in sorted(nbrs):
+            if v in comp:
+                continue
+            dist = {v: 0}
+            dq = deque([v])
+            while dq:
+                u = dq.popleft()
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+            for u in dist:
+                comp[u] = v  # v is the min: sorted iteration order
+            ecc = max(ecc, max(dist.values()))
+        assert got == comp
+        assert rounds == {ecc + 1}
