@@ -218,3 +218,51 @@ class TestCCRoundsUsedProperty:
             ecc = max(ecc, max(dist.values()))
         assert got == comp
         assert rounds == {ecc + 1}
+
+
+class TestHarmonicCentralityProperty:
+    """X81 through the registered-query seam: random events → the derived
+    adjacency (src=user_id, dst=event_id%150) → harmonic_centrality vs a
+    pure-Python bounded BFS over the same undirected simple graph."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_shells_and_harmonic_equal_brute_force(
+        self, spark, tmp_path, pairs
+    ):
+        from collections import deque
+
+        if not pairs:
+            return
+        d = _events_dir(spark, tmp_path, pairs)
+        got = {
+            r["node"]: (r["n1"], r["n2"], r["n3"], r["harmonic"])
+            for r in QUERIES["harmonic_centrality"](spark, d).collect()
+        }
+        und = {(s_, dd % 150) for (s_, dd, _) in pairs}
+        nbrs: dict[int, set[int]] = {}
+        for a, b in und:
+            nbrs.setdefault(a, set())
+            nbrs.setdefault(b, set())
+            if a != b:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+        exp = {}
+        for v in nbrs:
+            dist = {v: 0}
+            dq = deque([v])
+            while dq:
+                u = dq.popleft()
+                if dist[u] >= 3:
+                    continue
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+            c = [sum(1 for x in dist.values() if x == k) for k in (1, 2, 3)]
+            exp[v] = (c[0], c[1], c[2], c[0] + c[1] / 2.0 + c[2] / 3.0)
+        assert got == exp
