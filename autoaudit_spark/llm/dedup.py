@@ -216,6 +216,16 @@ def jaccard_pairs(
     # agg + left-semi probe re-derive the tokenize/explode lineage
     # inside the one capped materialization job instead — a single
     # extra map-side pass, not a standing cache leak.
+    #
+    # Why persist() and not localCheckpoint() (r8 review): Spark's
+    # CacheManager keys cache entries by ANALYZED PLAN, so the
+    # identical shingles(docs) relation is one shared entry across the
+    # plain/salted queries in a sweep (visible as "Asked to cache
+    # already cached data" on the second call) — an eager checkpoint
+    # would rematerialize per call and lose that reuse. The retained
+    # entry is bounded by design: one per distinct corpus plan per
+    # session (the session_cache trade the IVF/PQ trainings make
+    # explicitly), not per invocation.
     sh = shingles(docs)
     if df_cap is not None:
         keep = (
