@@ -785,7 +785,18 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
     (src, node) pair key; the frontier/seen relations are bounded by
     Σ|ball_D(v)| (the depth cap's job); no driver-side state beyond the
     D-step loop; counts fold map-side before the final node-keyed
-    assembly."""
+    assembly.
+
+    Skew shape (r8 probe-or-cite discipline): the expansion join keys
+    frontier rows on the node being expanded — the SAME shape as the
+    wedge/label kernels whose hub behavior is already measured
+    (BASELINE.md r6 wedge + r7 butterfly probe tables). It is the MILD
+    member of that family: a hub's task load is deg(hub) x (frontier
+    rows at the hub) — LINEAR in degree, not the wedge family's
+    quadratic deg² — so AQE's skew-join split suffices; if a deployment
+    needs deterministic balance anyway, the wedge salting (scatter
+    frontier by hash(s,c) pmod k, replicate neighbors xk) transfers
+    unchanged."""
     if depth < 1:
         raise ValueError("harmonic_centrality needs depth >= 1")
     und = undirected_simple(adj)

@@ -350,11 +350,11 @@ class TestPointerJumpingCC:
 
         path = [(i, i + 1) for i in range(200)]
         adj = spark.createDataFrame(path, "src long, dst long")
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components_jump(adj, max_iter=10).collect()
-        }
+        rows = connected_components_jump(adj, max_iter=10).collect()
+        got = {r["node"]: r["component"] for r in rows}
         assert set(got.values()) == {0} and len(got) == 201
+        # r8: the convergence column records the measured O(log d) count
+        assert {r["rounds_used"] for r in rows} == {10}
         with pytest.raises(ValueError, match="did not converge"):
             connected_components(adj, max_iter=50)
 
