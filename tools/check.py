@@ -5,7 +5,11 @@ compares row count, schema width, and order-insensitive values (sorted by
 column name, rows sorted, floats compared to 1e-6 relative tolerance so we
 catch real semantic mismatches while tolerating summation-order ulps).
 
-Usage: python tools/check.py [--exact] [sf_dir] [query ...]
+Usage: python tools/check.py [--exact] [--window] [sf_dir] [query ...]
+
+--window: check exactly the driver's first-50 window (read live from
+__spark_entry__.queries(), so the re-cert can't drift from the real
+window order). Overrides any [query ...] names.
 
 --exact: require bitwise float equality (repr-identical), replicating a
 driver that hashes values exactly rather than comparing with tolerance.
@@ -78,8 +82,9 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
 
 def main():
     global EXACT
-    args = [a for a in sys.argv[1:] if a != "--exact"]
+    args = [a for a in sys.argv[1:] if a not in ("--exact", "--window")]
     EXACT = "--exact" in sys.argv[1:]
+    window_only = "--window" in sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
     spark = get_spark("check")
@@ -87,7 +92,15 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    names = only or list(registry.QUERIES)
+    if window_only:
+        # replicate the driver's first-50 selection from the live
+        # contract module, so the window re-cert can't drift from what
+        # the driver will actually check
+        import __spark_entry__ as entry_mod
+
+        names = list(entry_mod.queries())[:50]
+    else:
+        names = only or list(registry.QUERIES)
     failures = 0
     for name in names:
         fn = registry.QUERIES[name]
