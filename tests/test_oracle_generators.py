@@ -1,0 +1,117 @@
+"""r8: the CC/harmonic oracle GENERATORS are parametric
+(`_harmonic_sql(depth)`, `_cc_hashmin_sql(rounds)`), but the registered
+queries pin one parameterization each — these tests exercise the
+generators off the registered point, so a bug that only manifests at
+another depth/unroll (or in the documented overflow contract) cannot
+hide behind the registered sweeps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+
+def _events_fixture(spark, tmp_path, pairs, name):
+    """events.parquet whose derived adjacency (src=user_id,
+    dst=event_id % 150) equals `pairs` — event ids encode dst mod 150
+    while staying unique (the account_succession test trick)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (n * 150 + dst, t0 + dt.timedelta(hours=n), src, "pay", 1.0, "{}")
+        for n, (src, dst) in enumerate(pairs)
+    ]
+    d = str(tmp_path / name)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    # Spark writes events.parquet as a part-file directory; DuckDB
+    # needs the glob form (the driver testdata uses single files)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+class TestHarmonicSqlGeneratorOffDefault:
+    def test_depth_2_cross_engine(self, spark, tmp_path):
+        """depth=2: Spark operator vs the generated DuckDB twin on a
+        star + pendant chain — the distance-3 node must NOT score."""
+        from autoaudit_spark.operators.graph import (
+            _harmonic_sql,
+            harmonic_centrality,
+        )
+        from autoaudit_spark.sources import adjacency
+
+        pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+        d = _events_fixture(spark, tmp_path, pairs, "h2")
+        got = {
+            r["node"]: (r["n1"], r["n2"], r["harmonic"])
+            for r in harmonic_centrality(
+                adjacency(spark, d), depth=2
+            ).collect()
+        }
+        want = {
+            row[0]: (row[1], row[2], row[3])
+            for row in _duck(d).execute(_harmonic_sql(2)).fetchall()
+        }
+        assert got == want
+        # hand-pin one value: node 5 reaches 4 (d1) and 3 (d2) only
+        assert got[5] == (1, 1, 1 + 1 / 2.0)
+
+
+class TestCCUnrollOverflowContract:
+    def test_exceeded_unroll_yields_null_rounds(self, spark, tmp_path):
+        """The documented loud-failure contract: a fixpoint beyond the
+        unroll leaves rounds_used NULL in the oracle (a driver
+        comparison would then mismatch the Spark integer), while the
+        closure-derived labels stay correct."""
+        from autoaudit_spark.operators.graph import _cc_hashmin_sql
+
+        chain = [(i, i + 1) for i in range(8)]  # ecc(0)=8 → 9 rounds
+        d = _events_fixture(spark, tmp_path, chain, "cc_over")
+        rows = _duck(d).execute(_cc_hashmin_sql(rounds=3)).fetchall()
+        assert rows and all(r[2] is None for r in rows)
+        assert {r[1] for r in rows} == {0}  # closure labels unaffected
+        # and with a sufficient unroll the count materializes exactly
+        rows2 = _duck(d).execute(_cc_hashmin_sql(rounds=12)).fetchall()
+        assert {r[2] for r in rows2} == {9}
+
+    def test_jump_and_twostar_generators_agree_on_labels(
+        self, spark, tmp_path
+    ):
+        """All three generators produce identical closure labels on the
+        same fixture (the rounds differ by design)."""
+        from autoaudit_spark.operators.graph import (
+            _cc_hashmin_sql,
+            _cc_jump_sql,
+            _cc_twostar_sql,
+        )
+
+        pairs = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (9, 9)]
+        d = _events_fixture(spark, tmp_path, pairs, "cc_three")
+        con = _duck(d)
+        lab = {}
+        rounds = {}
+        for name, sql in (
+            ("hashmin", _cc_hashmin_sql()),
+            ("jump", _cc_jump_sql()),
+            ("twostar", _cc_twostar_sql()),
+        ):
+            rows = con.execute(sql).fetchall()
+            lab[name] = {(r[0], r[1]) for r in rows}
+            rounds[name] = {r[2] for r in rows}
+        assert lab["hashmin"] == lab["jump"] == lab["twostar"]
+        assert {(9, 9)} <= lab["hashmin"]  # self-loop node labels itself
+        assert all(
+            len(v) == 1 and next(iter(v)) >= 1 for v in rounds.values()
+        )
