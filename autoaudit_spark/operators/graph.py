@@ -788,15 +788,23 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
     assembly.
 
     Skew shape (r8 probe-or-cite discipline): the expansion join keys
-    frontier rows on the node being expanded — the SAME shape as the
-    wedge/label kernels whose hub behavior is already measured
-    (BASELINE.md r6 wedge + r7 butterfly probe tables). It is the MILD
-    member of that family: a hub's task load is deg(hub) x (frontier
-    rows at the hub) — LINEAR in degree, not the wedge family's
-    quadratic deg² — so AQE's skew-join split suffices; if a deployment
-    needs deterministic balance anyway, the wedge salting (scatter
-    frontier by hash(s,c) pmod k, replicate neighbors xk) transfers
-    unchanged."""
+    frontier rows on the node being expanded, and a hub's task load is
+    (frontier rows at the hub) x deg(hub). Round 1 is linear in degree
+    (one self-pair per key), but from round 2 on the frontier rows at a
+    hub are themselves ~deg(hub), so the hot key is QUADRATIC — the
+    distance-2-through-a-hub set IS the wedge set, making this exactly
+    the wedge-family shape whose hub behavior is already measured
+    (BASELINE.md r6 wedge probe: 1.98M wedge pairs on one deg-1408 key;
+    r7 butterfly table) — and MEASURED for this operator directly: the
+    r8 harmonic probe (`tools/skewprobe.py ... harmonic`) plants an
+    all-nodes hub (deg 1500, 2.25M deg² pairs on one key, hot/median
+    2.37x) and the end-to-end kernel still lands inside its unskewed
+    noise band at 15.1 s under default AQE (BASELINE.md r8 table).
+    Mitigations transfer unchanged: AQE's
+    skew-join split (on by default), and if a deployment needs
+    deterministic balance, the wedge salting — scatter frontier rows by
+    hash(s) pmod k onto key (c, salt), replicate the neighbor side xk.
+    The depth cap bounds the number of such rounds."""
     if depth < 1:
         raise ValueError("harmonic_centrality needs depth >= 1")
     und = undirected_simple(adj)

@@ -182,6 +182,63 @@ def wedge_work_per_task(nbr, salted: bool):
     }
 
 
+def harmonic_probe(spark, sf_dir: str) -> dict:
+    """r8: harmonic_centrality's round-2+ frontier expansion through a
+    hub is the wedge shape (distance-2-through-the-hub pairs = the
+    hub's wedge set, deg² on one key — the operator docstring's
+    correction). This probe (a) histograms that analytic round-2
+    expansion work per reduce task on a hub-skewed graph, and (b)
+    times the full registered kernel on it under the default AQE path
+    — the evidence that the depth-capped BFS survives a planted hub
+    without a dedicated salted twin."""
+    from autoaudit_spark.operators.graph import harmonic_centrality
+
+    adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
+    n_edges = adj.count()
+
+    # symmetric neighbor relation the kernel expands over
+    from autoaudit_spark.operators.graph import undirected_simple
+
+    und = undirected_simple(adj)
+    nbr = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = nbr.groupBy("u").agg(F.count("*").alias("d"))
+    hub_deg = deg.filter(F.col("u") == HUB).collect()
+    hub_deg = hub_deg[0]["d"] if hub_deg else 0
+    # round-2 expansion work on key m = (frontier rows at m) x deg(m)
+    # = deg(m)^2 (the wedge identity), histogrammed over 32 reduce tasks
+    work = deg.select(
+        F.pmod(F.hash("u"), F.lit(PARTITIONS)).alias("p"),
+        (F.col("d") * F.col("d")).alias("w"),
+    )
+    counts = sorted(
+        r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
+    )
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    hist = {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+    t0 = time.monotonic()
+    out = harmonic_centrality(adj)
+    out.write.format("noop").mode("overwrite").save()
+    t_aqe = round(time.monotonic() - t0, 2)
+    n_out = out.count()
+    adj.unpersist()
+    return {
+        "metric": "harmonic_expansion_skew_probe",
+        "sf_dir": sf_dir,
+        "edges": n_edges,
+        "hub_degree": hub_deg,
+        "round2_expansion_work_per_task": hist,
+        "wall_sec": {"aqe_default": t_aqe},
+        "result_rows": n_out,
+    }
+
+
 def wedge_probe(spark, sf_dir: str) -> dict:
     """node_jaccard's wedge join (r5 verdict, "What's missing" #5):
     unsalted `wedge_common_counts` (AQE skew-join on) vs the r6
@@ -402,6 +459,9 @@ def main() -> None:
 
     if only == "butterfly":
         print(json.dumps(butterfly_probe(spark, sf_dir)))
+        return
+    if only == "harmonic":
+        print(json.dumps(harmonic_probe(spark, sf_dir)))
         return
     print(json.dumps(shingle_probe(spark, sf_dir)))
     print(json.dumps(wedge_probe(spark, sf_dir)))
