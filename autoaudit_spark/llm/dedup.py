@@ -223,9 +223,13 @@ def jaccard_pairs(
     # plain/salted queries in a sweep (visible as "Asked to cache
     # already cached data" on the second call) — an eager checkpoint
     # would rematerialize per call and lose that reuse. The retained
-    # entry is bounded by design: one per distinct corpus plan per
-    # session (the session_cache trade the IVF/PQ trainings make
-    # explicitly), not per invocation.
+    # entry is bounded by design: one per distinct (corpus plan,
+    # df_cap) pair per session — capped calls cache the POST-cap
+    # relation, so each distinct cap value pins its own entry (r8
+    # ADVICE; callers sweeping many cap values should unpersist after
+    # materializing) — not per invocation. The registered queries use
+    # exactly two shapes (uncapped, cap=5), so the session holds at
+    # most two entries per corpus.
     sh = shingles(docs)
     if df_cap is not None:
         keep = (

@@ -1227,6 +1227,11 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     join — measured at sf0.1: 19.3 -> 15.4 s warm (checkpointing the
     cheap `half` join relation as well was measured SLOWER, 17.0 s,
     and reverted)."""
+    if iters < 1:
+        # r8 ADVICE: iters=0 would return the unnormalized init state
+        # AND leak the persisted init_state handle (the unpersist lives
+        # in the loop body) — reject loudly, harmonic's depth guard.
+        raise ValueError("hits_scores needs iters >= 1")
     nodes = node_universe(adj).persist()
     n = nodes.count()
     dec0 = F.lit(0).cast("decimal(18,12)")

@@ -494,6 +494,15 @@ class TestHits:
             assert got_a[node] == pytest.approx(a[node], abs=1e-7), node
             assert got_h[node] == pytest.approx(h[node], abs=1e-7), node
 
+    def test_rejects_nonpositive_iters(self, spark):
+        """r8 ADVICE: iters=0 would return unnormalized init state and
+        leak the persisted init handle — must raise before any job."""
+        from autoaudit_spark.operators.graph import hits_scores
+
+        adj = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="iters >= 1"):
+            hits_scores(adj, iters=0)
+
     def test_hub_authority_split_on_fixture(self, spark, sf_dir):
         """Both score vectors are L1 distributions, carry a convergence
         residual, and genuinely rank differently (sources vs sinks)."""

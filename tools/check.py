@@ -98,6 +98,16 @@ def main():
         # the driver will actually check
         import __spark_entry__ as entry_mod
 
+        if only:
+            # r8 ADVICE: --window overrides explicit names; make the
+            # override visible instead of silently running all 50
+            print(
+                f"WARNING: --window ignores the {len(only)} explicit "
+                f"query name(s) given ({', '.join(only[:5])}"
+                f"{', ...' if len(only) > 5 else ''}); "
+                "running the full first-50 window instead",
+                file=sys.stderr,
+            )
         names = list(entry_mod.queries())[:50]
     else:
         names = only or list(registry.QUERIES)
