@@ -1164,3 +1164,189 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X84/X85 cross-source overlap matrix (r9 — the r7 verdict's
+# corpus-contamination report between ingest sources)
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_SQL = f"""
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+        WHERE len(t) >= {SHINGLE_K}
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """
+
+
+@query("source_overlap_matrix", oracle=_SOURCE_OVERLAP_SQL)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix (X84, r9): per-source DISTINCT
+    shingle sets -> pairwise intersection counts via ONE equi-join on the
+    shingle -> exact Jaccard per (src_a < src_b) source pair. The standard
+    corpus-contamination report between ingest sources: which pairs of
+    crawls/dumps feed the training mix the same content (the
+    source-level aggregate of what `near_dup_jaccard` reports per-doc,
+    and what `contamination_ngram` reports vs a benchmark).
+
+    Scale shape: the per-shingle join fan-out is (#sources carrying that
+    shingle)^2 <= |sources|^2 — bounded by the SOURCE catalog, not by
+    docs (the per-doc Jaccard's cnt^2-in-docs hot key does not exist at
+    this granularity); aggregates land on a source-pair-sized relation
+    (C(20,2) = 190 rows at sf0.01). The one data-sized exchange is the
+    (source, shingle) distinct. Jaccard is the pinned single-division
+    IEEE chain over exact BIGINTs, rounded 6dp like the doc-level
+    family. The shared per-source shingle relation feeds sizes + both
+    join sides -> persisted, the `jaccard_pairs` session-cache trade
+    (one entry per corpus plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .persist()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a, b = src_sh.alias("a"), src_sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("src_a"),
+                                F.col("sz").alias("sz_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"),
+                           F.col("sz").alias("sz_b")), "src_b")
+        .select("src_a", "src_b", "n_common", "sz_a", "sz_b",
+                F.round(jac, 6).alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _source_overlap_minhash_sql() -> str:
+    """DuckDB twin of `q_source_overlap_minhash`: per-source MinHash
+    signatures over the engine-portable polynomial shingle hash (the
+    `_minhash_hashed_sql` scheme grouped by source — MIN is
+    duplicate-insensitive, so no per-doc distinct is needed), then the
+    per-perm match count per source pair. The oracle enumerates the
+    source-pair matches with a quadratic CASE-sum over the 64 minima
+    (source-count-sized — fine for SQL); the Spark side uses the
+    scale-shaped posexplode + (perm, value) equi-join."""
+    from .text import _ARITH_TOK_SQL
+
+    sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
+    mins = ", ".join(
+        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT source, {sh_hash} AS shash FROM (
+            SELECT source,
+                   array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+            WHERE len(t) >= {SHINGLE_K})
+    ),
+    sigs AS (SELECT source, {mins} FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               ({match_sum}) AS n_match
+        FROM sigs a JOIN sigs b ON a.source < b.source
+    )
+    SELECT src_a, src_b, CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_match AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+    FROM pairs WHERE n_match >= 1
+    ORDER BY src_a, src_b
+    """
+
+
+@query("source_overlap_minhash", oracle=_source_overlap_minhash_sql())
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimated cross-source overlap (X85, r9): the X84 report
+    from the signatures alone — per-source 64-perm MinHash over the
+    UNION of the source's shingles (MIN over (source, shingle-hash)
+    rows; min-of-mins = min-over-union, so source-level signatures are
+    exactly doc-level MinHash semantics lifted a level, and MIN's
+    duplicate-insensitivity makes the per-doc distinct unnecessary),
+    estimated Jaccard = matching perms / {MINHASH_PERMS}. This is the
+    100 TB path: the exact X84 join scans the full (source, shingle)
+    relation pairwise, while this one reduces each source to a 64-long
+    signature and compares signatures — the per-pair estimate lands
+    within the standard 1/sqrt(64) MinHash error of X84's exact value
+    (asserted by a tolerance test, and the estimate is exact-dyadic
+    c/64 so the value-hash is stable cross-engine).
+
+    Spark shape: signature aggregation is one grouped MIN over the
+    hashed-shingle relation (map-side partial); pair matching
+    posexplodes the source-count x 64 signature relation and
+    equi-joins on (perm index, minimum value) — only agreeing perms
+    meet, no source x source loop, no cartesian (pairs with zero
+    agreeing perms drop out, mirrored by the oracle's n_match >= 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = hashed_shingles_arith(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select(F.col("source").alias("doc_id"), "shash")
+    sig = minhash_signatures(src_sh)
+    perms = sig.select(
+        F.col("doc_id").alias("source"),
+        F.posexplode("sig").alias("i", "m"),
+    )
+    a, b = perms.alias("a"), perms.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_match"))
+        .select(
+            "src_a", "src_b", "n_match",
+            (F.col("n_match").cast("double") / MINHASH_PERMS)
+            .alias("est_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

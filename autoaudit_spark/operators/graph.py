@@ -2208,6 +2208,192 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: windowed-truss sliding windows: 28d/14d (NOT the feature family's
+#: 14d/7d — measured on the testdata: at 14d the per-window repeated-
+#: pair graph closes ZERO triads at any multiplicity ≥ 2, so the
+#: operator would be vacuous; at 28d/multiplicity ≥ 2 it yields
+#: 10 / 4269 / 16390 per-window triangles at sf0.001/0.01/0.1)
+WT_WINDOW = "28 days"
+WT_SLIDE = "14 days"
+_WT_SLIDE_US = 14 * 86400 * 1_000_000
+#: per-window strong-tie threshold (global truss uses ≥ 3 over the
+#: whole month; a 28-day window sees roughly half each pair's events)
+WT_MIN_MULT = 2
+WT_ROUNDS = 6
+
+#: DuckDB fragment assigning each edge to its 2 sliding 28d/14d windows
+#: — the epoch-aligned arithmetic twin of F.window(ts, 28d, 14d),
+#: same construction the feature family validated byte-identical for
+#: 14d/7d (`operators/features.py` WINDOWED_EDGES_SQL).
+_WT_EDGES_SQL = f"""
+    SELECT make_timestamp(((epoch_us(ts) // {_WT_SLIDE_US}) - k.k)
+               * {_WT_SLIDE_US}) AS w,
+           src, dst
+    FROM edges, (VALUES (0), (1)) k(k)
+"""
+
+
+def edge_support_windowed(e: DataFrame) -> DataFrame:
+    """Per-(window, edge) triangle support on a (w, a < b) relation:
+    `edge_support` with window-equality added to BOTH triangle joins
+    and w carried through every groupBy key — triads only close inside
+    one window, so each window's support is computed independently in
+    the same two shuffles (no per-window loop, no union of windows).
+    The middle-node key (w, x.b) carries the same hub skew as the
+    global form; salting transfers unchanged (BASELINE.md wedge table)."""
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    t = (
+        x.join(
+            y,
+            (F.col("y.w") == F.col("x.w")) & (F.col("y.a") == F.col("x.b")),
+        )
+        .join(
+            z,
+            (F.col("z.w") == F.col("x.w"))
+            & (F.col("z.a") == F.col("x.a"))
+            & (F.col("z.b") == F.col("y.b")),
+        )
+        .select(
+            F.col("x.w").alias("w"),
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    credits = (
+        t.select("w", "a", "b")
+        .unionAll(t.select("w", F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(t.select("w", "a", F.col("c").alias("b")))
+    )
+    return credits.groupBy("w", "a", "b").agg(F.count("*").alias("s"))
+
+
+def _k_truss_windowed_oracle(
+    k: int = K_TRUSS, rounds: int = WT_ROUNDS
+) -> str:
+    """Unrolled DuckDB twin of `q_k_truss_windowed`: the `_k_truss_oracle`
+    CTE chain with the window key threaded through every join and
+    group — MATERIALIZED per round for the same 3^rounds-inlining
+    reason."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""und0 AS MATERIALIZED (
+        SELECT w, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_WT_EDGES_SQL}) WHERE src <> dst
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {WT_MIN_MULT})""",
+        "e0 AS MATERIALIZED (SELECT w, a, b FROM und0)",
+    ]
+    tri = (
+        "SELECT x.w AS w, x.a AS a, x.b AS b, y.b AS c FROM e{i} x "
+        "JOIN e{i} y ON y.w = x.w AND y.a = x.b "
+        "JOIN e{i} z ON z.w = x.w AND z.a = x.a AND z.b = y.b"
+    )
+    sup = (
+        "SELECT w, a, b, COUNT(*) AS s FROM ("
+        "SELECT w, a, b FROM t{i} "
+        "UNION ALL SELECT w, b AS a, c AS b FROM t{i} "
+        "UNION ALL SELECT w, a, c AS b FROM t{i}) GROUP BY w, a, b"
+    )
+    for i in range(rounds):
+        parts.append(f"t{i} AS MATERIALIZED ({tri.format(i=i)})")
+        parts.append(f"sup{i} AS ({sup.format(i=i)})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED ("
+            f"SELECT e.w, e.a, e.b FROM e{i} e JOIN sup{i} s "
+            f"USING (w, a, b) WHERE s.s >= {k - 2})"
+        )
+    parts.append(f"tf AS MATERIALIZED ({tri.format(i=rounds)})")
+    parts.append(
+        f"supf AS ({sup.format(i=rounds)})".replace(f"t{rounds}", "tf")
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT e.w AS window_start, e.a, e.b,
+        CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+        FROM e{rounds} e LEFT JOIN supf s USING (w, a, b)
+        ORDER BY window_start, a, b"""
+    )
+
+
+@query("k_truss_windowed", oracle=_k_truss_windowed_oracle())
+def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_TRUSS}-truss per 28d/14d sliding window (X82, r9 — the r7
+    verdict's temporal-cohesion ask): edges are assigned to T1 sliding
+    windows first, the strong-tie relation is derived per (window,
+    pair), and the edge-support peel runs with the window threaded
+    through every join and group key — cohesion that appears in one
+    window and dissolves in the next is the laundering-ring LIFECYCLE
+    signal the reference's time-evolving framing (`AA-AR.py` windowed
+    features) wants but never computes on the graph side. Output: each
+    window's surviving edges with their in-window support.
+
+    One loop serves ALL windows: per-window edge sets shrink
+    monotonically, so the GLOBAL count is monotone and an unchanged
+    global count proves every window simultaneously hit its fixpoint —
+    the same count-provable early exit as the global truss, no
+    per-window loop or driver-side window enumeration. Round cost is
+    one window-partitioned triangle enumeration (w on every join key —
+    windows never interact, so skew spreads across (w, node) keys) +
+    one grouped count + one filter; localCheckpoint truncates the
+    iterative lineage (pagerank discipline). Window params are 28d/14d
+    with per-window multiplicity ≥ {WT_MIN_MULT} — measured (r9): the
+    feature family's 14d/7d windows close zero triads on this data at
+    any multiplicity ≥ 2, and distinct pairs (mult 1) are near-complete
+    and trivialize any small k, exactly the global truss's
+    K_CORE_MIN_MULT rationale."""
+    from ..sources import edges as edges_src
+
+    e0 = edges_src(spark, sf_dir)
+    e = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
+        .select(
+            "w",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("w", "a", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= WT_MIN_MULT)
+        .select("w", "a", "b")
+        .localCheckpoint()
+    )
+    prev_n = e.count()
+    converged = False
+    for _ in range(WT_ROUNDS):
+        e_next = (
+            e.join(edge_support_windowed(e), ["w", "a", "b"])
+            .filter(F.col("s") >= K_TRUSS - 2)
+            .select("w", "a", "b", "s")
+            .localCheckpoint()
+        )
+        n = e_next.count()
+        if n == prev_n:  # global count monotone ⇒ every window at fixpoint
+            e = e_next   # supports computed on the output set — reuse
+            converged = True
+            break
+        e = e_next.select("w", "a", "b")
+        prev_n = n
+    if converged:
+        out = e.select(
+            F.col("w").alias("window_start"),
+            "a",
+            "b",
+            F.col("s").cast("long").alias("support"),
+        )
+    else:
+        # round limit exhausted pre-fixpoint: recompute supports on the
+        # survivors (the oracle's final supf pass)
+        out = e.join(edge_support_windowed(e), ["w", "a", "b"], "left").select(
+            F.col("w").alias("window_start"),
+            "a",
+            "b",
+            F.coalesce("s", F.lit(0)).cast("long").alias("support"),
+        )
+    return out.orderBy("window_start", "a", "b")
+
+
 def k_core_peel(sym: DataFrame, core: DataFrame, k: int) -> DataFrame:
     """One k-core peel round: restrict the symmetric edge list to edges
     with BOTH endpoints surviving (left-semi joins — no broadcast hint,
@@ -2911,6 +3097,80 @@ def q_butterfly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one key dominates the stage. Measured on the hub fixture by
     tools/skewprobe.py (BASELINE.md wedge-skew table — same kernel)."""
     return _butterfly_counts(spark, sf_dir, salted=True)
+
+
+_BUTTERFLY_SRC_SQL = f"""
+    {_ADJ_CTE},
+    wdg AS (
+        SELECT x.src AS s, x.dst AS d1, y.dst AS d2
+        FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+    ),
+    p AS (
+        SELECT d1, d2, COUNT(*) AS c FROM wdg GROUP BY d1, d2
+        HAVING COUNT(*) >= {MIN_BUTTERFLY_COMMON}
+    )
+    SELECT w.s AS node, CAST(SUM(p.c - 1) AS BIGINT) AS butterflies
+    FROM wdg w JOIN p USING (d1, d2)
+    GROUP BY w.s
+    ORDER BY butterflies DESC, node
+    """
+
+
+@query("butterfly_counts_src", oracle=_BUTTERFLY_SRC_SQL)
+def q_butterfly_counts_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE butterfly counts (X83, r9 — the symmetric X72 view):
+    for each paying account, the number of 2×2 bicliques it sits in —
+    the smurf-side reading of the shared-mule motif (two accounts both
+    paying the same two counterparties; X72 credits the counterparties,
+    this credits the payers).
+
+    NOT the naive opposite-side wedge: wedging on the dst key costs
+    C(accounts-per-counterparty, 2) on every hot counterparty —
+    quadratic in ACCOUNTS, the exact blowup the X72 docstring rejects.
+    Instead this keeps X72's cheap src-side wedge but RETAINS the
+    wedge's src endpoint: for a dst pair (d1, d2) with c common
+    sources, each of those sources sits in (c − 1) of its C(c, 2)
+    butterflies, so per-src counts = Σ over the src's wedges of
+    (c_{{d1,d2}} − 1). Shape: the wedge relation (one src-keyed
+    self-join, volume Σ_u C(fanout(u), 2) — linear in accounts), one
+    grouped count to the catalog-pair-sized c relation, one equi-join
+    of the wedges back to it (AQE broadcasts it when small; never
+    forced — C(|catalog|, 2) is data-sized), one per-src sum. Exact
+    BIGINT throughout. Identity check: Σ_src butterflies =
+    Σ_pairs c(c−1) = 2 × total butterflies = Σ_dst butterflies
+    (asserted by the parity test against X72 on the planted K₂,₃).
+    The wedge join key is src — the bulk-payer skew probe and ×8
+    salting story transfer verbatim (BASELINE.md r7 butterfly table);
+    the wedge is consumed twice (count + credit), so it is
+    localCheckpoint()ed per the measured plan-sharing discipline
+    (A/B at sf0.1 warm: 1.89–2.37 s checkpointed vs 1.95–2.80 s
+    recomputed)."""
+    adj = adjacency(spark, sf_dir)
+    x, y = adj.alias("x"), adj.alias("y")
+    wdg = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.src"))
+            & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("s"),
+            F.col("x.dst").alias("d1"),
+            F.col("y.dst").alias("d2"),
+        )
+        .localCheckpoint()
+    )
+    p = (
+        wdg.groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= MIN_BUTTERFLY_COMMON)
+    )
+    return (
+        wdg.join(p, ["d1", "d2"])
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("butterflies"))
+        .orderBy(F.desc("butterflies"), "node")
+    )
 
 
 #: succession report size — the top similarity pairs, annotated with

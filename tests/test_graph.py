@@ -642,6 +642,162 @@ class TestButterflyCounts:
         assert a == b
 
 
+class TestKTrussWindowed:
+    def test_planted_transient_clique(self, spark, tmp_path):
+        """A K4 ring active only in slide-slot k: its 6 edges are
+        strong (mult 2) in the two windows covering slot k and each
+        sits in 2 in-window triangles; in the NEXT slot only one pair
+        stays active, so the window starting at slot k+1's boundary
+        has a strong edge but no triangle — it must peel to nothing
+        (cohesion that appears and dissolves)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows = []
+        i = 0
+        clique = [1, 2, 3, 4]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                        rows.append((a, b, 1.0, slot + dt.timedelta(hours=i)))
+                        i += 1
+        # next slot: only the (1, 2) pair remains active
+        rows.append((1, 2, 1.0, slot + slide + dt.timedelta(hours=1)))
+        rows.append((1, 2, 1.0, slot + slide + dt.timedelta(hours=2)))
+        d = str(tmp_path / "wt")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["a"], r["b"]): r["support"]
+            for r in QUERIES["k_truss_windowed"](spark, d).collect()
+        }
+        pairs = [(a, b) for a in clique for b in clique if a < b]
+        # the clique survives in BOTH windows covering slot k (sliding
+        # windows w_{k-1} and w_k); every K4 edge sits in 2 triangles
+        expect = {
+            (w, a, b): 2
+            for w in (slot - slide, slot)
+            for (a, b) in pairs
+        }
+        assert got == expect  # in particular: nothing from slot k+1
+
+    def test_matches_global_truss_on_single_window_data(self, spark, tmp_path):
+        """Windowing is the only delta vs X65: when every event falls in
+        one slide slot, each window's truss equals the global truss of
+        the same strong graph at the windowed threshold."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 5, 10)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+        # K4 on {1..4} (truss core) + a pendant strong pair (5, 6)
+        rows = []
+        i = 0
+        for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)]:
+            for _ in range(2):
+                rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                i += 1
+        d = str(tmp_path / "wt1")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        out = QUERIES["k_truss_windowed"](spark, d).collect()
+        wins = {r["window_start"] for r in out}
+        assert len(wins) == 2  # both sliding windows covering the slot
+        for w in wins:
+            edges = {(r["a"], r["b"]): r["support"]
+                     for r in out if r["window_start"] == w}
+            assert edges == {(1, 2): 2, (1, 3): 2, (1, 4): 2,
+                             (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+
+class TestButterflySrc:
+    def test_planted_k23_flips_sides(self, spark, tmp_path):
+        """Same K_{2,3}+noise fixture as X72's planted test: 3
+        butterflies total; per-SRC each of the two payers sits in all
+        3 (vs per-dst 2 each) and the single-edge noise account holds
+        none."""
+        import datetime as dt
+
+        from autoaudit_spark.registry import QUERIES
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        i = 0
+        for s in (1000, 1001):
+            for d_ in (10, 11, 12):
+                rows.append((s, d_, 1.0, t0 + dt.timedelta(hours=i)))
+                i += 1
+        rows.append((2000, 10, 1.0, t0 + dt.timedelta(hours=i)))  # noise
+        d = str(tmp_path / "bfs")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {r["node"]: r["butterflies"]
+               for r in QUERIES["butterfly_counts_src"](spark, d).collect()}
+        assert got == {1000: 3, 1001: 3}
+
+    def test_side_sums_agree_with_dst_view(self, spark):
+        """Both views count every butterfly twice (once per same-side
+        endpoint pair), so the totals must be equal on the real
+        fixture: Σ_src = Σ_pairs c(c−1) = 2·#butterflies = Σ_dst."""
+        from autoaudit_spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        s = sum(r["butterflies"]
+                for r in QUERIES["butterfly_counts_src"](spark, sf).collect())
+        d = sum(r["butterflies"]
+                for r in QUERIES["butterfly_counts"](spark, sf).collect())
+        assert s == d and s > 0
+
+    def test_brute_force_parity_sf0001(self, spark):
+        """Independent implementation: per-src counts from Python set
+        intersections over all src pairs (Σ_{s'} C(|N(s)∩N(s')|, 2)
+        credited to both) must match the wedge+rejoin form exactly."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import adjacency
+
+        sf = "/root/testdata/sf0.001"
+        nbrs = defaultdict(set)
+        for r in adjacency(spark, sf).collect():
+            nbrs[r["src"]].add(r["dst"])
+        expect = defaultdict(int)
+        for s1, s2 in combinations(sorted(nbrs), 2):
+            c = len(nbrs[s1] & nbrs[s2])
+            if c >= 2:
+                nb = c * (c - 1) // 2
+                expect[s1] += nb
+                expect[s2] += nb
+        got = {r["node"]: r["butterflies"]
+               for r in QUERIES["butterfly_counts_src"](spark, sf).collect()}
+        assert got == dict(expect)
+
+
 class TestAccountSuccession:
     def test_planted_rotation(self, spark, tmp_path):
         """Account 2 takes over account 1's exact mule network a month

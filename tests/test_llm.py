@@ -1012,3 +1012,89 @@ class TestRepeatedPassages:
                 r["n_dup_grams"])
                for r in QUERIES["repeated_passages"](spark, sf).collect()]
         assert got == expect
+
+
+class TestSourceOverlap:
+    def test_planted_cross_source_dup(self, spark, tmp_path):
+        """Sources sa/sb share one document's text verbatim (the
+        contamination case); sc is disjoint. Expected per-pair shingle
+        overlap computed by an independent Python trigram reference."""
+        from itertools import combinations
+
+        from autoaudit_spark.registry import QUERIES
+
+        texts = {
+            "sa": ["alpha beta gamma delta epsilon zeta eta theta",
+                   "one two three four five six seven"],
+            "sb": ["alpha beta gamma delta epsilon zeta eta theta",
+                   "red orange yellow green blue indigo violet"],
+            "sc": ["lorem ipsum dolor sit amet consectetur adipiscing"],
+        }
+        rows, i = [], 0
+        for src, ts in texts.items():
+            for t in ts:
+                rows.append((i, t, "en", src, len(t)))
+                i += 1
+        d = str(tmp_path / "ovl")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+
+        def trigrams(t):
+            w = t.split()
+            return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+        sets = {s: set().union(*(trigrams(t) for t in ts))
+                for s, ts in texts.items()}
+        expect = {}
+        for a, b in combinations(sorted(sets), 2):
+            n = len(sets[a] & sets[b])
+            if n:
+                expect[(a, b)] = (
+                    n, len(sets[a]), len(sets[b]),
+                    round(n / (len(sets[a]) + len(sets[b]) - n), 6),
+                )
+        got = {(r["src_a"], r["src_b"]):
+               (r["n_common"], r["sz_a"], r["sz_b"], r["jaccard"])
+               for r in QUERIES["source_overlap_matrix"](spark, d).collect()}
+        assert got == expect
+        assert ("sa", "sb") in got and got[("sa", "sb")][0] == 6  # shared doc
+        assert not any("sc" in k for k in got)  # disjoint source absent
+
+    def test_minhash_identical_sources_estimate_one(self, spark, tmp_path):
+        """Two sources with IDENTICAL shingle unions must agree on all
+        64 permutation minima → n_match = 64, est_jaccard = 1.0."""
+        from autoaudit_spark.registry import QUERIES
+
+        t1 = "alpha beta gamma delta epsilon zeta"
+        t2 = "one two three four five six"
+        rows = [
+            (0, t1, "en", "sx", len(t1)), (1, t2, "en", "sx", len(t2)),
+            (2, t1, "en", "sy", len(t1)), (3, t2, "en", "sy", len(t2)),
+            (4, "totally different words here now", "en", "sz", 33),
+        ]
+        d = str(tmp_path / "ovm")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {(r["src_a"], r["src_b"]): (r["n_match"], r["est_jaccard"])
+               for r in QUERIES["source_overlap_minhash"](spark, d).collect()}
+        assert got[("sx", "sy")] == (64, 1.0)
+
+    def test_minhash_estimate_tracks_exact(self, spark, sf_dir):
+        """The estimate must sit inside MinHash sampling error of the
+        exact X84 matrix on the real fixture (measured r9: max |Δ|
+        0.065, mean 0.016 at sf0.001/sf0.01 — thresholds carry ~2×
+        margin while still far below the 0.3-wide jaccard spread)."""
+        from autoaudit_spark.registry import QUERIES
+
+        exact = {(r["src_a"], r["src_b"]): r["jaccard"]
+                 for r in QUERIES["source_overlap_matrix"](spark, sf_dir).collect()}
+        est = {(r["src_a"], r["src_b"]): r["est_jaccard"]
+               for r in QUERIES["source_overlap_minhash"](spark, sf_dir).collect()}
+        assert set(est) <= set(exact)
+        diffs = [abs(est.get(k, 0.0) - v) for k, v in exact.items()]
+        assert max(diffs) <= 0.15
+        assert sum(diffs) / len(diffs) <= 0.05
