@@ -32,80 +32,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-8
-# rotation (round-7 verdict, "Next round" #1 — THE round's top item):
-# the flagship canary; this round's single birth (harmonic_centrality,
-# same-round-window rule); the two CC re-gates whose oracles gained a
-# convergence `rounds_used` column (connected_components_jump /
-# connected_components_twostar — plain connected_components gets the
-# same column and is already in the rotation pool below); and ALL 46
-# queries whose latest driver row is r4 (the verdict estimated ~42;
-# the recomputed pool from CORRECTNESS_r01-r07 is 46, which is why r8
-# carries exactly ONE birth — 1 + 1 + 2 + 46 = 50). After this round
-# no registered query's latest driver row is older than r5.
+# value-hash row; rows-only queries the weaker rows check). Round-9
+# rotation: the flagship canary; this round's FOUR births
+# (same-round-window rule): k_truss_windowed (X82),
+# butterfly_counts_src (X83), source_overlap_matrix (X84),
+# source_overlap_minhash (X85) — the three operators the r7 verdict
+# asked for (deferred from r8 by window arithmetic) plus the MinHash
+# estimate twin NOTES sketched; and ALL 45 queries whose latest driver
+# row is r5 (recomputed from CORRECTNESS_r01–r08 per the r8 lesson —
+# never trust an estimate). 1 + 4 + 45 = 50 exactly. Steady state:
+# with 191 registered queries and a 50-slot window the registry cycles
+# in ~4 rounds, so an r6-latest row entering r10's pool is on
+# schedule, not debt.
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
-# spiral cannot recur. r8 birth: harmonic_centrality. The other three
-# r7-verdict operator candidates (windowed k-truss, MinHash
-# cross-source overlap, per-src butterfly) defer to r9, where the
-# rotation pool (the 45 r5-latest rows) leaves birth slots again.
+# spiral cannot recur.
 _PRIORITY: list[str] = [
     "two_hop_candidates",        # flagship (entry) — canary
     # -- born this round (same-round-window rule) --
-    "harmonic_centrality",       # bounded-depth reach centrality (X81)
-    # -- r8 re-gates (oracle gained the rounds_used convergence column) --
-    "connected_components_jump",
-    "connected_components_twostar",
-    # -- the 46 queries whose latest driver row is r4 (full pool;
-    #    connected_components below is ALSO an r8 re-gate) --
-    "account_features",
-    "ann_cosine_topk",
-    "ann_int8_topk",
-    "anomaly_scores_mahalanobis",
-    "asof_join_attribution",
-    "attention_routing_hashed",
-    "bucketed_degree_join",
-    "connected_components",
-    "corpus_filter",
-    "corpus_token_budget",
-    "cube_events",
-    "date_functions",
-    "dedup_retention",
-    "degree_counts",
-    "filter_project",
-    "global_argmax",
-    "heavy_pairs",
-    "intersect_except_users",
-    "json_props_extract",
-    "json_source_roundtrip",
-    "log_bin_means",
-    "media_features_hashed",
-    "media_frame_sample",
-    "media_pipeline_real",
-    "near_dup_levenshtein",
-    "near_dup_minhash_hashed",
-    "node_universe",
-    "orc_source_roundtrip",
-    "partition_pruned_scan",
-    "profit_by_nation_year",
-    "revenue_by_nation",
-    "rollup_orders",
-    "salted_user_totals",
-    "scalar_math",
-    "sketch_values_hashed",
-    "stream_dedup_exact",
-    "stream_user_sessions",
-    "stream_window_event_stats",
-    "text_normalize",
-    "two_hop_intermediaries",
-    "two_hop_salted",
-    "union_dedup",
-    "value_percentiles",
-    "weight_stats",
-    "window_event_stats",
-    "window_topk_accounts",
+    "k_truss_windowed",          # X82 temporal cohesion
+    "butterfly_counts_src",      # X83 payer-side butterfly report
+    "source_overlap_matrix",     # X84 exact cross-source contamination
+    "source_overlap_minhash",    # X85 signature-only estimate twin
+    # -- the 45 queries whose latest driver row is r5 (full pool) --
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benford_digits",
+    "bpe_token_count",
+    "burst_detection",
+    "chisq_type_segment",
+    "clustering_coefficient",
+    "cohort_retention",
+    "containment_dedup",
+    "corpus_budget_quantile",
+    "dataset_split",
+    "degree_assortativity",
+    "edge_reciprocity",
+    "embedding_centroids",
+    "event_transitions",
+    "funnel_stages",
+    "grouping_sets_events",
+    "hashing_tf",
+    "k_core",
+    "latest_snapshot",
+    "media_features_arrow",
+    "negative_edge_sample",
+    "pivot_event_matrix",
+    "repetition_metrics",
+    "robust_zscore",
+    "rolling_active_users",
+    "sequence_packing",
+    "session_concurrency",
+    "stream_funnel_stages",
+    "stream_latest_snapshot",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_upsert_sink",
+    "stream_value_histogram",
+    "temporal_cycles",
+    "text_scrub",
+    "triangle_count",
+    "two_hop_flow",
+    "two_hop_temporal",
+    "type_entropy",
+    "unigram_logprob",
+    "value_histogram",
+    "window_function_suite",
 ]
 
 

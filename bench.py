@@ -82,6 +82,11 @@ HEADLINE = [
     # -- r8 birth: perf rows land the round they are born (all 43 rows
     #    above UNCHANGED) --
     "harmonic_centrality",    # graph: bounded-depth BFS shells (X81)
+    # -- r9 births (all 44 rows above UNCHANGED) --
+    "k_truss_windowed",       # graph: per-window truss peel (X82)
+    "butterfly_counts_src",   # graph: payer-side butterfly credit (X83)
+    "source_overlap_matrix",  # llm: exact cross-source contamination (X84)
+    "source_overlap_minhash", # llm: signature-only overlap estimate (X85)
 ]
 
 

@@ -266,3 +266,125 @@ class TestHarmonicCentralityProperty:
             c = [sum(1 for x in dist.values() if x == k) for k in (1, 2, 3)]
             exp[v] = (c[0], c[1], c[2], c[0] + c[1] / 2.0 + c[2] / 3.0)
         assert got == exp
+
+
+class TestWindowedTrussProperty:
+    """Random multigraphs spread over multiple slide slots: the windowed
+    truss must equal an independent Python truss peel run separately on
+    each window's strong-tie graph (windowing == partition-then-peel)."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # a
+                st.integers(min_value=0, max_value=5),   # b
+                st.integers(min_value=0, max_value=2),   # slide slot
+                st.integers(min_value=0, max_value=3),   # repeat-seed
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def test_equals_per_window_python_peel(self, spark, tmp_path, pairs):
+        from autoaudit_spark.operators.graph import (
+            K_TRUSS,
+            WT_MIN_MULT,
+            _WT_SLIDE_US,
+        )
+
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+        base_us = (
+            int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            // _WT_SLIDE_US + 1
+        ) * _WT_SLIDE_US
+        base = dt.datetime.fromtimestamp(
+            base_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+        rows = [
+            (a, b, 1.0, base + slot * slide + dt.timedelta(minutes=i))
+            for i, (a, b, slot, _r) in enumerate(pairs)
+        ]
+        d = str(tmp_path / f"wt{next(_counter)}")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        # independent reference: assign each event to its 2 sliding
+        # windows, derive per-window strong ties, peel each window's
+        # graph to its truss fixpoint with plain Python sets
+        mult = Counter()
+        for a, b, slot, _r in pairs:
+            if a == b:
+                continue
+            ev_us = base_us + slot * _WT_SLIDE_US
+            for w_us in (ev_us, ev_us - _WT_SLIDE_US):
+                mult[(w_us, min(a, b), max(a, b))] += 1
+        by_w = {}
+        for (w_us, a, b), m in mult.items():
+            if m >= WT_MIN_MULT:
+                by_w.setdefault(w_us, set()).add((a, b))
+        expect = {}
+        for w_us, edges in by_w.items():
+            cur = set(edges)
+            while True:
+                sup = Counter()
+                for (a, b) in cur:
+                    for c in range(6):
+                        lo, hi = min(a, c), max(a, c)
+                        lo2, hi2 = min(b, c), max(b, c)
+                        if c not in (a, b) and (lo, hi) in cur and (lo2, hi2) in cur:
+                            sup[(a, b)] += 1
+                nxt = {e for e in cur if sup[e] >= K_TRUSS - 2}
+                if nxt == cur:
+                    break
+                cur = nxt
+            w_ts = dt.datetime.fromtimestamp(
+                w_us / 1_000_000, dt.timezone.utc
+            ).replace(tzinfo=None)
+            for e in cur:
+                expect[(w_ts, e[0], e[1])] = sup[e]
+
+        got = {
+            (r["window_start"], r["a"], r["b"]): r["support"]
+            for r in QUERIES["k_truss_windowed"](spark, d).collect()
+        }
+        assert got == expect
+
+
+class TestButterflySrcProperty:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_equals_brute_force_and_dst_sum(self, spark, tmp_path, pairs):
+        """Random bipartite-projected multigraphs: per-src butterfly
+        counts equal the Python set-intersection reference, and both
+        side sums agree (each butterfly counted twice per side)."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        d = _events_dir(spark, tmp_path, pairs)
+        nbrs = defaultdict(set)
+        for (s, e, _t) in pairs:
+            nbrs[s].add(e % 150)
+        expect = defaultdict(int)
+        for s1, s2 in combinations(sorted(nbrs), 2):
+            c = len(nbrs[s1] & nbrs[s2])
+            if c >= 2:
+                nb = c * (c - 1) // 2
+                expect[s1] += nb
+                expect[s2] += nb
+        got = {r["node"]: r["butterflies"]
+               for r in QUERIES["butterfly_counts_src"](spark, d).collect()}
+        assert got == dict(expect)
+        dst_total = sum(r["butterflies"]
+                        for r in QUERIES["butterfly_counts"](spark, d).collect())
+        assert sum(got.values()) == dst_total
