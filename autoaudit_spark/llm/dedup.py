@@ -1326,7 +1326,13 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_sh = hashed_shingles_arith(docs).join(
         docs.select("doc_id", "source"), "doc_id"
     ).select(F.col("source").alias("doc_id"), "shash")
-    sig = minhash_signatures(src_sh)
+    # materialize the source-count-sized signature relation before the
+    # self-join: both join sides otherwise re-derive the full
+    # corpus-scan → shingle → group lineage (r9 review; A/B at sf0.1
+    # warm: 3.35–3.84 s checkpointed vs 4.01–4.52 s recomputed — the
+    # residual cost is the one unavoidable shingle pass, which the
+    # exact X84 join shares)
+    sig = minhash_signatures(src_sh).localCheckpoint()
     perms = sig.select(
         F.col("doc_id").alias("source"),
         F.posexplode("sig").alias("i", "m"),
