@@ -115,3 +115,53 @@ class TestCCUnrollOverflowContract:
         assert all(
             len(v) == 1 and next(iter(v)) >= 1 for v in rounds.values()
         )
+
+
+class TestWindowedTrussOracleGeneratorOffDefault:
+    def test_rounds_1_unroll_equals_registered_output(self, spark, tmp_path):
+        """rounds=1 forces the generator's final-supf recompute path on
+        a planted K4 (3-truss peels in one round by construction —
+        support-0 edges belong to no triangle, so their removal can't
+        cascade): the 1-round unroll must already equal the registered
+        6-round form AND the Spark operator's output."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            _k_truss_windowed_oracle,
+        )
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 4, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        rows, i = [], 0
+        # K4 on {1..4} at mult 2, plus a triangle-free strong pair (5, 6)
+        for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)]:
+            for _ in range(2):
+                rows.append(
+                    (i * 150 + b, slot + dt.timedelta(minutes=i), a,
+                     "pay", 1.0, "{}")
+                )
+                i += 1
+        d = str(tmp_path / "wt_gen")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        con = _duck(d)
+        one = sorted(con.execute(_k_truss_windowed_oracle(rounds=1)).fetchall())
+        six = sorted(con.execute(_k_truss_windowed_oracle()).fetchall())
+        assert one == six
+        got = sorted(
+            (r["window_start"], r["a"], r["b"], r["support"])
+            for r in QUERIES["k_truss_windowed"](spark, d).collect()
+        )
+        assert got == one
+        # the planted content survived: 6 K4 edges × 2 windows, (5,6) peeled
+        assert len(one) == 12 and all(r[3] == 2 for r in one)

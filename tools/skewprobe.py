@@ -18,8 +18,9 @@ deterministic and engine-comparable — byte sizes scale linearly).
 Verifies the two forms agree bit-identically on the skewed fixture, then
 prints ONE JSON line for BASELINE.md.
 
-Usage: python tools/skewprobe.py [sf_dir] [butterfly]
-(second arg 'butterfly' runs only the butterfly wedge probe)
+Usage: python tools/skewprobe.py [sf_dir] [butterfly|harmonic|wtruss]
+(second arg selects a single probe: the butterfly wedge, the harmonic
+expansion, or the windowed-truss subadditivity probe)
 """
 
 from __future__ import annotations
@@ -237,6 +238,160 @@ def harmonic_probe(spark, sf_dir: str) -> dict:
         "wall_sec": {"aqe_default": t_aqe},
         "result_rows": n_out,
     }
+
+
+def wtruss_probe(spark, sf_dir: str) -> dict:
+    """r9: measured backing for `k_truss_windowed`'s subadditivity
+    claim (docstring: "windows never interact, so skew spreads across
+    (w, node) keys"). Fixture: the real events plus a hub account that
+    repeatedly pays WT_HUB_FANOUT counterparties in EVERY slide slot —
+    strong ties form around the hub in every window. On the derived
+    per-window strong relation, the first triangle join's work on a
+    middle key m is cnt_b(m) × cnt_a(m); this probe computes the hub's
+    work under the w-threaded key (Σ_w of the per-window products) vs
+    the single-key envelope ((Σ_w cnt_b) × (Σ_w cnt_a) — what a
+    non-windowed key would pay on the same rows), histograms per-task
+    loads for the windowed join, and times the REGISTERED kernel on
+    the hubbed fixture against its clean band."""
+    import datetime as dt
+    import tempfile
+
+    from autoaudit_spark.operators.graph import (
+        WT_MIN_MULT,
+        _WT_SLIDE_US,
+    )
+    from autoaudit_spark.registry import QUERIES
+    from autoaudit_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lo_us, n_slots = (
+        ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / _WT_SLIDE_US
+            ).cast("long").alias("slots"),
+        ).collect()[0]
+    )
+    slot0 = (lo_us // _WT_SLIDE_US) * _WT_SLIDE_US
+    hub_rows = []
+    seq = 10_000  # unique-id counter; event_id = seq*150 + c keeps
+    i = 0         # (id % 150) == c, the dst-derivation congruence
+    for slot in range(int(n_slots) + 1):
+        base = slot0 + slot * _WT_SLIDE_US
+        for c in range(WT_HUB_FANOUT):
+            if c == WT_HUB:
+                continue  # no self-loop
+            for rep in range(WT_MIN_MULT):
+                hub_rows.append(
+                    (
+                        (seq + i) * 150 + c,
+                        dt.datetime.fromtimestamp(
+                            (base + c * 1_000_000 + rep) / 1_000_000,
+                            dt.timezone.utc,
+                        ).replace(tzinfo=None),
+                        WT_HUB,
+                        "pay",
+                        1.0,
+                        "{}",
+                    )
+                )
+                i += 1
+    hub_df = spark.createDataFrame(
+        hub_rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="wtruss_probe_")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(hub_df).write.mode("overwrite").parquet(
+        f"{tmp}/events.parquet"
+    )
+    # the probe fixture dir must serve load_table("events"); plain
+    # micros timestamps read back fine without the nanos conf
+    probe_dir = tmp
+
+    # per-window strong-tie relation (the kernel's e0)
+    from autoaudit_spark.sources import edges as edges_src
+
+    e0 = edges_src(spark, probe_dir)
+    und = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .withColumn("w", F.window("ts", "28 days", "14 days")["start"])
+        .select(
+            "w",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("w", "a", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= WT_MIN_MULT)
+        .select("w", "a", "b")
+        .persist()
+    )
+    # triangle join 1 work per (w, m): edges with b = m × edges with a = m
+    cb = und.groupBy("w", F.col("b").alias("node")).agg(
+        F.count("*").alias("cb")
+    )
+    ca = und.groupBy("w", F.col("a").alias("node")).agg(
+        F.count("*").alias("ca")
+    )
+    per_wk = cb.join(ca, ["w", "node"]).select(
+        "w", "node", (F.col("cb") * F.col("ca")).alias("work")
+    ).persist()
+    hub_split = (
+        per_wk.filter(F.col("node") == WT_HUB)
+        .agg(F.sum("work").alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+    hub_env = (
+        cb.filter(F.col("node") == WT_HUB)
+        .agg(F.sum("cb").alias("b"))
+        .collect()[0]["b"] or 0
+    ) * (
+        ca.filter(F.col("node") == WT_HUB)
+        .agg(F.sum("ca").alias("a"))
+        .collect()[0]["a"] or 0
+    )
+    work = per_wk.select(
+        F.pmod(F.hash("w", "node"), F.lit(PARTITIONS)).alias("p"), "work"
+    )
+    counts = sorted(
+        r["w"]
+        for r in work.groupBy("p").agg(F.sum("work").alias("w")).collect()
+    )
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    per_wk.unpersist()
+    und.unpersist()
+
+    t0 = time.monotonic()
+    out = QUERIES["k_truss_windowed"](spark, probe_dir)
+    out.write.format("noop").mode("overwrite").save()
+    t_wall = round(time.monotonic() - t0, 2)
+    return {
+        "metric": "windowed_truss_skew_probe",
+        "sf_dir": sf_dir,
+        "hub_fanout": WT_HUB_FANOUT,
+        "hub_work_w_threaded": int(hub_split),
+        "hub_work_single_key_envelope": int(hub_env),
+        "subadditivity_ratio": round(hub_env / max(hub_split, 1), 2),
+        "tri_join_work_per_task": {
+            "max": counts[-1],
+            "median": counts[PARTITIONS // 2],
+            "total": sum(counts),
+        },
+        "wall_sec_registered_kernel_on_hubbed_fixture": t_wall,
+    }
+
+
+#: the hub must be a MIDDLE node under the (a < b) edge orientation —
+#: an out-of-range id (the two-hop probe's -77) would always canonize
+#: to the `a` side and carry ZERO middle-key work, so the probe uses an
+#: in-range account id with counterparties on both sides of it
+WT_HUB = 75
+WT_HUB_FANOUT = 120
 
 
 def wedge_probe(spark, sf_dir: str) -> dict:
@@ -462,6 +617,9 @@ def main() -> None:
         return
     if only == "harmonic":
         print(json.dumps(harmonic_probe(spark, sf_dir)))
+        return
+    if only == "wtruss":
+        print(json.dumps(wtruss_probe(spark, sf_dir)))
         return
     print(json.dumps(shingle_probe(spark, sf_dir)))
     print(json.dumps(wedge_probe(spark, sf_dir)))
