@@ -1,0 +1,87 @@
+"""Rotation-pool bookkeeping (r9): recompute each registered query's
+latest PASSING driver round from ALL CORRECTNESS_r*.json files and
+print the stalest pool — the list the next round's window rotation
+must cover.
+
+Every round since r5 this recount was done by hand, and twice (r8, r9)
+the hand estimate in NOTES drifted from the recount (the r8 lesson:
+46, not "~42"). This tool removes that seam the way `check.py
+--window` removed the window-order seam: the pool is READ from the
+driver's own records, never estimated.
+
+A query PASSES a round if its record has no error and matching rows
+(oracled queries), or records a row count with `err == "no_oracle"`
+(rows-only queries — the driver's weaker check). Queries never seen in
+any CORRECTNESS file report round 0 (must-rotate immediately).
+
+Usage: python tools/rotation.py [--max-round N]
+    prints the latest-round histogram, then the pool of queries whose
+    latest passing round <= the stalest bucket (or <= N if given),
+    as both a human list and a ready-to-paste _PRIORITY block.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def _passed(rec: dict) -> bool:
+    if rec.get("err") == "no_oracle":
+        return rec.get("spark_rows") is not None
+    return bool(rec.get("rows_match")) and rec.get("err") is None
+
+
+def latest_rounds(repo_root: str) -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r0*(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for q, rec in json.load(open(f)).items():
+            if _passed(rec):
+                latest[q] = max(latest.get(q, 0), rnd)
+            else:
+                latest.setdefault(q, latest.get(q, 0))
+    return latest
+
+
+def main() -> None:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    from autoaudit_spark import registry
+
+    registry.load_all()
+    latest = latest_rounds(repo_root)
+    # registered queries with no driver row at all -> round 0
+    for q in registry.QUERIES:
+        latest.setdefault(q, 0)
+    # stale entries for queries no longer registered are dropped
+    latest = {q: r for q, r in latest.items() if q in registry.QUERIES}
+
+    hist: dict[int, int] = {}
+    for r in latest.values():
+        hist[r] = hist.get(r, 0) + 1
+    print("latest-round histogram:", dict(sorted(hist.items())))
+
+    cut = None
+    args = sys.argv[1:]
+    if "--max-round" in args:
+        cut = int(args[args.index("--max-round") + 1])
+    if cut is None:
+        cut = min(latest.values())
+    pool = sorted(q for q, r in latest.items() if r <= cut)
+    print(f"\npool (latest round <= {cut}): {len(pool)} queries")
+    for q in pool:
+        print(f"  {q}  (r{latest[q]})")
+    print("\n# ready-to-paste _PRIORITY block:")
+    for q in pool:
+        print(f'    "{q}",')
+
+
+if __name__ == "__main__":
+    main()
