@@ -49,36 +49,33 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round8_rotation_in_window():
-    """Round-8 rotation (r7 verdict 'Next round' #1 — the round's top
-    item): flagship canary, the single r8 birth (same-round-window
-    rule), the two CC re-gates whose oracles gained the rounds_used
-    convergence column, and ALL 46 queries whose latest driver row was
-    r4 (the recomputed staleness pool; the verdict estimated ~42, which
-    is why this round carries exactly one birth)."""
+def test_round9_rotation_in_window():
+    """Round-9 rotation: flagship canary, the FOUR r9 births
+    (same-round-window rule), and ALL 45 queries whose latest driver
+    row is r5 (the pool recomputed from CORRECTNESS_r01–r08 — the
+    recount tools/rotation.py now automates). 1 + 4 + 45 = 50."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + r8 birth + CC re-gates
-        "two_hop_candidates", "harmonic_centrality",
-        "connected_components_jump", "connected_components_twostar",
-        # the 46 r4-latest queries (connected_components also re-gates)
-        "account_features", "ann_cosine_topk", "ann_int8_topk",
-        "anomaly_scores_mahalanobis", "asof_join_attribution",
-        "attention_routing_hashed", "bucketed_degree_join",
-        "connected_components", "corpus_filter", "corpus_token_budget",
-        "cube_events", "date_functions", "dedup_retention",
-        "degree_counts", "filter_project", "global_argmax",
-        "heavy_pairs", "intersect_except_users", "json_props_extract",
-        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
-        "media_frame_sample", "media_pipeline_real", "near_dup_levenshtein",
-        "near_dup_minhash_hashed", "node_universe", "orc_source_roundtrip",
-        "partition_pruned_scan", "profit_by_nation_year",
-        "revenue_by_nation", "rollup_orders", "salted_user_totals",
-        "scalar_math", "sketch_values_hashed", "stream_dedup_exact",
-        "stream_user_sessions", "stream_window_event_stats",
-        "text_normalize", "two_hop_intermediaries", "two_hop_salted",
-        "union_dedup", "value_percentiles", "weight_stats",
-        "window_event_stats", "window_topk_accounts",
+        # canary + the four r9 births
+        "two_hop_candidates", "k_truss_windowed", "butterfly_counts_src",
+        "source_overlap_matrix", "source_overlap_minhash",
+        # the 45 r5-latest queries
+        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
+        "benford_digits", "bpe_token_count", "burst_detection",
+        "chisq_type_segment", "clustering_coefficient", "cohort_retention",
+        "containment_dedup", "corpus_budget_quantile", "dataset_split",
+        "degree_assortativity", "edge_reciprocity", "embedding_centroids",
+        "event_transitions", "funnel_stages", "grouping_sets_events",
+        "hashing_tf", "k_core", "latest_snapshot", "media_features_arrow",
+        "negative_edge_sample", "pivot_event_matrix", "repetition_metrics",
+        "robust_zscore", "rolling_active_users", "sequence_packing",
+        "session_concurrency", "stream_funnel_stages",
+        "stream_latest_snapshot", "stream_static_join",
+        "stream_stream_join", "stream_stream_left_join",
+        "stream_upsert_sink", "stream_value_histogram", "temporal_cycles",
+        "text_scrub", "triangle_count", "two_hop_flow", "two_hop_temporal",
+        "type_entropy", "unigram_logprob", "value_histogram",
+        "window_function_suite",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
