@@ -165,3 +165,57 @@ class TestWindowedTrussOracleGeneratorOffDefault:
         assert got == one
         # the planted content survived: 6 K4 edges × 2 windows, (5,6) peeled
         assert len(one) == 12 and all(r[3] == 2 for r in one)
+
+
+class TestWindowedTrussRoundLimitFallback:
+    def test_rounds_0_spark_fallback_matches_generated_oracle(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The pre-fixpoint fallback (round budget exhausted before
+        convergence — supports recomputed on the survivors with
+        zero-fill) is unreachable at the registered WT_ROUNDS=6, so
+        force it: WT_ROUNDS=0 keeps every strong edge unpeeled, and the
+        Spark fallback must match _k_truss_windowed_oracle(rounds=0)
+        including support-0 rows the converged path never emits."""
+        import datetime as dt
+
+        from autoaudit_spark.operators import graph as graph_mod
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            _k_truss_windowed_oracle,
+        )
+
+        t = dt.datetime(2024, 6, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        rows, i = [], 0
+        # triangle {1,2,3} + a triangle-free strong pair (5, 6)
+        for a, b in [(1, 2), (1, 3), (2, 3), (5, 6)]:
+            for _ in range(2):
+                rows.append(
+                    (i * 150 + b, slot + dt.timedelta(minutes=i), a,
+                     "pay", 1.0, "{}")
+                )
+                i += 1
+        d = str(tmp_path / "wt_fb")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        monkeypatch.setattr(graph_mod, "WT_ROUNDS", 0)
+        got = sorted(
+            (r["window_start"], r["a"], r["b"], r["support"])
+            for r in graph_mod.q_k_truss_windowed(spark, d).collect()
+        )
+        expect = sorted(
+            _duck(d).execute(_k_truss_windowed_oracle(rounds=0)).fetchall()
+        )
+        assert got == expect
+        # zero-peel semantics: (5, 6) survives WITH support 0
+        assert any(r[1] == 5 and r[2] == 6 and r[3] == 0 for r in got)
+        assert all(r[3] == 1 for r in got if r[1] != 5)
