@@ -54,16 +54,22 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle): word k-grams as space-joined strings; per-doc
-    DISTINCT (set semantics)."""
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+def shingles(
+    docs: DataFrame, k: int = SHINGLE_K, key: str = "doc_id"
+) -> DataFrame:
+    """(key, shingle): word k-grams as space-joined strings; DISTINCT
+    per key (set semantics). `key` defaults to the per-doc grain; the
+    source-overlap family passes key="source" so the per-SOURCE set is
+    derived in the same single pass (r9 review: carrying the column
+    through the derivation replaces a second documents scan + a
+    data-sized doc_id join)."""
+    toks = docs.select(key, _tokens(F.col("text")).alias("t"))
     n = F.size("t")
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return (
         toks.filter(n >= k)
         .select(
-            "doc_id",
+            key,
             F.explode(
                 F.transform(
                     idx, lambda i: F.concat_ws(" ", F.slice("t", i + 1, k))
@@ -572,19 +578,28 @@ def _minhash_hashed_sql() -> str:
     """
 
 
-def hashed_shingles_arith(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shash) with the engine-portable polynomial hash of the
+def hashed_shingles_arith(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    key: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(key, shash) with the engine-portable polynomial hash of the
     space-joined k-gram — the oracle-able twin of `hashed_shingles`
-    (whose xxhash64 stays the scale default)."""
+    (whose xxhash64 stays the scale default). `key`/`distinct` mirror
+    `shingles` (r9 review): the MinHash source-overlap path passes
+    key="source", distinct=False — MIN is duplicate-insensitive, so
+    paying a distinct exchange just to feed a MIN aggregate is a
+    wasted data-sized shuffle."""
     from .text import arith_token_hash
 
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    toks = docs.select(key, _tokens(F.col("text")).alias("t"))
     n = F.size("t")
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return (
+    out = (
         toks.filter(n >= k)
         .select(
-            "doc_id",
+            key,
             F.explode(
                 F.transform(
                     idx,
@@ -594,8 +609,8 @@ def hashed_shingles_arith(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
                 )
             ).alias("shash"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 @query("near_dup_minhash_hashed", oracle=_minhash_hashed_sql())
@@ -1219,15 +1234,12 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE chain over exact BIGINTs, rounded 6dp like the doc-level
     family. The shared per-source shingle relation feeds sizes + both
     join sides -> persisted, the `jaccard_pairs` session-cache trade
-    (one entry per corpus plan)."""
+    (one entry per corpus plan). The source column rides THROUGH the
+    shingle derivation (shingles(key="source") — r9 review): one
+    documents scan and one distinct, no second scan and no data-sized
+    doc_id join to re-attach a column the row already had."""
     docs = load_table(spark, sf_dir, "documents")
-    src_sh = (
-        shingles(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
-        .persist()
-    )
+    src_sh = shingles(docs, key="source").persist()
     sizes = src_sh.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
     a, b = src_sh.alias("a"), src_sh.alias("b")
     inter = (
@@ -1323,15 +1335,19 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet, no source x source loop, no cartesian (pairs with zero
     agreeing perms drop out, mirrored by the oracle's n_match >= 1)."""
     docs = load_table(spark, sf_dir, "documents")
-    src_sh = hashed_shingles_arith(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
+    # source rides through the derivation (one scan, no doc_id
+    # re-join) and the distinct exchange is skipped entirely — MIN is
+    # duplicate-insensitive, so the signature aggregate consumes the
+    # raw exploded stream map-side (r9 review, both fixes)
+    src_sh = hashed_shingles_arith(
+        docs, key="source", distinct=False
     ).select(F.col("source").alias("doc_id"), "shash")
     # materialize the source-count-sized signature relation before the
     # self-join: both join sides otherwise re-derive the full
     # corpus-scan → shingle → group lineage (r9 review; A/B at sf0.1
-    # warm: 3.35–3.84 s checkpointed vs 4.01–4.52 s recomputed — the
-    # residual cost is the one unavoidable shingle pass, which the
-    # exact X84 join shares)
+    # warm: 3.35–3.84 s checkpointed vs 4.01–4.52 s recomputed; with
+    # the one-pass key="source", distinct=False derivation the warm
+    # floor settles at ~2.3 s — the one unavoidable shingle pass)
     sig = minhash_signatures(src_sh).localCheckpoint()
     perms = sig.select(
         F.col("doc_id").alias("source"),

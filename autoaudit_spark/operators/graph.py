@@ -2070,74 +2070,146 @@ _STRONG_UND_SQL = f"""und0 AS MATERIALIZED (
     )"""
 
 
-def edge_support(e: DataFrame) -> DataFrame:
-    """Per-edge triangle support on an (a < b) simple edge relation:
-    enumerate triangles a<b<c via the two-equi-join form (the
+def edge_support(e: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Per-edge triangle support on an (*keys, a < b) simple edge
+    relation: enumerate triangles a<b<c via the two-equi-join form (the
     `triangle_count` skeleton), then credit each of the three edges.
-    The middle-node join key carries hub skew exactly like the flagship
-    two-hop (the salting analogue is `two_hop_salted`; a degree-oriented
-    variant is the `triangle_count` refinement)."""
+    `keys` prepends extra equality columns to BOTH triangle joins and
+    every group key (the windowed truss passes ("w",): triads only
+    close inside one window, and all windows compute in the same two
+    shuffles — no per-window loop). The middle-node join key carries
+    hub skew exactly like the flagship two-hop (the salting analogue is
+    `two_hop_salted`; a degree-oriented variant is the `triangle_count`
+    refinement); with keys, per-key work only SHRINKS (Σ_w deg_w² ≤
+    deg² — measured 4.0× split, BASELINE.md r9 wtruss probe)."""
+    kl = list(keys)
     x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    ycond = F.col("y.a") == F.col("x.b")
+    zcond = (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b"))
+    for c in kl:
+        ycond = (F.col(f"y.{c}") == F.col(f"x.{c}")) & ycond
+        zcond = (F.col(f"z.{c}") == F.col(f"x.{c}")) & zcond
     t = (
-        x.join(y, F.col("y.a") == F.col("x.b"))
-        .join(
-            z,
-            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
-        )
+        x.join(y, ycond)
+        .join(z, zcond)
         .select(
+            *[F.col(f"x.{c}").alias(c) for c in kl],
             F.col("x.a").alias("a"),
             F.col("x.b").alias("b"),
             F.col("y.b").alias("c"),
         )
     )
     credits = (
-        t.select("a", "b")
-        .unionAll(t.select(F.col("b").alias("a"), F.col("c").alias("b")))
-        .unionAll(t.select("a", F.col("c").alias("b")))
+        t.select(*kl, "a", "b")
+        .unionAll(
+            t.select(*kl, F.col("b").alias("a"), F.col("c").alias("b"))
+        )
+        .unionAll(t.select(*kl, "a", F.col("c").alias("b")))
     )
-    return credits.groupBy("a", "b").agg(F.count("*").alias("s"))
+    return credits.groupBy(*kl, "a", "b").agg(F.count("*").alias("s"))
 
 
-def _k_truss_oracle(k: int = K_TRUSS, rounds: int = TRUSS_ROUNDS) -> str:
-    """Unrolled DuckDB twin of `q_k_truss`: one (triangles, support,
-    filter) CTE triple per round. e{{i}} and t{{i}} are MATERIALIZED —
-    each is referenced 3× per round, and plain-CTE inlining would grow
-    the expression tree 3^rounds (the pagerank oracle lesson)."""
+def truss_peel(
+    e: DataFrame,
+    keys: tuple[str, ...] = (),
+    k: int = K_TRUSS,
+    rounds: int = TRUSS_ROUNDS,
+) -> tuple[DataFrame, bool]:
+    """Shared edge-support peel loop (r9 review: one implementation
+    serves the global and windowed trusses). `e` is a checkpointed
+    (*keys, a, b) relation; returns (relation, converged): converged →
+    (*keys, a, b, s) whose supports WERE computed on a set equal to the
+    output set (reusable — the r7-review no-redundant-enumeration
+    point); round budget exhausted → (*keys, a, b) pre-fixpoint, caller
+    recomputes supports like the oracle's final supf pass. The
+    (total-)count early exit is sound in both shapes: edge sets shrink
+    monotonically per key group, so an unchanged GLOBAL count proves
+    every group hit its fixpoint simultaneously."""
+    kl = list(keys)
+    prev_n = e.count()
+    for _ in range(rounds):
+        e_next = (
+            e.join(edge_support(e, keys), kl + ["a", "b"])
+            .filter(F.col("s") >= k - 2)
+            .select(*kl, "a", "b", "s")
+            .localCheckpoint()
+        )
+        n = e_next.count()
+        if n == prev_n:
+            return e_next, True
+        e = e_next.select(*kl, "a", "b")
+        prev_n = n
+    return e, False
+
+
+def _truss_oracle_sql(
+    k: int,
+    rounds: int,
+    und0: str,
+    keys: tuple[str, ...] = (),
+    key_out: tuple[tuple[str, str], ...] = (),
+) -> str:
+    """Shared unrolled-truss DuckDB generator (r9 review: one generator
+    serves `_k_truss_oracle` and `_k_truss_windowed_oracle` — the
+    global form is the keys=() instance, byte-identical to the
+    pre-refactor string). One (triangles, support, filter) CTE triple
+    per round; e{{i}} and t{{i}} are MATERIALIZED — each is referenced
+    3× per round, and plain-CTE inlining would grow the expression tree
+    3^rounds (the pagerank oracle lesson). `und0` supplies the strong
+    edge CTE (must define und0 with columns (*keys, a, b)); `keys`
+    threads extra equality columns through every join and group;
+    `key_out` maps each key to its output alias."""
+    kp = "".join(f"{c}, " for c in keys)
+    ksel = "".join(f"x.{c} AS {c}, " for c in keys)
+    ycond = "".join(f"y.{c} = x.{c} AND " for c in keys)
+    zcond = "".join(f"z.{c} = x.{c} AND " for c in keys)
+    esel = "".join(f"e.{c}, " for c in keys)
+    using = ", ".join([*keys, "a", "b"])
     parts = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
-        _STRONG_UND_SQL,
-        "e0 AS MATERIALIZED (SELECT a, b FROM und0)",
+        und0,
+        f"e0 AS MATERIALIZED (SELECT {kp}a, b FROM und0)",
     ]
     tri = (
-        "SELECT x.a AS a, x.b AS b, y.b AS c FROM e{i} x "
-        "JOIN e{i} y ON y.a = x.b "
-        "JOIN e{i} z ON z.a = x.a AND z.b = y.b"
+        f"SELECT {ksel}x.a AS a, x.b AS b, y.b AS c FROM e{{i}} x "
+        f"JOIN e{{i}} y ON {ycond}y.a = x.b "
+        f"JOIN e{{i}} z ON {zcond}z.a = x.a AND z.b = y.b"
     )
     sup = (
-        "SELECT a, b, COUNT(*) AS s FROM ("
-        "SELECT a, b FROM t{i} "
-        "UNION ALL SELECT b AS a, c AS b FROM t{i} "
-        "UNION ALL SELECT a, c AS b FROM t{i}) GROUP BY a, b"
+        f"SELECT {kp}a, b, COUNT(*) AS s FROM ("
+        f"SELECT {kp}a, b FROM t{{i}} "
+        f"UNION ALL SELECT {kp}b AS a, c AS b FROM t{{i}} "
+        f"UNION ALL SELECT {kp}a, c AS b FROM t{{i}}) GROUP BY {kp}a, b"
     )
     for i in range(rounds):
         parts.append(f"t{i} AS MATERIALIZED ({tri.format(i=i)})")
         parts.append(f"sup{i} AS ({sup.format(i=i)})")
         parts.append(
             f"e{i + 1} AS MATERIALIZED ("
-            f"SELECT e.a, e.b FROM e{i} e JOIN sup{i} s USING (a, b) "
+            f"SELECT {esel}e.a, e.b FROM e{i} e JOIN sup{i} s "
+            f"USING ({using}) "
             f"WHERE s.s >= {k - 2})"
         )
     parts.append(f"tf AS MATERIALIZED ({tri.format(i=rounds)})")
     parts.append(f"supf AS ({sup.format(i=rounds)})".replace(
         f"t{rounds}", "tf"
     ))
+    osel = "".join(f"e.{c} AS {alias},\n        " for c, alias in key_out)
+    order = ", ".join([alias for _, alias in key_out] + ["a", "b"])
     return (
         "WITH "
         + ", ".join(parts)
-        + f""" SELECT e.a, e.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
-        FROM e{rounds} e LEFT JOIN supf s USING (a, b)
-        ORDER BY a, b"""
+        + f""" SELECT {osel}e.a, e.b,
+        CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+        FROM e{rounds} e LEFT JOIN supf s USING ({using})
+        ORDER BY {order}"""
     )
+
+
+def _k_truss_oracle(k: int = K_TRUSS, rounds: int = TRUSS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of `q_k_truss` — the keys=() instance of
+    `_truss_oracle_sql`."""
+    return _truss_oracle_sql(k, rounds, _STRONG_UND_SQL)
 
 
 @query("k_truss", oracle=_k_truss_oracle())
@@ -2174,22 +2246,7 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint()
     )
-    prev_n = e.count()
-    converged = False
-    for _ in range(TRUSS_ROUNDS):
-        e_next = (
-            e.join(edge_support(e), ["a", "b"])
-            .filter(F.col("s") >= K_TRUSS - 2)
-            .select("a", "b", "s")
-            .localCheckpoint()
-        )
-        n = e_next.count()
-        if n == prev_n:  # monotone shrink → equal count == fixpoint,
-            e = e_next   # and these supports WERE computed on a set
-            converged = True  # equal to the output set — reuse them
-            break        # (review r7: no redundant final enumeration)
-        e = e_next.select("a", "b")
-        prev_n = n
+    e, converged = truss_peel(e, (), K_TRUSS, TRUSS_ROUNDS)
     if converged:
         return e.select(
             "a", "b", F.col("s").cast("long").alias("support")
@@ -2233,86 +2290,18 @@ _WT_EDGES_SQL = f"""
 """
 
 
-def edge_support_windowed(e: DataFrame) -> DataFrame:
-    """Per-(window, edge) triangle support on a (w, a < b) relation:
-    `edge_support` with window-equality added to BOTH triangle joins
-    and w carried through every groupBy key — triads only close inside
-    one window, so each window's support is computed independently in
-    the same two shuffles (no per-window loop, no union of windows).
-    The middle-node key (w, x.b) carries the same hub skew as the
-    global form; salting transfers unchanged (BASELINE.md wedge table)."""
-    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
-    t = (
-        x.join(
-            y,
-            (F.col("y.w") == F.col("x.w")) & (F.col("y.a") == F.col("x.b")),
-        )
-        .join(
-            z,
-            (F.col("z.w") == F.col("x.w"))
-            & (F.col("z.a") == F.col("x.a"))
-            & (F.col("z.b") == F.col("y.b")),
-        )
-        .select(
-            F.col("x.w").alias("w"),
-            F.col("x.a").alias("a"),
-            F.col("x.b").alias("b"),
-            F.col("y.b").alias("c"),
-        )
-    )
-    credits = (
-        t.select("w", "a", "b")
-        .unionAll(t.select("w", F.col("b").alias("a"), F.col("c").alias("b")))
-        .unionAll(t.select("w", "a", F.col("c").alias("b")))
-    )
-    return credits.groupBy("w", "a", "b").agg(F.count("*").alias("s"))
-
-
 def _k_truss_windowed_oracle(
     k: int = K_TRUSS, rounds: int = WT_ROUNDS
 ) -> str:
-    """Unrolled DuckDB twin of `q_k_truss_windowed`: the `_k_truss_oracle`
-    CTE chain with the window key threaded through every join and
-    group — MATERIALIZED per round for the same 3^rounds-inlining
-    reason."""
-    parts = [
-        f"edges AS MATERIALIZED ({EDGES_SQL})",
-        f"""und0 AS MATERIALIZED (
+    """Unrolled DuckDB twin of `q_k_truss_windowed` — the keys=("w",)
+    instance of `_truss_oracle_sql`, with the windowed strong-tie base
+    CTE and the window aliased to window_start in the output."""
+    und0 = f"""und0 AS MATERIALIZED (
         SELECT w, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         FROM ({_WT_EDGES_SQL}) WHERE src <> dst
-        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {WT_MIN_MULT})""",
-        "e0 AS MATERIALIZED (SELECT w, a, b FROM und0)",
-    ]
-    tri = (
-        "SELECT x.w AS w, x.a AS a, x.b AS b, y.b AS c FROM e{i} x "
-        "JOIN e{i} y ON y.w = x.w AND y.a = x.b "
-        "JOIN e{i} z ON z.w = x.w AND z.a = x.a AND z.b = y.b"
-    )
-    sup = (
-        "SELECT w, a, b, COUNT(*) AS s FROM ("
-        "SELECT w, a, b FROM t{i} "
-        "UNION ALL SELECT w, b AS a, c AS b FROM t{i} "
-        "UNION ALL SELECT w, a, c AS b FROM t{i}) GROUP BY w, a, b"
-    )
-    for i in range(rounds):
-        parts.append(f"t{i} AS MATERIALIZED ({tri.format(i=i)})")
-        parts.append(f"sup{i} AS ({sup.format(i=i)})")
-        parts.append(
-            f"e{i + 1} AS MATERIALIZED ("
-            f"SELECT e.w, e.a, e.b FROM e{i} e JOIN sup{i} s "
-            f"USING (w, a, b) WHERE s.s >= {k - 2})"
-        )
-    parts.append(f"tf AS MATERIALIZED ({tri.format(i=rounds)})")
-    parts.append(
-        f"supf AS ({sup.format(i=rounds)})".replace(f"t{rounds}", "tf")
-    )
-    return (
-        "WITH "
-        + ", ".join(parts)
-        + f""" SELECT e.w AS window_start, e.a, e.b,
-        CAST(COALESCE(s.s, 0) AS BIGINT) AS support
-        FROM e{rounds} e LEFT JOIN supf s USING (w, a, b)
-        ORDER BY window_start, a, b"""
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {WT_MIN_MULT})"""
+    return _truss_oracle_sql(
+        k, rounds, und0, keys=("w",), key_out=(("w", "window_start"),)
     )
 
 
@@ -2359,22 +2348,7 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w", "a", "b")
         .localCheckpoint()
     )
-    prev_n = e.count()
-    converged = False
-    for _ in range(WT_ROUNDS):
-        e_next = (
-            e.join(edge_support_windowed(e), ["w", "a", "b"])
-            .filter(F.col("s") >= K_TRUSS - 2)
-            .select("w", "a", "b", "s")
-            .localCheckpoint()
-        )
-        n = e_next.count()
-        if n == prev_n:  # global count monotone ⇒ every window at fixpoint
-            e = e_next   # supports computed on the output set — reuse
-            converged = True
-            break
-        e = e_next.select("w", "a", "b")
-        prev_n = n
+    e, converged = truss_peel(e, ("w",), K_TRUSS, WT_ROUNDS)
     if converged:
         out = e.select(
             F.col("w").alias("window_start"),
@@ -2385,7 +2359,7 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # round limit exhausted pre-fixpoint: recompute supports on the
         # survivors (the oracle's final supf pass)
-        out = e.join(edge_support_windowed(e), ["w", "a", "b"], "left").select(
+        out = e.join(edge_support(e, ("w",)), ["w", "a", "b"], "left").select(
             F.col("w").alias("window_start"),
             "a",
             "b",

@@ -32,7 +32,18 @@ import sys
 def _passed(rec: dict) -> bool:
     if rec.get("err") == "no_oracle":
         return rec.get("spark_rows") is not None
-    return bool(rec.get("rows_match")) and rec.get("err") is None
+    # oracled rows must pass the FULL check: a value-hash or schema
+    # mismatch with a matching row count is a regression, not a pass
+    # (r9 review — CORRECTNESS_r01/r02 `user_sessions` is the
+    # precedent: rows_match=true, hash_match=false); None means the
+    # driver recorded no verdict for that axis, which only occurs
+    # alongside err and is excluded by the err check anyway
+    return (
+        rec.get("err") is None
+        and rec.get("rows_match") is True
+        and rec.get("schema_match") in (True, None)
+        and rec.get("hash_match") in (True, None)
+    )
 
 
 def latest_rounds(repo_root: str) -> dict[str, int]:
@@ -46,7 +57,7 @@ def latest_rounds(repo_root: str) -> dict[str, int]:
             if _passed(rec):
                 latest[q] = max(latest.get(q, 0), rnd)
             else:
-                latest.setdefault(q, latest.get(q, 0))
+                latest.setdefault(q, 0)  # seen but never passed
     return latest
 
 

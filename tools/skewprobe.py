@@ -258,6 +258,8 @@ def wtruss_probe(spark, sf_dir: str) -> dict:
 
     from autoaudit_spark.operators.graph import (
         WT_MIN_MULT,
+        WT_SLIDE,
+        WT_WINDOW,
         _WT_SLIDE_US,
     )
     from autoaudit_spark.registry import QUERIES
@@ -318,7 +320,7 @@ def wtruss_probe(spark, sf_dir: str) -> dict:
     e0 = edges_src(spark, probe_dir)
     und = (
         e0.filter(F.col("src") != F.col("dst"))
-        .withColumn("w", F.window("ts", "28 days", "14 days")["start"])
+        .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
         .select(
             "w",
             F.least("src", "dst").alias("a"),
