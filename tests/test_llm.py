@@ -1098,3 +1098,118 @@ class TestSourceOverlap:
         diffs = [abs(est.get(k, 0.0) - v) for k, v in exact.items()]
         assert max(diffs) <= 0.15
         assert sum(diffs) / len(diffs) <= 0.05
+
+
+class TestSourceOverlapProperty:
+    """Hypothesis: random small corpora through the documents seam —
+    X84 against a pure-Python set reference and X85 against a BITWISE
+    pure-Python replication of the portable hash + affine-permutation
+    MinHash (the X80 replication tier: the same integers, not a
+    tolerance)."""
+
+    @staticmethod
+    def _write_docs(spark, tmp_path, corpora, tag):
+        import itertools as it
+
+        rows, i = [], 0
+        for src, docs in sorted(corpora.items()):
+            for t in docs:
+                rows.append((i, t, "en", src, len(t)))
+                i += 1
+        d = str(tmp_path / f"ovp{tag}")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        return d
+
+    @staticmethod
+    def _shingle_set(docs):
+        out = set()
+        for t in docs:
+            w = t.split()
+            out |= {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+        return out
+
+    def test_exact_and_minhash_match_python(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from autoaudit_spark.llm.dedup import (
+            MINHASH_PERMS,
+            _A,
+            _B,
+            _P,
+        )
+        from autoaudit_spark.registry import QUERIES
+
+        word = st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        )
+        doc = st.lists(word, min_size=3, max_size=9).map(" ".join)
+        corpora_st = st.dictionaries(
+            st.sampled_from(["sa", "sb", "sc"]),
+            st.lists(doc, min_size=1, max_size=3),
+            min_size=2,
+            max_size=3,
+        )
+
+        counter = [0]
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(corpora=corpora_st)
+        def run(corpora):
+            from itertools import combinations
+
+            counter[0] += 1
+            d = self._write_docs(spark, tmp_path, corpora, counter[0])
+            sets = {s: self._shingle_set(ds) for s, ds in corpora.items()}
+
+            # X84 reference
+            expect84 = {}
+            for a, b in combinations(sorted(sets), 2):
+                n = len(sets[a] & sets[b])
+                if n:
+                    expect84[(a, b)] = (
+                        n, len(sets[a]), len(sets[b]),
+                        round(n / (len(sets[a]) + len(sets[b]) - n), 6),
+                    )
+            got84 = {(r["src_a"], r["src_b"]):
+                     (r["n_common"], r["sz_a"], r["sz_b"], r["jaccard"])
+                     for r in QUERIES["source_overlap_matrix"](
+                         spark, d).collect()}
+            assert got84 == expect84
+
+            # X85 reference — bitwise hash + permutation replication
+            def arith(sh):
+                h = 0
+                for ch in sh:
+                    h = (h * 131 + ord(ch)) % 1000000007
+                return h
+
+            sigs = {}
+            for s, shs in sets.items():
+                hs = [arith(x) % _P for x in shs]
+                if hs:
+                    sigs[s] = [
+                        min((_A[i] * h + _B[i]) % _P for h in hs)
+                        for i in range(MINHASH_PERMS)
+                    ]
+            expect85 = {}
+            for a, b in combinations(sorted(sigs), 2):
+                m = sum(1 for i in range(MINHASH_PERMS)
+                        if sigs[a][i] == sigs[b][i])
+                if m >= 1:
+                    expect85[(a, b)] = (m, m / MINHASH_PERMS)
+            got85 = {(r["src_a"], r["src_b"]):
+                     (r["n_match"], r["est_jaccard"])
+                     for r in QUERIES["source_overlap_minhash"](
+                         spark, d).collect()}
+            assert got85 == expect85
+
+        run()
