@@ -102,3 +102,15 @@ def test_rotated_out_queries_still_registered():
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"
+
+
+def test_bench_headline_names_are_registered_and_unique():
+    """A typo'd or stale HEADLINE name would crash the driver's bench
+    run (bench.py looks each name up in the registry) — pin the whole
+    list against the live registry (r9 guard)."""
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    missing = [n for n in bench.HEADLINE
+               if n not in entry_mod.registry.QUERIES]
+    assert not missing, f"HEADLINE names not registered: {missing}"
