@@ -2151,8 +2151,10 @@ def _truss_oracle_sql(
 ) -> str:
     """Shared unrolled-truss DuckDB generator (r9 review: one generator
     serves `_k_truss_oracle` and `_k_truss_windowed_oracle` — the
-    global form is the keys=() instance, byte-identical to the
-    pre-refactor string). One (triangles, support, filter) CTE triple
+    global form is the keys=() instance, semantically identical to the
+    pre-refactor string; the refactor safety check compared the two
+    WHITESPACE-NORMALIZED, and the final SELECT/USING clauses do differ
+    in line breaks). One (triangles, support, filter) CTE triple
     per round; e{{i}} and t{{i}} are MATERIALIZED — each is referenced
     3× per round, and plain-CTE inlining would grow the expression tree
     3^rounds (the pagerank oracle lesson). `und0` supplies the strong
@@ -2368,23 +2370,183 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "a", "b")
 
 
-def k_core_peel(sym: DataFrame, core: DataFrame, k: int) -> DataFrame:
+def k_core_peel(
+    sym: DataFrame, core: DataFrame, k: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """One k-core peel round: restrict the symmetric edge list to edges
     with BOTH endpoints surviving (left-semi joins — no broadcast hint,
     AQE picks the strategy; the surviving node set is node-sized), then
     keep nodes whose in-core degree is ≥ k. Module-level so the plan
-    test can assert the no-forced-broadcast property directly."""
-    return (
-        sym.join(core, sym.a == core.node, "left_semi")
-        .join(
-            core.withColumnRenamed("node", "b_node"),
-            F.col("b") == F.col("b_node"),
-            "left_semi",
+    test can assert the no-forced-broadcast property directly.
+
+    `keys` prepends extra equality columns to both semi-joins and the
+    degree group key (the `edge_support` convention, r10): the windowed
+    core passes ("w",) — nodes only support each other inside one
+    window, and every window peels in the same two joins."""
+    kl = list(keys)
+
+    def _renamed(tag: str) -> DataFrame:
+        # fresh aliases on every column: the peel output preserves the
+        # key attributes through groupBy, so next round's `core` would
+        # otherwise share attribute ids with `sym` and trip the
+        # ambiguous-self-join check
+        return core.select(
+            *[F.col(c).alias(f"_{tag}_{c}") for c in kl],
+            F.col("node").alias(f"{tag}_node"),
         )
-        .groupBy("a")
+
+    def _cond(endpoint: str, tag: str):
+        cond = F.col(endpoint) == F.col(f"{tag}_node")
+        for c in kl:
+            cond = (F.col(c) == F.col(f"_{tag}_{c}")) & cond
+        return cond
+
+    return (
+        sym.join(_renamed("a"), _cond("a", "a"), "left_semi")
+        .join(_renamed("b"), _cond("b", "b"), "left_semi")
+        .groupBy(*kl, "a")
         .agg(F.count("*").alias("deg"))
         .filter(F.col("deg") >= k)
-        .select(F.col("a").alias("node"))
+        .select(*kl, F.col("a").alias("node"))
+    )
+
+
+#: windowed k-core unroll budget: measured fixpoint (rounds including
+#: the confirming one) is ≤ 4 at sf0.001/0.01/0.1 — 8 gives 2× margin;
+#: both engines run the same fixed rounds (a converged set is a
+#: fixpoint, so extra rounds are no-ops), the Spark side exits early on
+#: the count-provable fixpoint exactly like the global core.
+KCW_ROUNDS = 8
+
+
+def windowed_strong_ties(e0: DataFrame) -> DataFrame:
+    """Per-window strong-tie relation (w, a, b): edges assigned to
+    28d/14d sliding windows (WT_WINDOW/WT_SLIDE), self-loops dropped,
+    endpoints canonized a < b, pairs kept at per-window multiplicity
+    ≥ WT_MIN_MULT — the X82 derivation (its rationale and the measured
+    14d-closes-zero-triads param study live on `q_k_truss_windowed`).
+    `q_k_truss_windowed` keeps its inline copy this round (born r9,
+    outside the r10 driver window — the same-round-window rule forbids
+    editing it without a re-gate slot, and the r10 window has none);
+    r11 can swap it to this helper when it rotates back in."""
+    return (
+        e0.filter(F.col("src") != F.col("dst"))
+        .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
+        .select(
+            "w",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("w", "a", "b")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= WT_MIN_MULT)
+        .select("w", "a", "b")
+    )
+
+
+def _k_core_windowed_oracle(
+    k: int = K_CORE_K, rounds: int = KCW_ROUNDS
+) -> str:
+    """Unrolled DuckDB twin of `q_k_core_windowed`: one peel CTE per
+    round, each restricting the symmetric strong-tie relation to edges
+    with both endpoints in the previous round's core (two equi-joins —
+    a non-recursive unroll has no single-recursive-reference
+    restriction, so it needs neither the global core oracle's LIST
+    workaround nor its quadratic `list_contains` scans) and keeping
+    nodes with per-window degree ≥ k. MATERIALIZED per the truss-oracle
+    lesson: each c{{i}} is referenced twice per round and plain-CTE
+    inlining would grow the tree 2^rounds."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""und AS MATERIALIZED (
+        SELECT w, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_WT_EDGES_SQL}) WHERE src <> dst
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {WT_MIN_MULT})""",
+        """sym AS MATERIALIZED (
+        SELECT w, a, b FROM und UNION ALL SELECT w, b, a FROM und)""",
+        "c0 AS MATERIALIZED (SELECT DISTINCT w, a AS node FROM sym)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""c{i + 1} AS MATERIALIZED (
+        SELECT s.w, s.a AS node FROM sym s
+        JOIN c{i} x ON x.w = s.w AND x.node = s.a
+        JOIN c{i} y ON y.w = s.w AND y.node = s.b
+        GROUP BY s.w, s.a HAVING COUNT(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT w AS window_start, node FROM c{rounds}
+        ORDER BY window_start, node"""
+    )
+
+
+@query("k_core_windowed", oracle=_k_core_windowed_oracle())
+def q_k_core_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_CORE_K}-core per 28d/14d sliding window (X86, r10 — the X82
+    recipe applied to the node peel, the r9 verdict's birth #1): edges
+    are assigned to sliding windows, the strong-tie relation is derived
+    per (window, pair), and the degree peel runs with the window
+    threaded through both semi-joins and the group key — the NODE-side
+    half of the laundering-ring lifecycle signal `k_truss_windowed`
+    computes on the edge side (a dense cell of accounts that holds
+    k-core strength in one window and dissolves in the next is a
+    transient ring; the global `k_core` cannot see the transition).
+    Output: (window_start, node) for every node in its window's core.
+
+    Params MEASURED before building (the X82 lesson): k = K_CORE_K
+    ({K_CORE_K}, the global core's strength) over the windowed
+    strong-tie relation at WT_MIN_MULT ≥ {WT_MIN_MULT} (a 28-day window
+    sees roughly half each pair's events — the X82 rationale; the
+    global core's mult ≥ {K_CORE_MIN_MULT} leaves only the middle
+    window populated). Yields 0 / 435 / 2005 core nodes at
+    sf0.001/0.01/0.1 — nonvacuous at the driver scale with a visible
+    per-window lifecycle (150/150/135 across the three sf0.01 windows);
+    the sf0.001 graph is too sparse for any k ≥ 3 windowed core
+    (measured: only k = 2 survives there), which the planted
+    transient-core test covers instead. Fixpoint ≤ 4 rounds measured at
+    all three SFs (unroll budget {KCW_ROUNDS}).
+
+    One loop serves ALL windows (the X82 argument verbatim): per-window
+    core sets shrink monotonically, so the GLOBAL count is monotone and
+    an unchanged global count proves every window simultaneously hit
+    its fixpoint. Round cost is two window-keyed left-semi joins + one
+    grouped count (AQE picks the join strategy — the surviving set is
+    node-sized, never force-broadcast); skew on a hub node spreads
+    across its (w, node) keys, and per-key work only shrinks vs the
+    global peel (the wtruss-probe subadditivity argument transfers:
+    Σ_w deg_w ≤ deg)."""
+    from ..sources import edges as edges_src
+
+    return k_core_windowed(edges_src(spark, sf_dir))
+
+
+def k_core_windowed(
+    e0: DataFrame, k: int = K_CORE_K, rounds: int = KCW_ROUNDS
+) -> DataFrame:
+    """Parametric kernel behind `q_k_core_windowed` (the
+    `harmonic_centrality(adj, depth)` convention): the property tests
+    drive it off the registered k on random multigraphs whose max
+    degree sits below K_CORE_K. Runs `rounds` windowed peels with the
+    count-provable early exit; a budget exhausted pre-fixpoint still
+    matches the oracle's c_rounds exactly — peel^rounds(c0) is the same
+    relation in both engines, no truss-style final recompute needed."""
+    und = windowed_strong_ties(e0)
+    sym = und.unionAll(
+        und.select("w", F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    core = sym.select("w", F.col("a").alias("node")).distinct().localCheckpoint()
+    prev_n = core.count()
+    for _ in range(rounds):
+        core = k_core_peel(sym, core, k, keys=("w",)).localCheckpoint()
+        n = core.count()
+        if n == prev_n:  # monotone shrink → equal count == fixpoint
+            break
+        prev_n = n
+    sym.unpersist()
+    return core.select(F.col("w").alias("window_start"), "node").orderBy(
+        "window_start", "node"
     )
 
 

@@ -732,6 +732,84 @@ class TestKTrussWindowed:
                              (2, 3): 2, (2, 4): 2, (3, 4): 2}
 
 
+class TestKCoreWindowed:
+    def test_planted_transient_core(self, spark, tmp_path):
+        """A K7 active only in slide-slot k (each node's in-window
+        strong degree is exactly K_CORE_K = 6) plus a pendant strong
+        pair: the pendant peels (degree 1), the K7 holds in BOTH
+        windows covering slot k; in the next slot only one pair stays
+        active, so nothing survives there — the transient-ring
+        lifecycle the operator exists to expose."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows = []
+        i = 0
+        clique = [1, 2, 3, 4, 5, 6, 7]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                        rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                        i += 1
+        # pendant strong pair — must peel in round 1 (degree 1 < 6)
+        for _ in range(2):
+            rows.append((8, 9, 1.0, slot + dt.timedelta(minutes=i)))
+            i += 1
+        # next slot: only the (1, 2) pair remains active
+        rows.append((1, 2, 1.0, slot + slide + dt.timedelta(hours=1)))
+        rows.append((1, 2, 1.0, slot + slide + dt.timedelta(hours=2)))
+        d = str(tmp_path / "kcw")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["node"])
+            for r in QUERIES["k_core_windowed"](spark, d).collect()
+        }
+        expect = {
+            (w, n) for w in (slot - slide, slot) for n in clique
+        }
+        assert got == expect  # pendant gone, nothing from slot k+1
+
+    def test_one_node_short_clique_peels_to_nothing(self, spark, tmp_path):
+        """K6 (degree 5 < K_CORE_K = 6 everywhere) must vanish — the
+        threshold is strict, and the cascade empties the window."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        rows, i = [], 0
+        for a in range(1, 7):
+            for b in range(a + 1, 7):
+                for _ in range(2):
+                    rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                    i += 1
+        d = str(tmp_path / "kcw6")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+        assert QUERIES["k_core_windowed"](spark, d).count() == 0
+
+
 class TestButterflySrc:
     def test_planted_k23_flips_sides(self, spark, tmp_path):
         """Same K_{2,3}+noise fixture as X72's planted test: 3

@@ -167,6 +167,67 @@ class TestWindowedTrussOracleGeneratorOffDefault:
         assert len(one) == 12 and all(r[3] == 2 for r in one)
 
 
+class TestWindowedKCoreOracleGeneratorOffDefault:
+    def test_cascade_needs_multiple_rounds(self, spark, tmp_path):
+        """A planted peel CASCADE: a chain 7 → 8 → 9 hangs off a stable
+        K7 on {20..26} (7 has 4 core neighbors + 8 = degree 5 and peels
+        first; 8 has 7 + 9 + 4 core = 6 until 7 goes; 9 has 8 + 5 core
+        = 6 until 8 goes): rounds=1 must still contain chain survivors
+        the fixpoint unroll has peeled, and the default unroll must
+        equal the registered Spark operator (which exits early on the
+        count-provable fixpoint)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            _k_core_windowed_oracle,
+        )
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 7, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        pairs = [
+            (a, b) for a in range(20, 27) for b in range(a + 1, 27)
+        ]
+        pairs += [(7, n) for n in range(20, 24)]             # 4 core nbrs
+        pairs += [(8, 7), (8, 9)] + [(8, n) for n in range(20, 24)]
+        pairs += [(9, n) for n in range(20, 25)]             # 5 core nbrs
+        rows, i = [], 0
+        for a, b in pairs:
+            for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                rows.append(
+                    (i * 150 + b, slot + dt.timedelta(minutes=i), a,
+                     "pay", 1.0, "{}")
+                )
+                i += 1
+        d = str(tmp_path / "kcw_gen")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        con = _duck(d)
+        one = sorted(con.execute(_k_core_windowed_oracle(rounds=1)).fetchall())
+        fix = sorted(con.execute(_k_core_windowed_oracle()).fetchall())
+        # the cascade keeps peeling after round 1: 8 and 9 survive the
+        # first peel but not the fixpoint (in both covering windows)
+        assert set(fix) < set(one)
+        assert {n for (_w, n) in set(one) - set(fix)} == {8, 9}
+        got = sorted(
+            (r["window_start"], r["node"])
+            for r in QUERIES["k_core_windowed"](spark, d).collect()
+        )
+        assert got == fix
+        # the surviving core is exactly the clean K7, in both windows
+        assert {n for (_w, n) in fix} == set(range(20, 27))
+        assert len(fix) == 14
+
+
 class TestWindowedTrussRoundLimitFallback:
     def test_rounds_0_spark_fallback_matches_generated_oracle(
         self, spark, tmp_path, monkeypatch

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -256,13 +257,7 @@ def wtruss_probe(spark, sf_dir: str) -> dict:
     import datetime as dt
     import tempfile
 
-    from autoaudit_spark.operators.graph import (
-        WT_MIN_MULT,
-        WT_SLIDE,
-        WT_WINDOW,
-        _WT_SLIDE_US,
-    )
-    from autoaudit_spark.registry import QUERIES
+    from autoaudit_spark.operators.graph import WT_MIN_MULT, _WT_SLIDE_US
     from autoaudit_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -305,11 +300,30 @@ def wtruss_probe(spark, sf_dir: str) -> dict:
         "event_type string, value double, props string",
     )
     tmp = tempfile.mkdtemp(prefix="wtruss_probe_")
+    try:
+        return _wtruss_probe_on_fixture(spark, sf_dir, ev, hub_df, tmp)
+    finally:
+        # r9 ADVICE: don't leak a parquet copy of events per probe run
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _wtruss_probe_on_fixture(spark, sf_dir, ev, hub_df, tmp) -> dict:
+    """Body of `wtruss_probe` after the hubbed fixture rows are built:
+    writes the fixture into `tmp` (removed by the caller's finally),
+    measures the windowed-key vs single-key-envelope hub work, and
+    times the registered kernel."""
     ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).unionByName(hub_df).write.mode("overwrite").parquet(
         f"{tmp}/events.parquet"
     )
+    from autoaudit_spark.operators.graph import (
+        WT_MIN_MULT,
+        WT_SLIDE,
+        WT_WINDOW,
+    )
+    from autoaudit_spark.registry import QUERIES
+
     # the probe fixture dir must serve load_table("events"); plain
     # micros timestamps read back fine without the nanos conf
     probe_dir = tmp
