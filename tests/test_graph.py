@@ -876,6 +876,99 @@ class TestButterflySrc:
         assert got == dict(expect)
 
 
+class TestButterflyWindowed:
+    def test_planted_transient_k23(self, spark, tmp_path):
+        """A K_{2,3} (payers 1000/1001 → counterparties 10/11/12)
+        active only in slide-slot k: each counterparty closes 2
+        butterflies in BOTH windows covering the slot; in the next slot
+        only one payer stays active, so no wedge closes and the motif
+        vanishes — the forming-then-disbanding mule cell the windowed
+        report exists to expose."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        for s in (1000, 1001):
+            for d_ in (10, 11, 12):
+                rows.append((s, d_, 1.0, slot + dt.timedelta(hours=i)))
+                i += 1
+        # next slot: only payer 1000 stays active (no second wedge arm)
+        for d_ in (10, 11, 12):
+            rows.append((1000, d_, 1.0, slot + slide + dt.timedelta(hours=i)))
+            i += 1
+        d = str(tmp_path / "bfw")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["node"]): r["butterflies"]
+            for r in QUERIES["butterfly_counts_windowed"](spark, d).collect()
+        }
+        expect = {
+            (w, n): 2
+            for w in (slot - slide, slot)
+            for n in (10, 11, 12)
+        }
+        assert got == expect  # nothing from slot k+1
+
+    def test_brute_force_parity_and_per_window_identity_sf0001(self, spark):
+        """Independent implementation on the real fixture: per-window
+        per-dst counts from Python set intersections over each window's
+        adjacency must match exactly, and within every window
+        Σ_node butterflies = 2 × Σ_pairs C(c, 2) (each biclique credits
+        both counterparties)."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import edges as edges_src
+
+        sf = "/root/testdata/sf0.001"
+        import datetime as dt
+
+        utc = dt.timezone.utc
+        nbrs = defaultdict(lambda: defaultdict(set))
+        for r in edges_src(spark, sf).collect():
+            # collected timestamps are UTC-naive (session tz pinned UTC)
+            ev_us = int(r["ts"].replace(tzinfo=utc).timestamp() * 1_000_000)
+            # windows are epoch-aligned slide multiples
+            slot_us = (ev_us // _WT_SLIDE_US) * _WT_SLIDE_US
+            for w_us in (slot_us, slot_us - _WT_SLIDE_US):
+                nbrs[w_us][r["dst"]].add(r["src"])
+        expect = defaultdict(int)
+        total_pairs = defaultdict(int)
+        for w_us, by_dst in nbrs.items():
+            for d1, d2 in combinations(sorted(by_dst), 2):
+                c = len(by_dst[d1] & by_dst[d2])
+                if c >= 2:
+                    nb = c * (c - 1) // 2
+                    expect[(w_us, d1)] += nb
+                    expect[(w_us, d2)] += nb
+                    total_pairs[w_us] += nb
+        got = {}
+        per_w_sum = defaultdict(int)
+        for r in QUERIES["butterfly_counts_windowed"](spark, sf).collect():
+            w_us = int(
+                r["window_start"].replace(tzinfo=utc).timestamp() * 1_000_000
+            )
+            got[(w_us, r["node"])] = r["butterflies"]
+            per_w_sum[w_us] += r["butterflies"]
+        assert got == dict(expect)
+        assert per_w_sum == {w: 2 * n for w, n in total_pairs.items() if n}
+
+
 class TestAccountSuccession:
     def test_planted_rotation(self, spark, tmp_path):
         """Account 2 takes over account 1's exact mule network a month
