@@ -2370,6 +2370,70 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "a", "b")
 
 
+def _truss_dissolution_sql() -> str:
+    """DuckDB twin of `q_truss_dissolution`: the windowed-truss oracle
+    as a CTE, anti-joined against itself one slide later — pure
+    composition, exactly like the Spark side."""
+    return f"""
+    WITH base AS ({_k_truss_windowed_oracle()}),
+    mx AS (SELECT MAX(window_start) AS mx FROM base)
+    SELECT b.window_start, b.a, b.b, b.support
+    FROM base b, mx
+    WHERE b.window_start < mx.mx
+      AND NOT EXISTS (
+        SELECT 1 FROM base n
+        WHERE n.a = b.a AND n.b = b.b
+          AND n.window_start = b.window_start + INTERVAL '{WT_SLIDE}')
+    ORDER BY b.window_start, b.a, b.b
+    """
+
+
+@query("truss_dissolution", oracle=_truss_dissolution_sql())
+def q_truss_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss dissolution events (X89, r10 — the r9 verdict's birth #4):
+    edges in window w's {K_TRUSS}-truss that are GONE from window
+    (w + slide)'s truss — the dissolution-event list an investigator
+    actually reads (a mutually-confirming ring that stops confirming is
+    the wind-down signal; `k_truss_windowed` shows each window's rings,
+    this shows the transitions). Output: (window_start, a, b, support)
+    — the dissolved edge with its last-seen in-truss support.
+
+    Semantics: pure composition on `k_truss_windowed`'s output — an
+    edge at w is dissolved iff w is strictly before the LAST
+    truss-bearing window (later windows' dissolutions are
+    unobservable: there is no w + slide report to compare against) and
+    (w + slide, a, b) is absent. Windows whose truss is entirely empty
+    need no special case: absent-from-empty is absent, and both
+    engines compose the same base relation, so boundary conventions
+    agree by construction.
+
+    Scale shape: the three consumers (max aggregate, probe side, anti
+    side) all read the peel loop's localCheckpoint — the truss is
+    computed ONCE; on top of it sit one 1-row broadcast cross join
+    (the max — parameter-sized, the `_rate_bias` global pattern) and
+    one equi anti-join on (window_start, a, b) over truss-sized
+    relations (the shift is a projection, not a join condition, so the
+    anti-join stays pure equi and AQE-plannable). The slide constant
+    feeds both engines from WT_SLIDE (the r9-review
+    probe-desync lesson)."""
+    t = q_k_truss_windowed(spark, sf_dir)
+    mx = t.agg(F.max("window_start").alias("mx"))
+    nxt = t.select(
+        (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
+            "window_start"
+        ),
+        "a",
+        "b",
+    )
+    return (
+        t.crossJoin(F.broadcast(mx))
+        .filter(F.col("window_start") < F.col("mx"))
+        .drop("mx")
+        .join(nxt, ["window_start", "a", "b"], "left_anti")
+        .orderBy("window_start", "a", "b")
+    )
+
+
 def k_core_peel(
     sym: DataFrame, core: DataFrame, k: int, keys: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -732,6 +732,63 @@ class TestKTrussWindowed:
                              (2, 3): 2, (2, 4): 2, (3, 4): 2}
 
 
+class TestTrussDissolution:
+    def test_planted_appear_then_dissolve(self, spark, tmp_path):
+        """Clique A (K4 on 1-4) active in slot k, clique B (K4 on
+        11-14) active in slot k+1. Window k's truss holds BOTH; window
+        k+1 holds only B. A's edges must be reported dissolved AT
+        window k (their last truss appearance before vanishing), and
+        nothing else: window k-1's A edges persist into window k, B
+        persists into the final window, and the final window has no
+        successor to compare against."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        for base, clique in ((slot, [1, 2, 3, 4]),
+                             (slot + slide, [11, 12, 13, 14])):
+            for a in clique:
+                for b in clique:
+                    if a < b:
+                        for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                            rows.append(
+                                (a, b, 1.0, base + dt.timedelta(minutes=i))
+                            )
+                            i += 1
+        d = str(tmp_path / "tdis")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        # sanity: the windowed truss sees A in windows k-1 and k, B in
+        # windows k and k+1
+        wt = {(r["window_start"], r["a"], r["b"])
+              for r in QUERIES["k_truss_windowed"](spark, d).collect()}
+        a_pairs = [(x, y) for x in (1, 2, 3, 4) for y in (1, 2, 3, 4) if x < y]
+        b_pairs = [(x, y) for x in (11, 12, 13, 14)
+                   for y in (11, 12, 13, 14) if x < y]
+        assert wt == (
+            {(w, x, y) for w in (slot - slide, slot) for (x, y) in a_pairs}
+            | {(w, x, y) for w in (slot, slot + slide) for (x, y) in b_pairs}
+        )
+
+        got = {
+            (r["window_start"], r["a"], r["b"]): r["support"]
+            for r in QUERIES["truss_dissolution"](spark, d).collect()
+        }
+        assert got == {(slot, x, y): 2 for (x, y) in a_pairs}
+
+
 class TestKCoreWindowed:
     def test_planted_transient_core(self, spark, tmp_path):
         """A K7 active only in slide-slot k (each node's in-window
