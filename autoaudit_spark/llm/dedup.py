@@ -1266,6 +1266,56 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_CONTAINMENT_SQL = f"""
+    WITH base AS ({_SOURCE_OVERLAP_SQL})
+    SELECT src_a, src_b, n_common, sz_a, sz_b,
+           ROUND(CAST(n_common AS DOUBLE) / sz_a, 6) AS containment_a_in_b,
+           ROUND(CAST(n_common AS DOUBLE) / sz_b, 6) AS containment_b_in_a,
+           jaccard
+    FROM base
+    ORDER BY src_a, src_b
+    """
+
+
+@query("source_containment_matrix", oracle=_SOURCE_CONTAINMENT_SQL)
+def q_source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source CONTAINMENT matrix (X87, r10 — the r9 verdict's
+    birth #2): for each source pair, |A∩B|/|A| and |A∩B|/|B| alongside
+    the Jaccard — the ASYMMETRIC ingestion-direction signal Jaccard
+    hides for unequal-size sources (a small dump fully swallowed by a
+    big crawl has Jaccard ≈ |small|/|big| ≈ 0 but containment ≈ 1.0;
+    an ingest pipeline should then drop the dump, and the direction
+    says which side to drop — the X43 per-doc `containment_dedup`
+    argument lifted to source level). Output: one row per
+    (src_a < src_b) pair with both directions.
+
+    Pure composition on X84 (`source_overlap_matrix`) in BOTH engines —
+    every needed quantity (n_common, sz_a, sz_b) is already in its
+    output, so this adds two pinned single divisions over exact BIGINTs
+    (rounded 6dp, the X84 jaccard discipline; sz ≥ n_common ≥ 1 > 0 so
+    no division guard is needed in either engine) and re-sorts. No
+    second shingle pass: the X84 call persists its per-source shingle
+    relation plan-keyed, so a sweep running both queries shares one
+    cache entry (the `jaccard_pairs` session-cache trade). Scale
+    posture is X84's unchanged — |sources|²-bounded join fan-out,
+    source-pair-sized aggregates; the signature-only scale path is X85."""
+    base = q_source_overlap_matrix(spark, sf_dir)
+    return base.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "sz_a",
+        "sz_b",
+        F.round(
+            F.col("n_common").cast("double") / F.col("sz_a"), 6
+        ).alias("containment_a_in_b"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("sz_b"), 6
+        ).alias("containment_b_in_a"),
+        "jaccard",
+    ).orderBy("src_a", "src_b")
+
+
 def _source_overlap_minhash_sql() -> str:
     """DuckDB twin of `q_source_overlap_minhash`: per-source MinHash
     signatures over the engine-portable polynomial shingle hash (the

@@ -1062,6 +1062,67 @@ class TestSourceOverlap:
         assert ("sa", "sb") in got and got[("sa", "sb")][0] == 6  # shared doc
         assert not any("sc" in k for k in got)  # disjoint source absent
 
+    def test_containment_flags_swallowed_source_jaccard_misses(
+        self, spark, tmp_path
+    ):
+        """The X87 raison d'être: a small dump fully contained in a big
+        crawl. Jaccard ≈ |small|/|big| stays low (below any useful
+        near-dup threshold) while containment_b_in_a = 1.0 flags the
+        swallowed source and NAMES the direction. A partially-
+        overlapping pair shows both directions strictly between."""
+        from autoaudit_spark.registry import QUERIES
+
+        # big: one long doc (many trigrams); small: a verbatim slice
+        big_words = [f"w{i}" for i in range(80)]
+        big = " ".join(big_words)
+        small = " ".join(big_words[10:16])        # 4 trigrams, all in big
+        partial = " ".join(big_words[70:80] + ["extra", "tail", "words"])
+        rows = [
+            (0, big, "en", "crawl", len(big)),
+            (1, small, "en", "dump", len(small)),
+            (2, partial, "en", "mixed", len(partial)),
+        ]
+        d = str(tmp_path / "cont")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+
+        got = {(r["src_a"], r["src_b"]): r
+               for r in QUERIES["source_containment_matrix"](spark, d)
+               .collect()}
+        r = got[("crawl", "dump")]
+        # 78 trigrams in big, 4 in small, all 4 shared
+        assert (r["n_common"], r["sz_a"], r["sz_b"]) == (4, 78, 4)
+        assert r["containment_b_in_a"] == 1.0          # dump ⊆ crawl
+        assert r["jaccard"] < 0.06                     # Jaccard blind
+        assert r["containment_a_in_b"] == round(4 / 78, 6)
+        p = got[("crawl", "mixed")]
+        assert 0 < p["containment_b_in_a"] < 1.0       # partial overlap
+        assert 0 < p["containment_a_in_b"] < p["containment_b_in_a"]
+
+    def test_containment_consistent_with_overlap_matrix(self, spark, sf_dir):
+        """Pure-composition invariant on the real fixture: every X87
+        row must reproduce its X84 row exactly, and the containment
+        columns must equal the pinned divisions of its integers."""
+        from autoaudit_spark.registry import QUERIES
+
+        base = {(r["src_a"], r["src_b"]): r
+                for r in QUERIES["source_overlap_matrix"](spark, sf_dir)
+                .collect()}
+        cont = {(r["src_a"], r["src_b"]): r
+                for r in QUERIES["source_containment_matrix"](spark, sf_dir)
+                .collect()}
+        assert base.keys() == cont.keys()
+        for k, r in cont.items():
+            b = base[k]
+            assert (r["n_common"], r["sz_a"], r["sz_b"], r["jaccard"]) == (
+                b["n_common"], b["sz_a"], b["sz_b"], b["jaccard"])
+            assert r["containment_a_in_b"] == round(
+                r["n_common"] / r["sz_a"], 6)
+            assert r["containment_b_in_a"] == round(
+                r["n_common"] / r["sz_b"], 6)
+
     def test_minhash_identical_sources_estimate_one(self, spark, tmp_path):
         """Two sources with IDENTICAL shingle unions must agree on all
         64 permutation minima → n_match = 64, est_jaccard = 1.0."""
