@@ -32,76 +32,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-9
+# value-hash row; rows-only queries the weaker rows check). Round-10
 # rotation: the flagship canary; this round's FOUR births
-# (same-round-window rule): k_truss_windowed (X82),
-# butterfly_counts_src (X83), source_overlap_matrix (X84),
-# source_overlap_minhash (X85) — the three operators the r7 verdict
-# asked for (deferred from r8 by window arithmetic) plus the MinHash
-# estimate twin NOTES sketched; and ALL 45 queries whose latest driver
-# row is r5 (recomputed from CORRECTNESS_r01–r08 per the r8 lesson —
-# never trust an estimate). 1 + 4 + 45 = 50 exactly. Steady state:
-# with 191 registered queries and a 50-slot window the registry cycles
-# in ~4 rounds, so an r6-latest row entering r10's pool is on
-# schedule, not debt.
+# (same-round-window rule): k_core_windowed (X86),
+# source_containment_matrix (X87), butterfly_counts_windowed (X88),
+# truss_dissolution (X89) — the r9 verdict's four named birth slots;
+# and ALL 45 queries whose latest driver row is r6 (recomputed from
+# CORRECTNESS_r01–r09 by tools/rotation.py, strict criterion — never
+# trust an estimate). 1 + 4 + 45 = 50 exactly. Steady state: with 195
+# registered queries and a 50-slot window the registry cycles in ~4
+# rounds, so an r7-latest row entering r11's pool is on schedule, not
+# debt.
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    "two_hop_candidates",        # flagship (entry) — canary
+    "two_hop_candidates",          # flagship (entry) — canary
     # -- born this round (same-round-window rule) --
-    "k_truss_windowed",          # X82 temporal cohesion
-    "butterfly_counts_src",      # X83 payer-side butterfly report
-    "source_overlap_matrix",     # X84 exact cross-source contamination
-    "source_overlap_minhash",    # X85 signature-only estimate twin
-    # -- the 45 queries whose latest driver row is r5 (full pool) --
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "benford_digits",
-    "bpe_token_count",
-    "burst_detection",
-    "chisq_type_segment",
-    "clustering_coefficient",
-    "cohort_retention",
-    "containment_dedup",
-    "corpus_budget_quantile",
-    "dataset_split",
-    "degree_assortativity",
-    "edge_reciprocity",
-    "embedding_centroids",
-    "event_transitions",
-    "funnel_stages",
-    "grouping_sets_events",
-    "hashing_tf",
-    "k_core",
-    "latest_snapshot",
-    "media_features_arrow",
-    "negative_edge_sample",
-    "pivot_event_matrix",
-    "repetition_metrics",
-    "robust_zscore",
-    "rolling_active_users",
-    "sequence_packing",
-    "session_concurrency",
-    "stream_funnel_stages",
-    "stream_latest_snapshot",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_upsert_sink",
-    "stream_value_histogram",
-    "temporal_cycles",
-    "text_scrub",
-    "triangle_count",
-    "two_hop_flow",
-    "two_hop_temporal",
-    "type_entropy",
-    "unigram_logprob",
-    "value_histogram",
-    "window_function_suite",
+    "k_core_windowed",             # X86 windowed node-side cohesion
+    "source_containment_matrix",   # X87 asymmetric source overlap
+    "butterfly_counts_windowed",   # X88 per-window motif lifecycle
+    "truss_dissolution",           # X89 ring wind-down event list
+    # -- the 45 queries whose latest driver row is r6 (full pool) --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_scores_iforest",
+    "approx_distinct_stats",
+    "asof_join_nearest",
+    "asof_join_within",
+    "attention_routing",
+    "bernoulli_sample",
+    "change_scores",
+    "csv_source_roundtrip",
+    "decayed_user_value",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_fingerprint_hashed",
+    "dow_seasonality",
+    "event_runs",
+    "grouped_percentiles",
+    "hash_reservoir_sample",
+    "injection_recovery_eval",
+    "lang_id",
+    "media_features",
+    "media_resize",
+    "morton_order_key",
+    "near_dup_embedding",
+    "near_dup_embedding_ivf",
+    "near_dup_jaccard",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "near_dup_simhash_hashed",
+    "node_jaccard",
+    "node_jaccard_salted",
+    "pricing_summary",
+    "profile_columns",
+    "python_datasource_roundtrip",
+    "quality_scores",
+    "relabel_reorder",
+    "resample_gap_fill",
+    "sketch_change_cosine",
+    "sketch_values",
+    "smurf_blocks",
+    "smurf_injection_edges",
+    "smurf_injection_labels",
+    "token_stats",
+    "udtf_word_explode",
+    "variant_props_extract",
 ]
 
 

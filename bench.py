@@ -87,6 +87,11 @@ HEADLINE = [
     "butterfly_counts_src",   # graph: payer-side butterfly credit (X83)
     "source_overlap_matrix",  # llm: exact cross-source contamination (X84)
     "source_overlap_minhash", # llm: signature-only overlap estimate (X85)
+    # -- r10 births (all 48 rows above UNCHANGED) --
+    "k_core_windowed",        # graph: per-window node peel (X86)
+    "source_containment_matrix",  # llm: asymmetric source overlap (X87)
+    "butterfly_counts_windowed",  # graph: per-window motif lifecycle (X88)
+    "truss_dissolution",      # graph: ring wind-down event list (X89)
 ]
 
 

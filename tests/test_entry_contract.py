@@ -49,33 +49,32 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round9_rotation_in_window():
-    """Round-9 rotation: flagship canary, the FOUR r9 births
+def test_round10_rotation_in_window():
+    """Round-10 rotation: flagship canary, the FOUR r10 births
     (same-round-window rule), and ALL 45 queries whose latest driver
-    row is r5 (the pool recomputed from CORRECTNESS_r01–r08 — the
-    recount tools/rotation.py now automates). 1 + 4 + 45 = 50."""
+    row is r6 (the pool recomputed from CORRECTNESS_r01–r09 by
+    tools/rotation.py, strict criterion). 1 + 4 + 45 = 50."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + the four r9 births
-        "two_hop_candidates", "k_truss_windowed", "butterfly_counts_src",
-        "source_overlap_matrix", "source_overlap_minhash",
-        # the 45 r5-latest queries
-        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
-        "benford_digits", "bpe_token_count", "burst_detection",
-        "chisq_type_segment", "clustering_coefficient", "cohort_retention",
-        "containment_dedup", "corpus_budget_quantile", "dataset_split",
-        "degree_assortativity", "edge_reciprocity", "embedding_centroids",
-        "event_transitions", "funnel_stages", "grouping_sets_events",
-        "hashing_tf", "k_core", "latest_snapshot", "media_features_arrow",
-        "negative_edge_sample", "pivot_event_matrix", "repetition_metrics",
-        "robust_zscore", "rolling_active_users", "sequence_packing",
-        "session_concurrency", "stream_funnel_stages",
-        "stream_latest_snapshot", "stream_static_join",
-        "stream_stream_join", "stream_stream_left_join",
-        "stream_upsert_sink", "stream_value_histogram", "temporal_cycles",
-        "text_scrub", "triangle_count", "two_hop_flow", "two_hop_temporal",
-        "type_entropy", "unigram_logprob", "value_histogram",
-        "window_function_suite",
+        # canary + the four r10 births
+        "two_hop_candidates", "k_core_windowed", "source_containment_matrix",
+        "butterfly_counts_windowed", "truss_dissolution",
+        # the 45 r6-latest queries
+        "ann_ivf_topk", "ann_lsh_topk", "anomaly_scores_iforest",
+        "approx_distinct_stats", "asof_join_nearest", "asof_join_within",
+        "attention_routing", "bernoulli_sample", "change_scores",
+        "csv_source_roundtrip", "decayed_user_value", "dedup_exact",
+        "doc_fingerprint", "doc_fingerprint_hashed", "dow_seasonality",
+        "event_runs", "grouped_percentiles", "hash_reservoir_sample",
+        "injection_recovery_eval", "lang_id", "media_features",
+        "media_resize", "morton_order_key", "near_dup_embedding",
+        "near_dup_embedding_ivf", "near_dup_jaccard", "near_dup_minhash_lsh",
+        "near_dup_simhash", "near_dup_simhash_hashed", "node_jaccard",
+        "node_jaccard_salted", "pricing_summary", "profile_columns",
+        "python_datasource_roundtrip", "quality_scores", "relabel_reorder",
+        "resample_gap_fill", "sketch_change_cosine", "sketch_values",
+        "smurf_blocks", "smurf_injection_edges", "smurf_injection_labels",
+        "token_stats", "udtf_word_explode", "variant_props_extract",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
@@ -99,6 +98,9 @@ def test_rotated_out_queries_still_registered():
         "direction_mapped_edges", "windowed_features", "feature_pairs",
         "iforest_points", "trailing_window_avg", "window_alignment",
         "range_join_event_context", "powerlaw_fit", "focus_plot_sum",
+        # the r9 births, rotated out by the r10 window
+        "k_truss_windowed", "butterfly_counts_src",
+        "source_overlap_matrix", "source_overlap_minhash",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"
