@@ -2373,10 +2373,16 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _truss_dissolution_sql() -> str:
     """DuckDB twin of `q_truss_dissolution`: the windowed-truss oracle
     as a CTE, anti-joined against itself one slide later — pure
-    composition, exactly like the Spark side."""
+    composition, exactly like the Spark side. The observability bound
+    comes from the DATA's last window (arithmetic twin of the max
+    F.window start: the k=0 branch at MAX(ts)), NOT from the truss
+    output — r10 review: a truss-derived max would silently drop a
+    TOTAL collapse of the last truss-bearing window, the flagship
+    wind-down event."""
     return f"""
     WITH base AS ({_k_truss_windowed_oracle()}),
-    mx AS (SELECT MAX(window_start) AS mx FROM base)
+    mx AS (SELECT make_timestamp((epoch_us(MAX(ts)) // {_WT_SLIDE_US})
+               * {_WT_SLIDE_US}) AS mx FROM events)
     SELECT b.window_start, b.a, b.b, b.support
     FROM base b, mx
     WHERE b.window_start < mx.mx
@@ -2398,26 +2404,36 @@ def q_truss_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shows the transitions). Output: (window_start, a, b, support)
     — the dissolved edge with its last-seen in-truss support.
 
-    Semantics: pure composition on `k_truss_windowed`'s output — an
-    edge at w is dissolved iff w is strictly before the LAST
-    truss-bearing window (later windows' dissolutions are
-    unobservable: there is no w + slide report to compare against) and
-    (w + slide, a, b) is absent. Windows whose truss is entirely empty
-    need no special case: absent-from-empty is absent, and both
-    engines compose the same base relation, so boundary conventions
-    agree by construction.
+    Semantics: an edge at w is dissolved iff w is strictly before the
+    DATA's last window (the max sliding-window start any event falls
+    in — later windows' dissolutions are unobservable: the data does
+    not cover a w + slide report) and (w + slide, a, b) is absent from
+    the truss. The bound deliberately comes from the EVENTS, not the
+    truss output (r10 review): a truss-derived max would exclude the
+    strongest signal the operator exists for — the last truss-bearing
+    window collapsing ENTIRELY, leaving empty trusses under later
+    data. Truss-empty successor windows need no special case:
+    absent-from-empty is absent, in both engines identically.
 
-    Scale shape: the three consumers (max aggregate, probe side, anti
-    side) all read the peel loop's localCheckpoint — the truss is
-    computed ONCE; on top of it sit one 1-row broadcast cross join
-    (the max — parameter-sized, the `_rate_bias` global pattern) and
+    Scale shape: the truss is computed once and localCheckpoint'd here
+    (r10 review — the peel loop's own checkpoint covers the converged
+    path, but the budget-exhausted fallback returns an un-checkpointed
+    support recompute, and this query consumes the relation twice);
+    on top sit one events max aggregate reduced to a 1-row broadcast
+    cross join (parameter-sized, the `_rate_bias` global pattern) and
     one equi anti-join on (window_start, a, b) over truss-sized
     relations (the shift is a projection, not a join condition, so the
     anti-join stays pure equi and AQE-plannable). The slide constant
-    feeds both engines from WT_SLIDE (the r9-review
+    feeds both engines from WT_SLIDE/_WT_SLIDE_US (the r9-review
     probe-desync lesson)."""
-    t = q_k_truss_windowed(spark, sf_dir)
-    mx = t.agg(F.max("window_start").alias("mx"))
+    from ..sources import edges as edges_src
+
+    t = q_k_truss_windowed(spark, sf_dir).localCheckpoint()
+    mx = (
+        edges_src(spark, sf_dir)
+        .select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+        .agg(F.max("w").alias("mx"))
+    )
     nxt = t.select(
         (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
             "window_start"
@@ -3374,8 +3390,9 @@ def q_butterfly_counts_src(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUTTERFLY_W_SQL = f"""
-    WITH edges AS ({EDGES_SQL}),
-    wadj AS (SELECT DISTINCT w, src, dst FROM ({_WT_EDGES_SQL})),
+    WITH edges AS MATERIALIZED ({EDGES_SQL}),
+    wadj AS MATERIALIZED (
+        SELECT DISTINCT w, src, dst FROM ({_WT_EDGES_SQL})),
     pairs AS (
         SELECT x.w AS w, x.dst AS d1, y.dst AS d2, COUNT(*) AS c
         FROM wadj x JOIN wadj y

@@ -788,6 +788,48 @@ class TestTrussDissolution:
         }
         assert got == {(slot, x, y): 2 for (x, y) in a_pairs}
 
+    def test_total_collapse_of_last_truss_is_reported(self, spark, tmp_path):
+        """r10 review: the observability bound must come from the DATA
+        windows, not the truss output. Clique A active only in slot k,
+        then nothing but a lone (truss-free) noise event two slots
+        later: every later truss is EMPTY, yet the data covers window
+        k+1, so A's total collapse at window k is observable and must
+        be reported (a truss-derived max would return zero rows)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        a_pairs = [(x, y) for x in (1, 2, 3, 4) for y in (1, 2, 3, 4) if x < y]
+        for a, b in a_pairs:
+            for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                i += 1
+        # lone noise event (mult 1 — never a strong tie) extends data
+        # coverage two slots past the clique
+        rows.append((50, 60, 1.0, slot + 2 * slide))
+        d = str(tmp_path / "tcol")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["a"], r["b"]): r["support"]
+            for r in QUERIES["truss_dissolution"](spark, d).collect()
+        }
+        # A holds the truss in windows k-1 and k; window k+1 is truss-
+        # empty but data-covered → A dissolves AT window k
+        assert got == {(slot, x, y): 2 for (x, y) in a_pairs}
+
 
 class TestKCoreWindowed:
     def test_planted_transient_core(self, spark, tmp_path):

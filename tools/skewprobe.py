@@ -317,35 +317,21 @@ def _wtruss_probe_on_fixture(spark, sf_dir, ev, hub_df, tmp) -> dict:
     ).unionByName(hub_df).write.mode("overwrite").parquet(
         f"{tmp}/events.parquet"
     )
-    from autoaudit_spark.operators.graph import (
-        WT_MIN_MULT,
-        WT_SLIDE,
-        WT_WINDOW,
-    )
+    from autoaudit_spark.operators.graph import windowed_strong_ties
     from autoaudit_spark.registry import QUERIES
 
     # the probe fixture dir must serve load_table("events"); plain
     # micros timestamps read back fine without the nanos conf
     probe_dir = tmp
 
-    # per-window strong-tie relation (the kernel's e0)
+    # per-window strong-tie relation (the kernel's e0) — the shared
+    # helper, so a derivation retune can't desynchronize the probe
+    # from the kernel it backs (r10 review; same class as the r9
+    # hardcoded-window-params finding)
     from autoaudit_spark.sources import edges as edges_src
 
     e0 = edges_src(spark, probe_dir)
-    und = (
-        e0.filter(F.col("src") != F.col("dst"))
-        .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
-        .select(
-            "w",
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .groupBy("w", "a", "b")
-        .agg(F.count("*").alias("m"))
-        .filter(F.col("m") >= WT_MIN_MULT)
-        .select("w", "a", "b")
-        .persist()
-    )
+    und = windowed_strong_ties(e0).persist()
     # triangle join 1 work per (w, m): edges with b = m × edges with a = m
     cb = und.groupBy("w", F.col("b").alias("node")).agg(
         F.count("*").alias("cb")
