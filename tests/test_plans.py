@@ -528,3 +528,69 @@ class TestR7ContinuationPlans:
         p = plan(q["account_succession"](spark, SF))
         assert "CartesianProduct" not in p
         assert "TakeOrderedAndProject" in p, p
+
+
+class TestR10Plans:
+    def test_k_core_windowed_peel_semi_joins_no_forced_broadcast(
+        self, spark
+    ):
+        """X86: the windowed peel round must keep the global peel's
+        properties — two LEFT-SEMI joins, join strategy left to AQE
+        (no forced broadcast of the node-sized surviving set), degree
+        aggregate keyed by (w, a)."""
+        from autoaudit_spark.operators.graph import k_core_peel
+
+        sym = spark.createDataFrame(
+            [("x", 1, 2), ("x", 2, 1), ("x", 2, 3), ("x", 3, 2)],
+            "w string, a long, b long",
+        )
+        core = spark.createDataFrame(
+            [("x", 1), ("x", 2), ("x", 3)], "w string, node long"
+        )
+        p = plan(k_core_peel(sym, core, 2, keys=("w",)))
+        assert "BroadcastHashJoin" not in p, p
+        assert p.count("Join type: LeftSemi") == 2, p
+
+    def test_butterfly_windowed_wedge_is_equi_and_scan_pruned(
+        self, spark, q
+    ):
+        """X88: the windowed wedge must stay an equi-join on
+        (w, src) — no cartesian — with the endpoint fan-out a JVM
+        Generate (explode), and the events scan reading only the
+        id/ts columns the derivation needs."""
+        p = plan(q["butterfly_counts_windowed"](spark, SF))
+        assert "CartesianProduct" not in p
+        assert "Generate" in p and "explode" in p
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "value" not in s and "props" not in s
+
+    def test_truss_dissolution_anti_join_is_equi(self, spark, q):
+        """X89: the dissolution filter must be a pure equi LEFT-ANTI
+        join (the slide shift is a projection, not a join condition);
+        the only nested-loop join is the 1-row broadcast max."""
+        p = plan(q["truss_dissolution"](spark, SF))
+        assert "LeftAnti" in p, p
+        assert "CartesianProduct" not in p
+        # the 1-row observability bound rides a broadcast nested loop
+        assert "BroadcastNestedLoopJoin" in p, p
+        # the anti join must be hash/sort-merge (equi), not nested-loop:
+        # every nested-loop occurrence is the 1-row max cross join
+        anti_nl = re.findall(r"BroadcastNestedLoopJoin[^\n]*LeftAnti", p)
+        assert not anti_nl, p
+
+    def test_source_containment_is_projection_over_overlap_plan(
+        self, spark, q
+    ):
+        """X87: pure composition — the containment plan must contain
+        exactly the same number of shingle explodes as X84 (no second
+        derivation) and no extra shuffle beyond X84's."""
+        p_base = plan(q["source_overlap_matrix"](spark, SF))
+        p_cont = plan(q["source_containment_matrix"](spark, SF))
+        explode = lambda s: len(re.findall(r"Generate explode", s))
+        exchanges = lambda s: len(re.findall(r"Exchange", s))
+        assert explode(p_cont) == explode(p_base), (
+            explode(p_cont), explode(p_base))
+        assert exchanges(p_cont) == exchanges(p_base), (
+            exchanges(p_cont), exchanges(p_base))
