@@ -3434,9 +3434,13 @@ def q_butterfly_counts_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are abundant per window at every SF (14,160 / 1.80M summed
     C(c,2) at sf0.001/0.01), so no threshold retuning was needed —
     MIN_BUTTERFLY_COMMON transfers as-is. The bulk-payer skew story
-    transfers from X72 per (w, src) key; the salting one-swap
-    (`butterfly_counts_salted`) applies if a probe ever warrants a
-    windowed twin."""
+    transfers from X72 per (w, src) key — MEASURED (r10,
+    `tools/skewprobe.py … bfw`, BASELINE.md): a rotating-counterparty
+    bulk payer's hottest windowed key carries 2.26× less wedge work
+    than the global single-key envelope, and per-task load stays
+    balanced (max/median 1.12), so no salted windowed twin is
+    warranted; the one-swap (`butterfly_counts_salted`) remains the
+    mitigation if a fixture ever shows otherwise."""
     from ..sources import edges as edges_src
 
     e0 = edges_src(spark, sf_dir)

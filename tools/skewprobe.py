@@ -18,9 +18,10 @@ deterministic and engine-comparable — byte sizes scale linearly).
 Verifies the two forms agree bit-identically on the skewed fixture, then
 prints ONE JSON line for BASELINE.md.
 
-Usage: python tools/skewprobe.py [sf_dir] [butterfly|harmonic|wtruss]
+Usage: python tools/skewprobe.py [sf_dir] [butterfly|harmonic|wtruss|bfw]
 (second arg selects a single probe: the butterfly wedge, the harmonic
-expansion, or the windowed-truss subadditivity probe)
+expansion, the windowed-truss subadditivity probe, or the
+windowed-butterfly hot-key split probe)
 """
 
 from __future__ import annotations
@@ -507,6 +508,139 @@ def butterfly_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+#: bfw probe: bulk payer paying BFW_FANOUT distinct counterparties per
+#: slide slot, the set ROTATING by BFW_ROTATE ids each slot (the
+#: temporal-spread pattern where the windowed key genuinely splits the
+#: global key's quadratic work; dst ids live in 0..149 — DST_MOD)
+BFW_SRC = 9_999
+BFW_FANOUT = 50
+BFW_ROTATE = 50
+
+
+def bfw_probe(spark, sf_dir: str) -> dict:
+    """r10: measured backing for `butterfly_counts_windowed`'s per-key
+    claim (docstring: "per-key wedge volume only SHRINKS since
+    Σ_w C(fanout_w, 2) ≤ C(fanout, 2)"). Fixture: the real events plus
+    a bulk payer whose BFW_FANOUT-counterparty set rotates each slide
+    slot — over the run it accumulates a larger GLOBAL distinct
+    fan-out, so the global X72 wedge pays C(global, 2) on ONE src key
+    while the windowed X88 wedge pays only C(per-window, 2) on each
+    (w, src) key. Reports the hub's hottest windowed key vs the global
+    single-key envelope, the per-task load histogram of the windowed
+    join, and the registered kernel's wall on the hubbed fixture."""
+    import datetime as dt
+    import tempfile
+
+    from autoaudit_spark.operators.graph import (
+        WT_SLIDE,
+        WT_WINDOW,
+        _WT_SLIDE_US,
+    )
+    from autoaudit_spark.registry import QUERIES
+    from autoaudit_spark.sources import DST_MOD, load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lo_us, n_slots = (
+        ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / _WT_SLIDE_US
+            ).cast("long").alias("slots"),
+        ).collect()[0]
+    )
+    slot0 = (lo_us // _WT_SLIDE_US) * _WT_SLIDE_US
+    rows, seq = [], 50_000
+    for slot in range(int(n_slots) + 1):
+        base = slot0 + slot * _WT_SLIDE_US
+        for j in range(BFW_FANOUT):
+            c = (slot * BFW_ROTATE + j) % DST_MOD
+            rows.append(
+                (
+                    (seq + slot * BFW_FANOUT + j) * DST_MOD + c,
+                    dt.datetime.fromtimestamp(
+                        (base + j * 1_000_000) / 1_000_000, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    BFW_SRC,
+                    "pay",
+                    1.0,
+                    "{}",
+                )
+            )
+    hub_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    tmp = tempfile.mkdtemp(prefix="bfw_probe_")
+    try:
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).unionByName(hub_df).write.mode("overwrite").parquet(
+            f"{tmp}/events.parquet"
+        )
+        from autoaudit_spark.sources import edges as edges_src
+
+        wadj = (
+            edges_src(spark, tmp)
+            .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
+            .select("w", "src", "dst")
+            .distinct()
+            .persist()
+        )
+        # per-(w, src) wedge work = C(fanout_w, 2)
+        per_key = (
+            wadj.groupBy("w", "src")
+            .agg(F.count("*").alias("f"))
+            .select(
+                "w", "src",
+                (F.col("f") * (F.col("f") - 1) / 2).cast("long").alias("work"),
+            )
+            .persist()
+        )
+        hub_rows = per_key.filter(F.col("src") == BFW_SRC).collect()
+        hub_hot = max((r["work"] for r in hub_rows), default=0)
+        hub_sum = sum(r["work"] for r in hub_rows)
+        g = (
+            wadj.filter(F.col("src") == BFW_SRC)
+            .select("dst").distinct().count()
+        )
+        hub_env = g * (g - 1) // 2  # the global X72 single-key cost
+        work = per_key.select(
+            F.pmod(F.hash("w", "src"), F.lit(PARTITIONS)).alias("p"), "work"
+        )
+        counts = sorted(
+            r["wk"]
+            for r in work.groupBy("p").agg(F.sum("work").alias("wk")).collect()
+        )
+        counts = [0] * (PARTITIONS - len(counts)) + counts
+        per_key.unpersist()
+        wadj.unpersist()
+
+        t0 = time.monotonic()
+        out = QUERIES["butterfly_counts_windowed"](spark, tmp)
+        out.write.format("noop").mode("overwrite").save()
+        t_wall = round(time.monotonic() - t0, 2)
+        return {
+            "metric": "windowed_butterfly_skew_probe",
+            "sf_dir": sf_dir,
+            "hub_fanout_per_slot": BFW_FANOUT,
+            "hub_global_distinct_fanout": g,
+            "hub_hottest_windowed_key_work": int(hub_hot),
+            "hub_total_windowed_work": int(hub_sum),
+            "hub_single_key_envelope": int(hub_env),
+            "hot_key_split_ratio": round(hub_env / max(hub_hot, 1), 2),
+            "wedge_work_per_task": {
+                "max": counts[-1],
+                "median": counts[PARTITIONS // 2],
+                "total": sum(counts),
+            },
+            "wall_sec_registered_kernel_on_hubbed_fixture": t_wall,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 BOILERPLATE = "standard legal disclaimer text"  # SHINGLE_K-word shingle
 BOILER_FRACTION = 0.30  # docs carrying the boilerplate shingle
 
@@ -622,6 +756,9 @@ def main() -> None:
         return
     if only == "wtruss":
         print(json.dumps(wtruss_probe(spark, sf_dir)))
+        return
+    if only == "bfw":
+        print(json.dumps(bfw_probe(spark, sf_dir)))
         return
     print(json.dumps(shingle_probe(spark, sf_dir)))
     print(json.dumps(wedge_probe(spark, sf_dir)))
