@@ -357,6 +357,106 @@ class TestWindowedTrussProperty:
         assert got == expect
 
 
+class TestTrussDissolutionProperty:
+    """Random temporal multigraphs: the dissolution report must equal
+    the set difference an independent Python per-window truss peel
+    computes — edges in truss(w) absent from truss(w + slide), for all
+    w strictly below the data's last sliding window."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # a
+                st.integers(min_value=0, max_value=5),   # b
+                st.integers(min_value=0, max_value=2),   # slide slot
+                st.integers(min_value=0, max_value=3),   # repeat-seed
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def test_equals_python_truss_delta(self, spark, tmp_path, pairs):
+        from autoaudit_spark.operators.graph import (
+            K_TRUSS,
+            WT_MIN_MULT,
+            _WT_SLIDE_US,
+        )
+        from autoaudit_spark.registry import QUERIES
+
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+        base_us = (
+            int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            // _WT_SLIDE_US + 1
+        ) * _WT_SLIDE_US
+        base = dt.datetime.fromtimestamp(
+            base_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+        rows = [
+            (a, b, 1.0, base + slot * slide + dt.timedelta(minutes=i))
+            for i, (a, b, slot, _r) in enumerate(pairs)
+        ]
+        d = str(tmp_path / f"tdp{next(_counter)}")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        # per-window python truss peel (the X82 reference), then delta
+        mult = Counter()
+        max_w_us = None
+        for a, b, slot, _r in pairs:
+            ev_us = base_us + slot * _WT_SLIDE_US
+            # the DATA's last window covers ALL events incl. self-loops
+            max_w_us = ev_us if max_w_us is None else max(max_w_us, ev_us)
+            if a == b:
+                continue
+            for w_us in (ev_us, ev_us - _WT_SLIDE_US):
+                mult[(w_us, min(a, b), max(a, b))] += 1
+        by_w = {}
+        for (w_us, a, b), m in mult.items():
+            if m >= WT_MIN_MULT:
+                by_w.setdefault(w_us, set()).add((a, b))
+        truss = {}
+        for w_us, edges in by_w.items():
+            cur = set(edges)
+            while True:
+                sup = Counter()
+                for (a, b) in cur:
+                    for c in range(6):
+                        lo, hi = min(a, c), max(a, c)
+                        lo2, hi2 = min(b, c), max(b, c)
+                        if c not in (a, b) and (lo, hi) in cur \
+                                and (lo2, hi2) in cur:
+                            sup[(a, b)] += 1
+                nxt = {e for e in cur if sup[e] >= K_TRUSS - 2}
+                if nxt == cur:
+                    break
+                cur = nxt
+            truss[w_us] = {e: sup[e] for e in cur}
+        expect = {}
+        for w_us, edges in truss.items():
+            if max_w_us is None or w_us >= max_w_us:
+                continue  # no successor report observable in the data
+            succ = truss.get(w_us + _WT_SLIDE_US, {})
+            for e, s in edges.items():
+                if e not in succ:
+                    w_ts = dt.datetime.fromtimestamp(
+                        w_us / 1_000_000, dt.timezone.utc
+                    ).replace(tzinfo=None)
+                    expect[(w_ts, e[0], e[1])] = s
+
+        got = {
+            (r["window_start"], r["a"], r["b"]): r["support"]
+            for r in QUERIES["truss_dissolution"](spark, d).collect()
+        }
+        assert got == expect
+
+
 class TestWindowedKCoreProperty:
     """Random multigraphs spread over multiple slide slots: the windowed
     k-core kernel must equal an independent Python degree peel run

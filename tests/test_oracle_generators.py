@@ -226,6 +226,19 @@ class TestWindowedKCoreOracleGeneratorOffDefault:
         # the surviving core is exactly the clean K7, in both windows
         assert {n for (_w, n) in fix} == set(range(20, 27))
         assert len(fix) == 14
+        # off-default k: at k=2 nothing peels on this fixture (every
+        # node has degree >= 2) — generator and parametric kernel must
+        # agree cross-engine at a second k, not just the registered one
+        from autoaudit_spark.operators.graph import k_core_windowed
+        from autoaudit_spark.sources import edges as edges_src
+
+        two = sorted(con.execute(_k_core_windowed_oracle(k=2)).fetchall())
+        got2 = sorted(
+            (r["window_start"], r["node"])
+            for r in k_core_windowed(edges_src(spark, d), k=2).collect()
+        )
+        assert got2 == two
+        assert {n for (_w, n) in two} == set(range(20, 27)) | {7, 8, 9}
 
 
 class TestWindowedTrussRoundLimitFallback:
