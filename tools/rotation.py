@@ -14,10 +14,18 @@ A query PASSES a round if its record has no error and matching rows
 (rows-only queries — the driver's weaker check). Queries never seen in
 any CORRECTNESS file report round 0 (must-rotate immediately).
 
-Usage: python tools/rotation.py [--max-round N]
+Usage: python tools/rotation.py [--max-round N] [--predict]
     prints the latest-round histogram, then the pool of queries whose
     latest passing round <= the stalest bucket (or <= N if given),
     as both a human list and a ready-to-paste _PRIORITY block.
+
+    --predict (r10): the NEXT-round planning view — assume the current
+    `__spark_entry__._PRIORITY` window passes the upcoming driver run
+    (round = max recorded + 1), then report the round AFTER that one's
+    pool. This is the recount the end-of-round roadmap needs ("assuming
+    CORRECTNESS_rN comes back green, the rN+1 pool is ..."), which r10
+    still derived by hand; if the driver run later disagrees, the
+    normal (non-predict) recount at round start is authoritative.
 """
 
 from __future__ import annotations
@@ -73,6 +81,16 @@ def main() -> None:
         latest.setdefault(q, 0)
     # stale entries for queries no longer registered are dropped
     latest = {q: r for q, r in latest.items() if q in registry.QUERIES}
+
+    if "--predict" in sys.argv[1:]:
+        import __spark_entry__ as entry_mod
+
+        nxt = max(latest.values(), default=0) + 1
+        for q in entry_mod._PRIORITY:
+            if q in latest:
+                latest[q] = nxt
+        print(f"PREDICT: current window assumed green in round {nxt}; "
+              f"pool below is round {nxt + 1}'s")
 
     hist: dict[int, int] = {}
     for r in latest.values():
