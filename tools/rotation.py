@@ -85,7 +85,15 @@ def main() -> None:
     if "--predict" in sys.argv[1:]:
         import __spark_entry__ as entry_mod
 
-        nxt = max(latest.values(), default=0) + 1
+        # the upcoming round follows the newest RECORDED file, not the
+        # newest passing round (r10 review: an all-regressed or aborted
+        # newest round would otherwise shift the prediction by one)
+        file_rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"r0*(\d+)", os.path.basename(f)))
+        ]
+        nxt = max(file_rounds, default=0) + 1
         for q in entry_mod._PRIORITY:
             if q in latest:
                 latest[q] = nxt

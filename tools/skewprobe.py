@@ -47,6 +47,28 @@ PARTITIONS = 32     # reduce-side task count to histogram against
 SALT_BUCKETS = 8
 
 
+def _pad_hist(values) -> dict:
+    """Zero-pad a list of per-partition sums to PARTITIONS tasks and
+    report max / (upper-)median / total — the one histogram convention
+    every probe shares (r10 review: this block had grown to six copies,
+    so a convention change had six places to miss)."""
+    counts = sorted(values)
+    counts = [0] * (PARTITIONS - len(counts)) + counts
+    return {
+        "max": counts[-1],
+        "median": counts[PARTITIONS // 2],
+        "total": sum(counts),
+    }
+
+
+def _slot_count(lo_us: int, hi_us: int, slide_us: int) -> int:
+    """Number of slide slots the data's [lo, hi] span touches, as
+    floor(hi/slide) − floor(lo/slide) + 1 — NOT floor((hi−lo)/slide)+1,
+    which misses the final slot whenever the two offsets-into-slot
+    straddle a boundary (r10 review)."""
+    return int(hi_us // slide_us - lo_us // slide_us) + 1
+
+
 def hub_skewed_adjacency(adj):
     """Redirect IN_FRACTION of edges' dst to HUB (deterministic hash
     pick), attach OUT_EDGES hub→k edges; dedup to stay a simple graph."""
@@ -88,16 +110,10 @@ def partition_load(adj, salted: bool):
             .unionByName(adj.select(F.col("src").alias("mid")))
             .select(F.pmod(F.hash("mid"), F.lit(PARTITIONS)).alias("p"))
         )
-    counts = sorted(
+    # partitions with zero rows still exist as tasks (_pad_hist pads)
+    return _pad_hist(
         r["n"] for r in keyed.groupBy("p").agg(F.count("*").alias("n")).collect()
     )
-    # partitions with zero rows still exist as tasks
-    counts = [0] * (PARTITIONS - len(counts)) + counts
-    return {
-        "max": counts[-1],
-        "median": counts[PARTITIONS // 2],
-        "total": sum(counts),
-    }
 
 
 def join_work_per_task(adj, salted: bool):
@@ -124,15 +140,9 @@ def join_work_per_task(adj, salted: bool):
             F.pmod(F.hash("mid"), F.lit(PARTITIONS)).alias("p"),
             (F.col("nin") * F.col("nout")).alias("w"),
         )
-    counts = sorted(
+    return _pad_hist(
         r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
     )
-    counts = [0] * (PARTITIONS - len(counts)) + counts
-    return {
-        "max": counts[-1],
-        "median": counts[PARTITIONS // 2],
-        "total": sum(counts),
-    }
 
 
 def hub_skewed_neighbors(adj, in_fraction: float = 0.05):
@@ -174,15 +184,9 @@ def wedge_work_per_task(nbr, salted: bool):
             F.pmod(F.hash("nb"), F.lit(PARTITIONS)).alias("p"),
             (F.col("d") * F.col("d")).alias("w"),
         )
-    counts = sorted(
+    return _pad_hist(
         r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
     )
-    counts = [0] * (PARTITIONS - len(counts)) + counts
-    return {
-        "max": counts[-1],
-        "median": counts[PARTITIONS // 2],
-        "total": sum(counts),
-    }
 
 
 def harmonic_probe(spark, sf_dir: str) -> dict:
@@ -215,15 +219,9 @@ def harmonic_probe(spark, sf_dir: str) -> dict:
         F.pmod(F.hash("u"), F.lit(PARTITIONS)).alias("p"),
         (F.col("d") * F.col("d")).alias("w"),
     )
-    counts = sorted(
+    hist = _pad_hist(
         r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
     )
-    counts = [0] * (PARTITIONS - len(counts)) + counts
-    hist = {
-        "max": counts[-1],
-        "median": counts[PARTITIONS // 2],
-        "total": sum(counts),
-    }
 
     t0 = time.monotonic()
     out = harmonic_centrality(adj)
@@ -262,20 +260,18 @@ def wtruss_probe(spark, sf_dir: str) -> dict:
     from autoaudit_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    lo_us, n_slots = (
+    lo_us, hi_us = (
         ev.agg(
             F.min(F.unix_micros("ts")).alias("lo"),
-            (
-                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
-                / _WT_SLIDE_US
-            ).cast("long").alias("slots"),
+            F.max(F.unix_micros("ts")).alias("hi"),
         ).collect()[0]
     )
+    n_slots = _slot_count(lo_us, hi_us, _WT_SLIDE_US)
     slot0 = (lo_us // _WT_SLIDE_US) * _WT_SLIDE_US
     hub_rows = []
     seq = 10_000  # unique-id counter; event_id = seq*150 + c keeps
     i = 0         # (id % 150) == c, the dst-derivation congruence
-    for slot in range(int(n_slots) + 1):
+    for slot in range(n_slots):
         base = slot0 + slot * _WT_SLIDE_US
         for c in range(WT_HUB_FANOUT):
             if c == WT_HUB:
@@ -361,11 +357,10 @@ def _wtruss_probe_on_fixture(spark, sf_dir, ev, hub_df, tmp) -> dict:
     work = per_wk.select(
         F.pmod(F.hash("w", "node"), F.lit(PARTITIONS)).alias("p"), "work"
     )
-    counts = sorted(
+    hist = _pad_hist(
         r["w"]
         for r in work.groupBy("p").agg(F.sum("work").alias("w")).collect()
     )
-    counts = [0] * (PARTITIONS - len(counts)) + counts
     per_wk.unpersist()
     und.unpersist()
 
@@ -380,11 +375,7 @@ def _wtruss_probe_on_fixture(spark, sf_dir, ev, hub_df, tmp) -> dict:
         "hub_work_w_threaded": int(hub_split),
         "hub_work_single_key_envelope": int(hub_env),
         "subadditivity_ratio": round(hub_env / max(hub_split, 1), 2),
-        "tri_join_work_per_task": {
-            "max": counts[-1],
-            "median": counts[PARTITIONS // 2],
-            "total": sum(counts),
-        },
+        "tri_join_work_per_task": hist,
         "wall_sec_registered_kernel_on_hubbed_fixture": t_wall,
     }
 
@@ -512,7 +503,11 @@ def butterfly_probe(spark, sf_dir: str) -> dict:
 #: slide slot, the set ROTATING by BFW_ROTATE ids each slot (the
 #: temporal-spread pattern where the windowed key genuinely splits the
 #: global key's quadratic work; dst ids live in 0..149 — DST_MOD)
-BFW_SRC = 9_999
+#: outside the real user-id space at EVERY sf (ids scale with sf and
+#: are non-negative) — the HUB = -77 convention; an in-range id would
+#: silently merge a real account's edges into the probe hub (r10
+#: review: the birth value 9_999 collides at sf1+)
+BFW_SRC = -88
 BFW_FANOUT = 50
 BFW_ROTATE = 50
 
@@ -540,18 +535,16 @@ def bfw_probe(spark, sf_dir: str) -> dict:
     from autoaudit_spark.sources import DST_MOD, load_table
 
     ev = load_table(spark, sf_dir, "events")
-    lo_us, n_slots = (
+    lo_us, hi_us = (
         ev.agg(
             F.min(F.unix_micros("ts")).alias("lo"),
-            (
-                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
-                / _WT_SLIDE_US
-            ).cast("long").alias("slots"),
+            F.max(F.unix_micros("ts")).alias("hi"),
         ).collect()[0]
     )
+    n_slots = _slot_count(lo_us, hi_us, _WT_SLIDE_US)
     slot0 = (lo_us // _WT_SLIDE_US) * _WT_SLIDE_US
     rows, seq = [], 50_000
-    for slot in range(int(n_slots) + 1):
+    for slot in range(n_slots):
         base = slot0 + slot * _WT_SLIDE_US
         for j in range(BFW_FANOUT):
             c = (slot * BFW_ROTATE + j) % DST_MOD
@@ -609,11 +602,10 @@ def bfw_probe(spark, sf_dir: str) -> dict:
         work = per_key.select(
             F.pmod(F.hash("w", "src"), F.lit(PARTITIONS)).alias("p"), "work"
         )
-        counts = sorted(
+        hist = _pad_hist(
             r["wk"]
             for r in work.groupBy("p").agg(F.sum("work").alias("wk")).collect()
         )
-        counts = [0] * (PARTITIONS - len(counts)) + counts
         per_key.unpersist()
         wadj.unpersist()
 
@@ -630,11 +622,7 @@ def bfw_probe(spark, sf_dir: str) -> dict:
             "hub_total_windowed_work": int(hub_sum),
             "hub_single_key_envelope": int(hub_env),
             "hot_key_split_ratio": round(hub_env / max(hub_hot, 1), 2),
-            "wedge_work_per_task": {
-                "max": counts[-1],
-                "median": counts[PARTITIONS // 2],
-                "total": sum(counts),
-            },
+            "wedge_work_per_task": hist,
             "wall_sec_registered_kernel_on_hubbed_fixture": t_wall,
         }
     finally:
@@ -686,15 +674,9 @@ def shingle_work_per_task(sh, salted: bool):
             F.pmod(F.hash("shingle"), F.lit(PARTITIONS)).alias("p"),
             (F.col("c") * F.col("c")).alias("w"),
         )
-    counts = sorted(
+    return _pad_hist(
         r["w"] for r in work.groupBy("p").agg(F.sum("w").alias("w")).collect()
     )
-    counts = [0] * (PARTITIONS - len(counts)) + counts
-    return {
-        "max": counts[-1],
-        "median": counts[PARTITIONS // 2],
-        "total": sum(counts),
-    }
 
 
 def shingle_probe(spark, sf_dir: str) -> dict:
