@@ -32,17 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-10
-# rotation: the flagship canary; this round's FOUR births
-# (same-round-window rule): k_core_windowed (X86),
-# source_containment_matrix (X87), butterfly_counts_windowed (X88),
-# truss_dissolution (X89) — the r9 verdict's four named birth slots;
-# and ALL 45 queries whose latest driver row is r6 (recomputed from
-# CORRECTNESS_r01–r09 by tools/rotation.py, strict criterion — never
-# trust an estimate). 1 + 4 + 45 = 50 exactly. Steady state: with 195
-# registered queries and a 50-slot window the registry cycles in ~4
-# rounds, so an r7-latest row entering r11's pool is on schedule, not
-# debt.
+# value-hash row; rows-only queries the weaker rows check). Round-11
+# rotation: the flagship canary; this round's birth
+# (same-round-window rule): k_core_dissolution (the r10 verdict's
+# slot #1 — the X89 recipe composed on X86); this round's RE-GATE:
+# k_truss_windowed (slot #2 — its inline strong-tie derivation swapped
+# onto the shared `windowed_strong_ties` helper, so the edited query
+# re-enters the window per the same-round-window rule); and ALL 47
+# queries whose latest driver row is r7 (recomputed from
+# CORRECTNESS_r01–r10 by tools/rotation.py, strict criterion — never
+# trust an estimate). 1 + 1 + 1 + 47 = 50 exactly. Steady state: with
+# 196 registered queries and a 50-slot window the registry cycles in
+# ~4 rounds, so an r8-latest row entering r12's pool is on schedule,
+# not debt.
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
@@ -51,56 +53,57 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY: list[str] = [
     "two_hop_candidates",          # flagship (entry) — canary
     # -- born this round (same-round-window rule) --
-    "k_core_windowed",             # X86 windowed node-side cohesion
-    "source_containment_matrix",   # X87 asymmetric source overlap
-    "butterfly_counts_windowed",   # X88 per-window motif lifecycle
-    "truss_dissolution",           # X89 ring wind-down event list
-    # -- the 45 queries whose latest driver row is r6 (full pool) --
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "anomaly_scores_iforest",
-    "approx_distinct_stats",
-    "asof_join_nearest",
-    "asof_join_within",
-    "attention_routing",
-    "bernoulli_sample",
-    "change_scores",
-    "csv_source_roundtrip",
-    "decayed_user_value",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_fingerprint_hashed",
-    "dow_seasonality",
-    "event_runs",
-    "grouped_percentiles",
-    "hash_reservoir_sample",
-    "injection_recovery_eval",
-    "lang_id",
-    "media_features",
-    "media_resize",
-    "morton_order_key",
-    "near_dup_embedding",
-    "near_dup_embedding_ivf",
-    "near_dup_jaccard",
-    "near_dup_minhash_lsh",
-    "near_dup_simhash",
-    "near_dup_simhash_hashed",
-    "node_jaccard",
-    "node_jaccard_salted",
-    "pricing_summary",
-    "profile_columns",
-    "python_datasource_roundtrip",
-    "quality_scores",
-    "relabel_reorder",
-    "resample_gap_fill",
-    "sketch_change_cosine",
-    "sketch_values",
-    "smurf_blocks",
-    "smurf_injection_edges",
-    "smurf_injection_labels",
-    "token_stats",
-    "udtf_word_explode",
-    "variant_props_extract",
+    "k_core_dissolution",          # node-side wind-down event list
+    # -- re-gated this round (edited: shared-helper swap) --
+    "k_truss_windowed",            # X82 on windowed_strong_ties
+    # -- the 47 queries whose latest driver row is r7 (full pool) --
+    "account_succession",
+    "background_edges",
+    "bigram_surprise",
+    "butterfly_counts",
+    "butterfly_counts_salted",
+    "chunk_documents",
+    "contamination_ngram",
+    "corpus_mix_allocation",
+    "cusum_upshifts",
+    "dedup_components",
+    "direction_mapped_edges",
+    "dsir_importance",
+    "ewma_spike_flags",
+    "feature_pairs",
+    "focus_plot_sum",
+    "hits_scores",
+    "iforest_points",
+    "inout_zero_fill",
+    "k_truss",
+    "label_propagation",
+    "multimodal_assemble",
+    "near_dup_jaccard_capped",
+    "near_dup_jaccard_salted",
+    "pagerank",
+    "pagerank_weighted",
+    "powerlaw_fit",
+    "pps_sample",
+    "range_join_event_context",
+    "repeated_passages",
+    "round_number_bias",
+    "sample_stratified",
+    "seeded_ppr",
+    "seeded_ppr_weighted",
+    "sink_accounts",
+    "stream_change_cosine",
+    "stream_change_scores",
+    "stream_sketch_sums",
+    "stream_value_milestones",
+    "term_frequencies",
+    "tfidf_top_terms",
+    "threshold_structuring",
+    "topk_per_group",
+    "trailing_window_avg",
+    "user_profile_divergence",
+    "user_sessions",
+    "window_alignment",
+    "windowed_features",
 ]
 
 

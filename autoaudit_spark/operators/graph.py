@@ -2332,24 +2332,15 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature family's 14d/7d windows close zero triads on this data at
     any multiplicity ≥ 2, and distinct pairs (mult 1) are near-complete
     and trivialize any small k, exactly the global truss's
-    K_CORE_MIN_MULT rationale."""
+    K_CORE_MIN_MULT rationale. The strong-tie base comes from the
+    shared `windowed_strong_ties` helper (r11 re-gate — it was inlined
+    at birth because the r10 window had no re-gate slot; the swap
+    retires the last duplicate of the derivation, so a WT_MIN_MULT or
+    canonization retune now reaches the truss, the core and the probe
+    from one site)."""
     from ..sources import edges as edges_src
 
-    e0 = edges_src(spark, sf_dir)
-    e = (
-        e0.filter(F.col("src") != F.col("dst"))
-        .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
-        .select(
-            "w",
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .groupBy("w", "a", "b")
-        .agg(F.count("*").alias("m"))
-        .filter(F.col("m") >= WT_MIN_MULT)
-        .select("w", "a", "b")
-        .localCheckpoint()
-    )
+    e = windowed_strong_ties(edges_src(spark, sf_dir)).localCheckpoint()
     e, converged = truss_peel(e, ("w",), K_TRUSS, WT_ROUNDS)
     if converged:
         out = e.select(
@@ -2505,10 +2496,9 @@ def windowed_strong_ties(e0: DataFrame) -> DataFrame:
     endpoints canonized a < b, pairs kept at per-window multiplicity
     ≥ WT_MIN_MULT — the X82 derivation (its rationale and the measured
     14d-closes-zero-triads param study live on `q_k_truss_windowed`).
-    `q_k_truss_windowed` keeps its inline copy this round (born r9,
-    outside the r10 driver window — the same-round-window rule forbids
-    editing it without a re-gate slot, and the r10 window has none);
-    r11 can swap it to this helper when it rotates back in."""
+    Single source of truth for the whole windowed-cohesion family
+    since the r11 re-gate: the truss (X82), the core (X86) and the
+    dissolution reports all derive their base relation here."""
     return (
         e0.filter(F.col("src") != F.col("dst"))
         .withColumn("w", F.window("ts", WT_WINDOW, WT_SLIDE)["start"])
@@ -2627,6 +2617,90 @@ def k_core_windowed(
     sym.unpersist()
     return core.select(F.col("w").alias("window_start"), "node").orderBy(
         "window_start", "node"
+    )
+
+
+def _k_core_dissolution_sql() -> str:
+    """DuckDB twin of `q_k_core_dissolution`: the windowed-core oracle
+    as a CTE, anti-joined against itself one slide later — pure
+    composition, exactly like the Spark side. The observability bound
+    comes from the DATA's last window (the k=0 branch at MAX(ts)), NOT
+    from the core output — the X89 review lesson applied verbatim: a
+    core-derived max would silently drop a TOTAL collapse of the last
+    core-bearing window, the flagship wind-down event."""
+    return f"""
+    WITH base AS ({_k_core_windowed_oracle()}),
+    mx AS (SELECT make_timestamp((epoch_us(MAX(ts)) // {_WT_SLIDE_US})
+               * {_WT_SLIDE_US}) AS mx FROM events)
+    SELECT b.window_start, b.node
+    FROM base b, mx
+    WHERE b.window_start < mx.mx
+      AND NOT EXISTS (
+        SELECT 1 FROM base n
+        WHERE n.node = b.node
+          AND n.window_start = b.window_start + INTERVAL '{WT_SLIDE}')
+    ORDER BY b.window_start, b.node
+    """
+
+
+@query("k_core_dissolution", oracle=_k_core_dissolution_sql())
+def q_k_core_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core dissolution events (r11 birth — the X89 recipe composed on
+    X86's output, the r10 verdict's slot #1): nodes in window w's
+    {K_CORE_K}-core that are GONE from window (w + slide)'s core — the
+    NODE-side wind-down list completing the lifecycle family
+    (`truss_dissolution` reports which mutual-confirmation EDGES
+    stopped, this reports which ACCOUNTS dropped out of the dense
+    cell; an account that leaves the core while the core persists is a
+    member exiting a live ring — a signal the edge report dilutes
+    across its incident pairs). Output: (window_start, node) — the
+    dissolved node at its last in-core window. Reference anchor: the
+    time-evolving framing at `AA-AR.py:97-121` windows the FEATURES
+    but never computes graph-side lifecycle.
+
+    Semantics: a node at w is dissolved iff w is strictly before the
+    DATA's last window (the max sliding-window start any event falls
+    in — later windows' dissolutions are unobservable) and
+    (w + slide, node) is absent from the core. The bound deliberately
+    comes from the EVENTS, not the core output (the X89 review
+    lesson): a core-derived max would exclude the strongest signal the
+    operator exists for — the last core-bearing window collapsing
+    ENTIRELY. Core-empty successor windows need no special case:
+    absent-from-empty is absent, in both engines identically.
+    Measured nonvacuous before building (end-r10 probe): 0 / 15 / 1170
+    dissolving nodes at sf0.001/0.01/0.1 — the sf0.001 zero is covered
+    by the planted appear-then-dissolve test instead.
+
+    Scale shape (the X89 plan verbatim): the windowed core is computed
+    once and localCheckpoint'd (this query consumes the relation
+    twice, and `k_core_windowed`'s budget-exhausted path would
+    otherwise replay the full peel per consumer); on top sit one
+    events max aggregate reduced to a 1-row broadcast cross join
+    (parameter-sized) and one equi anti-join on (window_start, node)
+    over core-sized relations (the slide shift is a projection, not a
+    join condition, so the anti-join stays pure equi and
+    AQE-plannable). The slide constant feeds both engines from
+    WT_SLIDE/_WT_SLIDE_US (the r9-review probe-desync lesson)."""
+    from ..sources import edges as edges_src
+
+    c = q_k_core_windowed(spark, sf_dir).localCheckpoint()
+    mx = (
+        edges_src(spark, sf_dir)
+        .select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+        .agg(F.max("w").alias("mx"))
+    )
+    nxt = c.select(
+        (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
+            "window_start"
+        ),
+        "node",
+    )
+    return (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.col("window_start") < F.col("mx"))
+        .drop("mx")
+        .join(nxt, ["window_start", "node"], "left_anti")
+        .orderBy("window_start", "node")
     )
 
 
@@ -3400,7 +3474,7 @@ _BUTTERFLY_W_SQL = f"""
         GROUP BY 1, 2, 3
         HAVING COUNT(*) >= {MIN_BUTTERFLY_COMMON}
     ),
-    bf AS (SELECT w, d1, d2, (c * (c - 1)) // 2 AS nb FROM pairs)
+    bf AS MATERIALIZED (SELECT w, d1, d2, (c * (c - 1)) // 2 AS nb FROM pairs)
     SELECT w AS window_start, node, CAST(SUM(nb) AS BIGINT) AS butterflies
     FROM (SELECT w, d1 AS node, nb FROM bf
           UNION ALL SELECT w, d2 AS node, nb FROM bf)

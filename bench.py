@@ -92,6 +92,8 @@ HEADLINE = [
     "source_containment_matrix",  # llm: asymmetric source overlap (X87)
     "butterfly_counts_windowed",  # graph: per-window motif lifecycle (X88)
     "truss_dissolution",      # graph: ring wind-down event list (X89)
+    # -- r11 birth (all 52 rows above UNCHANGED) --
+    "k_core_dissolution",     # graph: node-side wind-down event list
 ]
 
 

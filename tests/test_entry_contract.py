@@ -49,32 +49,35 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round10_rotation_in_window():
-    """Round-10 rotation: flagship canary, the FOUR r10 births
-    (same-round-window rule), and ALL 45 queries whose latest driver
-    row is r6 (the pool recomputed from CORRECTNESS_r01–r09 by
-    tools/rotation.py, strict criterion). 1 + 4 + 45 = 50."""
+def test_round11_rotation_in_window():
+    """Round-11 rotation: flagship canary, the r11 birth
+    (k_core_dissolution, same-round-window rule), the r11 re-gate
+    (k_truss_windowed — edited onto the shared windowed_strong_ties
+    helper), and ALL 47 queries whose latest driver row is r7 (the
+    pool recomputed from CORRECTNESS_r01–r10 by tools/rotation.py,
+    strict criterion). 1 + 1 + 1 + 47 = 50."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + the four r10 births
-        "two_hop_candidates", "k_core_windowed", "source_containment_matrix",
-        "butterfly_counts_windowed", "truss_dissolution",
-        # the 45 r6-latest queries
-        "ann_ivf_topk", "ann_lsh_topk", "anomaly_scores_iforest",
-        "approx_distinct_stats", "asof_join_nearest", "asof_join_within",
-        "attention_routing", "bernoulli_sample", "change_scores",
-        "csv_source_roundtrip", "decayed_user_value", "dedup_exact",
-        "doc_fingerprint", "doc_fingerprint_hashed", "dow_seasonality",
-        "event_runs", "grouped_percentiles", "hash_reservoir_sample",
-        "injection_recovery_eval", "lang_id", "media_features",
-        "media_resize", "morton_order_key", "near_dup_embedding",
-        "near_dup_embedding_ivf", "near_dup_jaccard", "near_dup_minhash_lsh",
-        "near_dup_simhash", "near_dup_simhash_hashed", "node_jaccard",
-        "node_jaccard_salted", "pricing_summary", "profile_columns",
-        "python_datasource_roundtrip", "quality_scores", "relabel_reorder",
-        "resample_gap_fill", "sketch_change_cosine", "sketch_values",
-        "smurf_blocks", "smurf_injection_edges", "smurf_injection_labels",
-        "token_stats", "udtf_word_explode", "variant_props_extract",
+        # canary + the r11 birth + the r11 re-gate
+        "two_hop_candidates", "k_core_dissolution", "k_truss_windowed",
+        # the 47 r7-latest queries
+        "account_succession", "background_edges", "bigram_surprise",
+        "butterfly_counts", "butterfly_counts_salted", "chunk_documents",
+        "contamination_ngram", "corpus_mix_allocation", "cusum_upshifts",
+        "dedup_components", "direction_mapped_edges", "dsir_importance",
+        "ewma_spike_flags", "feature_pairs", "focus_plot_sum",
+        "hits_scores", "iforest_points", "inout_zero_fill", "k_truss",
+        "label_propagation", "multimodal_assemble",
+        "near_dup_jaccard_capped", "near_dup_jaccard_salted", "pagerank",
+        "pagerank_weighted", "powerlaw_fit", "pps_sample",
+        "range_join_event_context", "repeated_passages",
+        "round_number_bias", "sample_stratified", "seeded_ppr",
+        "seeded_ppr_weighted", "sink_accounts", "stream_change_cosine",
+        "stream_change_scores", "stream_sketch_sums",
+        "stream_value_milestones", "term_frequencies", "tfidf_top_terms",
+        "threshold_structuring", "topk_per_group", "trailing_window_avg",
+        "user_profile_divergence", "user_sessions", "window_alignment",
+        "windowed_features",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
@@ -98,9 +101,11 @@ def test_rotated_out_queries_still_registered():
         "direction_mapped_edges", "windowed_features", "feature_pairs",
         "iforest_points", "trailing_window_avg", "window_alignment",
         "range_join_event_context", "powerlaw_fit", "focus_plot_sum",
-        # the r9 births, rotated out by the r10 window
-        "k_truss_windowed", "butterfly_counts_src",
+        "butterfly_counts_src",
         "source_overlap_matrix", "source_overlap_minhash",
+        # the r10 births, rotated out by the r11 window
+        "k_core_windowed", "source_containment_matrix",
+        "butterfly_counts_windowed", "truss_dissolution",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

@@ -909,6 +909,106 @@ class TestKCoreWindowed:
         assert QUERIES["k_core_windowed"](spark, d).count() == 0
 
 
+class TestKCoreDissolution:
+    def test_planted_appear_then_dissolve(self, spark, tmp_path):
+        """K7 cell A (nodes 1-7) active in slot k, K7 cell B (nodes
+        11-17) active in slot k+1. Window k's core holds BOTH; window
+        k+1 holds only B. A's nodes must be reported dissolved AT
+        window k (their last in-core window before vanishing), and
+        nothing else: window k-1's A nodes persist into window k, and
+        B's dissolutions at window k+1 are unobservable (the data's
+        last window)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        a_clique = [1, 2, 3, 4, 5, 6, 7]
+        b_clique = [11, 12, 13, 14, 15, 16, 17]
+        for base, clique in ((slot, a_clique), (slot + slide, b_clique)):
+            for a in clique:
+                for b in clique:
+                    if a < b:
+                        for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                            rows.append(
+                                (a, b, 1.0, base + dt.timedelta(minutes=i))
+                            )
+                            i += 1
+        d = str(tmp_path / "kcd")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        # sanity: the windowed core sees A in windows k-1 and k, B in
+        # windows k and k+1
+        kc = {(r["window_start"], r["node"])
+              for r in QUERIES["k_core_windowed"](spark, d).collect()}
+        assert kc == (
+            {(w, n) for w in (slot - slide, slot) for n in a_clique}
+            | {(w, n) for w in (slot, slot + slide) for n in b_clique}
+        )
+
+        got = {
+            (r["window_start"], r["node"])
+            for r in QUERIES["k_core_dissolution"](spark, d).collect()
+        }
+        assert got == {(slot, n) for n in a_clique}
+
+    def test_total_collapse_of_last_core_is_reported(self, spark, tmp_path):
+        """The X89 review lesson, node-side: the observability bound
+        must come from the DATA windows, not the core output. K7 cell
+        active only in slot k, then nothing but a lone (core-free)
+        noise event two slots later: every later core is EMPTY, yet
+        the data covers window k+1, so the cell's total collapse at
+        window k is observable and must be reported (a core-derived
+        max would return zero rows)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import _WT_SLIDE_US
+        from autoaudit_spark.registry import QUERIES
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        clique = [1, 2, 3, 4, 5, 6, 7]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                        rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                        i += 1
+        # lone noise event (mult 1 — never a strong tie) extends data
+        # coverage two slots past the cell
+        rows.append((50, 60, 1.0, slot + 2 * slide))
+        d = str(tmp_path / "kcol")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["node"])
+            for r in QUERIES["k_core_dissolution"](spark, d).collect()
+        }
+        # the cell holds the core in windows k-1 and k; window k+1 is
+        # core-empty but data-covered → it dissolves AT window k
+        assert got == {(slot, n) for n in clique}
+
+
 class TestButterflySrc:
     def test_planted_k23_flips_sides(self, spark, tmp_path):
         """Same K_{2,3}+noise fixture as X72's planted test: 3

@@ -594,3 +594,35 @@ class TestR10Plans:
             explode(p_cont), explode(p_base))
         assert exchanges(p_cont) == exchanges(p_base), (
             exchanges(p_cont), exchanges(p_base))
+
+
+class TestR11Plans:
+    def test_k_core_dissolution_anti_join_is_equi(self, spark, q):
+        """r11 birth: the dissolution filter must be a pure equi
+        LEFT-ANTI join on (window_start, node) (the slide shift is a
+        projection, not a join condition); the only nested-loop join
+        is the 1-row broadcast observability bound — the X89 plan
+        shape verbatim."""
+        p = plan(q["k_core_dissolution"](spark, SF))
+        assert "LeftAnti" in p, p
+        assert "CartesianProduct" not in p
+        # the 1-row observability bound rides a broadcast nested loop
+        assert "BroadcastNestedLoopJoin" in p, p
+        # the anti join must be hash/sort-merge (equi), not nested-loop
+        anti_nl = re.findall(r"BroadcastNestedLoopJoin[^\n]*LeftAnti", p)
+        assert not anti_nl, p
+
+    def test_windowed_truss_and_core_share_strong_tie_plan(self, spark):
+        """r11 re-gate: `q_k_truss_windowed` now derives its base from
+        `windowed_strong_ties` — the helper's plan must be the
+        window-assign + canonize + multiplicity-filter pipeline both
+        consumers assume (one aggregate exchange, no Python eval)."""
+        from autoaudit_spark.operators.graph import windowed_strong_ties
+        from autoaudit_spark.sources import edges as edges_src
+
+        p = plan(windowed_strong_ties(edges_src(spark, SF)))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # formatted mode lists each node in the tree AND the detail
+        # section — count detail headers: exactly one shuffle (the
+        # multiplicity aggregate), nothing else
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

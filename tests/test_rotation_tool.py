@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-from rotation import _passed, latest_rounds
+from rotation import _passed, latest_rounds, unknown_priority
 
 
 class TestPassCriterion:
@@ -71,3 +71,13 @@ class TestLatestRounds:
         assert latest["q_regressed"] == 1
         # seen but never passed -> 0 (must-rotate immediately)
         assert latest["q_never"] == 0
+
+
+class TestPredictGuard:
+    def test_unknown_priority_names_are_surfaced_not_skipped(self):
+        """r10 ADVICE: --predict must refuse a typo'd or unregistered
+        _PRIORITY name instead of silently planning an optimistic pool
+        around it (main() sys.exits on a non-empty return)."""
+        latest = {"real_query": 7, "other": 8}
+        assert unknown_priority(["real_query", "typod"], latest) == ["typod"]
+        assert unknown_priority(["real_query", "other"], latest) == []

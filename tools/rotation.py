@@ -54,6 +54,16 @@ def _passed(rec: dict) -> bool:
     )
 
 
+def unknown_priority(
+    priority: list[str], latest: dict[str, int]
+) -> list[str]:
+    """_PRIORITY names absent from the registry-filtered latest map —
+    typo'd or unregistered window slots. --predict refuses to plan over
+    them (r10 ADVICE: the pre-r11 silent skip produced an optimistic
+    pool when the tool ran standalone)."""
+    return [q for q in priority if q not in latest]
+
+
 def latest_rounds(repo_root: str) -> dict[str, int]:
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -94,9 +104,16 @@ def main() -> None:
             if (m := re.search(r"r0*(\d+)", os.path.basename(f)))
         ]
         nxt = max(file_rounds, default=0) + 1
+        # tests/test_entry_contract.py catches the same defect in CI,
+        # but the standalone planning view must not lie
+        unknown = unknown_priority(entry_mod._PRIORITY, latest)
+        if unknown:
+            sys.exit(
+                "PREDICT: _PRIORITY names not in the registry "
+                f"(typo'd or unregistered window slots): {unknown}"
+            )
         for q in entry_mod._PRIORITY:
-            if q in latest:
-                latest[q] = nxt
+            latest[q] = nxt
         print(f"PREDICT: current window assumed green in round {nxt}; "
               f"pool below is round {nxt + 1}'s")
 
