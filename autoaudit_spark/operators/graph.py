@@ -2683,10 +2683,20 @@ def q_k_core_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WT_SLIDE/_WT_SLIDE_US (the r9-review probe-desync lesson)."""
     from ..sources import edges as edges_src
 
-    c = q_k_core_windowed(spark, sf_dir).localCheckpoint()
+    e0 = edges_src(spark, sf_dir)
+    return core_dissolution(k_core_windowed(e0), e0)
+
+
+def core_dissolution(core: DataFrame, e0: DataFrame) -> DataFrame:
+    """Parametric composition behind `q_k_core_dissolution` (the
+    `k_core_windowed(e0, k, rounds)` convention): `core` is any
+    (window_start, node) per-window relation, `e0` the edges whose
+    window coverage bounds observability — the property tests drive it
+    off a k=2 windowed core on random multigraphs whose max degree
+    sits below K_CORE_K."""
+    c = core.localCheckpoint()
     mx = (
-        edges_src(spark, sf_dir)
-        .select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+        e0.select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
         .agg(F.max("w").alias("mx"))
     )
     nxt = c.select(
