@@ -86,7 +86,10 @@ def test_round11_rotation_in_window():
 def test_rotated_out_queries_still_registered():
     """Rotating a query out of the window must not unregister it — it
     stays runnable and oracle-backed for local verification and future
-    rotations."""
+    rotations. The list below accumulates queries that were rotated
+    out at SOME past round (several are back in-window by now — the
+    registration assertion is the point, not current window
+    membership)."""
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     rotated_out = [
