@@ -2620,27 +2620,44 @@ def k_core_windowed(
     )
 
 
-def _k_core_dissolution_sql() -> str:
-    """DuckDB twin of `q_k_core_dissolution`: the windowed-core oracle
-    as a CTE, anti-joined against itself one slide later — pure
-    composition, exactly like the Spark side. The observability bound
-    comes from the DATA's last window (the k=0 branch at MAX(ts)), NOT
-    from the core output — the X89 review lesson applied verbatim: a
-    core-derived max would silently drop a TOTAL collapse of the last
-    core-bearing window, the flagship wind-down event."""
+def _dissolution_sql(
+    base: str, keys: tuple[str, ...], extra_cols: tuple[str, ...] = ()
+) -> str:
+    """Keyed DuckDB builder for the dissolution-report family: `base`
+    is a per-window oracle emitting (window_start, *keys, *extra_cols),
+    anti-joined against itself one slide later on (window_start,
+    *keys). The observability bound comes from the DATA's last window
+    (the k=0 branch at MAX(ts)), NOT from the base output — the X89
+    review lesson: a base-derived max would silently drop a TOTAL
+    collapse of the last populated window, the flagship wind-down
+    event. `_truss_dissolution_sql` (registered to the out-of-window
+    X89) keeps its literal form this round; the oracle-generator test
+    pins this builder's ("a", "b") + ("support",) instance
+    whitespace-identical to it, so the r12+ re-gate swap is a no-op
+    (the r9 truss-kernel-unification safety check)."""
+    sel = ", ".join(f"b.{c}" for c in ("window_start",) + keys + extra_cols)
+    match = " AND ".join(f"n.{k} = b.{k}" for k in keys)
+    order = ", ".join(f"b.{c}" for c in ("window_start",) + keys)
     return f"""
-    WITH base AS ({_k_core_windowed_oracle()}),
+    WITH base AS ({base}),
     mx AS (SELECT make_timestamp((epoch_us(MAX(ts)) // {_WT_SLIDE_US})
                * {_WT_SLIDE_US}) AS mx FROM events)
-    SELECT b.window_start, b.node
+    SELECT {sel}
     FROM base b, mx
     WHERE b.window_start < mx.mx
       AND NOT EXISTS (
         SELECT 1 FROM base n
-        WHERE n.node = b.node
+        WHERE {match}
           AND n.window_start = b.window_start + INTERVAL '{WT_SLIDE}')
-    ORDER BY b.window_start, b.node
+    ORDER BY {order}
     """
+
+
+def _k_core_dissolution_sql() -> str:
+    """DuckDB twin of `q_k_core_dissolution`: the windowed-core oracle
+    as a CTE through the keyed dissolution builder — pure composition,
+    exactly like the Spark side."""
+    return _dissolution_sql(_k_core_windowed_oracle(), ("node",))
 
 
 @query("k_core_dissolution", oracle=_k_core_dissolution_sql())
@@ -2672,10 +2689,12 @@ def q_k_core_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the planted appear-then-dissolve test instead.
 
     Scale shape (the X89 plan verbatim): the windowed core is computed
-    once and localCheckpoint'd (this query consumes the relation
-    twice, and `k_core_windowed`'s budget-exhausted path would
-    otherwise replay the full peel per consumer); on top sit one
-    events max aggregate reduced to a 1-row broadcast cross join
+    once and localCheckpoint'd — the peel loop already checkpoints
+    every round, so the consumer-level checkpoint here only shares the
+    final projection/sort across this report's two consumers (unlike
+    the truss twin, whose budget-exhausted path would otherwise replay
+    a support recompute per consumer); on top sit one events max
+    aggregate reduced to a 1-row broadcast cross join
     (parameter-sized) and one equi anti-join on (window_start, node)
     over core-sized relations (the slide shift is a projection, not a
     join condition, so the anti-join stays pure equi and
@@ -2687,6 +2706,44 @@ def q_k_core_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_dissolution(k_core_windowed(e0), e0)
 
 
+def dissolution(
+    rel: DataFrame, e0: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Keyed dissolution kernel (the `edge_support(e, keys)` /
+    `k_core_peel(keys=...)` convention): `rel` is any per-window
+    relation carrying (window_start, *keys, ...extra columns), `e0`
+    the edges whose window coverage bounds observability; returns the
+    rows of `rel` whose (window_start + slide, *keys) is absent from
+    `rel` and whose window precedes the DATA's last. The
+    localCheckpoint shares one materialization of `rel` across the
+    report's two consumers (the filter path and the shifted anti-join
+    side) — without it each consumer replays `rel`'s final
+    projection/sort, and for `q_truss_dissolution`'s budget-exhausted
+    truss path the full support recompute. `q_truss_dissolution`
+    (out-of-window this round) keeps its literal body; the r12+
+    re-gate should swap it onto `dissolution(t, e0, ("a", "b"))` —
+    the parity test on sf0.001 already pins the equivalence."""
+    kl = list(keys)
+    r = rel.localCheckpoint()
+    mx = (
+        e0.select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+        .agg(F.max("w").alias("mx"))
+    )
+    nxt = r.select(
+        (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
+            "window_start"
+        ),
+        *kl,
+    )
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("window_start") < F.col("mx"))
+        .drop("mx")
+        .join(nxt, ["window_start", *kl], "left_anti")
+        .orderBy("window_start", *kl)
+    )
+
+
 def core_dissolution(core: DataFrame, e0: DataFrame) -> DataFrame:
     """Parametric composition behind `q_k_core_dissolution` (the
     `k_core_windowed(e0, k, rounds)` convention): `core` is any
@@ -2694,24 +2751,7 @@ def core_dissolution(core: DataFrame, e0: DataFrame) -> DataFrame:
     window coverage bounds observability — the property tests drive it
     off a k=2 windowed core on random multigraphs whose max degree
     sits below K_CORE_K."""
-    c = core.localCheckpoint()
-    mx = (
-        e0.select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
-        .agg(F.max("w").alias("mx"))
-    )
-    nxt = c.select(
-        (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
-            "window_start"
-        ),
-        "node",
-    )
-    return (
-        c.crossJoin(F.broadcast(mx))
-        .filter(F.col("window_start") < F.col("mx"))
-        .drop("mx")
-        .join(nxt, ["window_start", "node"], "left_anti")
-        .orderBy("window_start", "node")
-    )
+    return dissolution(core, e0, ("node",))
 
 
 @query(

@@ -293,3 +293,82 @@ class TestWindowedTrussRoundLimitFallback:
         # zero-peel semantics: (5, 6) survives WITH support 0
         assert any(r[1] == 5 and r[2] == 6 and r[3] == 0 for r in got)
         assert all(r[3] == 1 for r in got if r[1] != 5)
+
+
+class TestDissolutionBuilder:
+    def test_truss_form_is_identical_to_the_registered_literal(self):
+        """The keyed `_dissolution_sql` builder's ("a", "b") +
+        ("support",) instance must be whitespace-normalized IDENTICAL
+        to the literal `_truss_dissolution_sql()` registered to the
+        out-of-window X89 — the r9 truss-kernel-unification safety
+        check, standing: the r12+ re-gate swap is then provably a
+        no-op, and until it lands any drift between the builder and
+        the literal fails here instead of desynchronizing the two
+        dissolution oracles."""
+        from autoaudit_spark.operators.graph import (
+            _dissolution_sql,
+            _k_truss_windowed_oracle,
+            _truss_dissolution_sql,
+        )
+
+        built = _dissolution_sql(
+            _k_truss_windowed_oracle(), ("a", "b"), ("support",)
+        )
+        assert " ".join(built.split()) == " ".join(
+            _truss_dissolution_sql().split()
+        )
+
+    def test_truss_dissolution_spark_parity_with_keyed_kernel(
+        self, spark, tmp_path
+    ):
+        """The keyed `dissolution` kernel applied to the windowed truss
+        must return exactly the registered `truss_dissolution` rows —
+        pinned on a fixture with a planted dissolve so the parity is
+        nonvacuous (the Spark-side half of the re-gate no-op proof)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            dissolution,
+            q_k_truss_windowed,
+        )
+        from autoaudit_spark.registry import QUERIES
+        from autoaudit_spark.sources import edges as edges_src
+
+        t = dt.datetime(2024, 9, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+        # K4 on {1..4} at mult 2 >= WT_MIN_MULT, active in one slot only
+        rows = [
+            (i * 150 + b, slot + dt.timedelta(minutes=i), a, "pay", 1.0, "{}")
+            for i, (a, b) in enumerate(
+                [(a, b) for a, b in [(1, 2), (1, 3), (1, 4), (2, 3),
+                                     (2, 4), (3, 4)] for _ in range(2)]
+            )
+        ]
+        # noise event one slide later makes the collapse observable
+        rows.append((9999, slot + slide, 50, "pay", 1.0, "{}"))
+        d = str(tmp_path / "tdis_par")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+
+        reg = sorted(
+            (r["window_start"], r["a"], r["b"], r["support"])
+            for r in QUERIES["truss_dissolution"](spark, d).collect()
+        )
+        e0 = edges_src(spark, d)
+        kern = sorted(
+            (r["window_start"], r["a"], r["b"], r["support"])
+            for r in dissolution(
+                q_k_truss_windowed(spark, d), e0, ("a", "b")
+            ).collect()
+        )
+        assert kern == reg
+        assert reg, "fixture must plant a nonvacuous dissolution"
