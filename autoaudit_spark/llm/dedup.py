@@ -376,11 +376,17 @@ def hashed_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, perms: int = MINHASH_PERMS, with_size: bool = False
+) -> DataFrame:
     """(doc_id, sig array<long>): min over shingles of (a_i·h + b_i) mod p,
     h = non-negative xxhash64 of the shingle (accepts either the string
     `shingle` column or the pre-hashed `shash`). Pure column expressions —
-    one grouped aggregation computes all permutations."""
+    one grouped aggregation computes all permutations. `with_size=True`
+    appends an exact `sz` count column from the SAME aggregation pass
+    (callers must then feed a DISTINCT shingle relation — COUNT is
+    duplicate-sensitive where MIN is not); the containment estimator
+    needs both quantities and this avoids a second corpus scan."""
     h = (
         F.abs(F.col("shash")) % _P
         if "shash" in sh.columns
@@ -390,10 +396,13 @@ def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
         F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % _P).alias(f"m{i}")
         for i in range(perms)
     ]
+    if with_size:
+        aggs.append(F.count("*").cast("long").alias("sz"))
     wide = sh.groupBy("doc_id").agg(*aggs)
-    return wide.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig")
-    )
+    cols = ["doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig")]
+    if with_size:
+        cols.append(F.col("sz"))
+    return wide.select(*cols)
 
 
 @query("near_dup_minhash_lsh")
@@ -1421,3 +1430,134 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def _source_containment_minhash_sql() -> str:
+    """DuckDB twin of `source_containment_minhash` (NOT yet registered —
+    the r11 window-capacity note defers registration to the next free
+    slot; the cross-engine unit test drives this SQL directly): the X85
+    signature scheme over a DISTINCT per-source shingle-hash relation
+    (the distinct pays for the exact per-source set size COUNT needs —
+    MIN alone would not need it), pair match counts via the quadratic
+    CASE-sum, then the inclusion-exclusion containment estimate as ONE
+    pinned division per direction over exact BIGINTs:
+    est_J = n/{MINHASH_PERMS}; est_common = est_J·(sz_a+sz_b)/(1+est_J)
+    = n·(sz_a+sz_b)/({MINHASH_PERMS}+n); est_containment(A in B) =
+    est_common/sz_a = n·(sz_a+sz_b) / (({MINHASH_PERMS}+n)·sz_a)."""
+    from .text import _ARITH_TOK_SQL
+
+    sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
+    mins = ", ".join(
+        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, {sh_hash} AS shash FROM (
+            SELECT source,
+                   array_to_string(t[i : i + {SHINGLE_K} - 1], ' ') AS shingle
+            FROM toks, UNNEST(range(1, len(t) - {SHINGLE_K} + 2)) AS u(i)
+            WHERE len(t) >= {SHINGLE_K})
+    ),
+    sigs AS (SELECT source, {mins},
+                    CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(({match_sum}) AS BIGINT) AS n_match,
+               a.sz AS sz_a, b.sz AS sz_b
+        FROM sigs a JOIN sigs b ON a.source < b.source
+    )
+    SELECT src_a, src_b, n_match, sz_a, sz_b,
+           CAST(n_match AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard,
+           ROUND(CAST(n_match * (sz_a + sz_b) AS DOUBLE)
+                 / (({MINHASH_PERMS} + n_match) * sz_a), 6)
+               AS est_containment_a_in_b,
+           ROUND(CAST(n_match * (sz_a + sz_b) AS DOUBLE)
+                 / (({MINHASH_PERMS} + n_match) * sz_b), 6)
+               AS est_containment_b_in_a
+    FROM pairs WHERE n_match >= 1
+    ORDER BY src_a, src_b
+    """
+
+
+def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimated cross-source CONTAINMENT matrix (pre-built
+    end-r11; registration as a `@query` is deferred to the next free
+    window slot — see NOTES "Window capacity"): X87's asymmetric
+    swallowed-source signal computed from signatures + exact set sizes
+    alone, no shingle-pair join — the 100 TB path for the containment
+    report exactly as X85 is for the Jaccard report. Estimate via
+    inclusion-exclusion on the MinHash Jaccard: with J = c/(a+b−c),
+    c = J·(a+b)/(1+J), so est_containment(A in B) = est_c/sz_a reduces
+    to ONE pinned division of exact BIGINTs per direction:
+    n·(sz_a+sz_b) / ((perms+n)·sz_a), rounded 6dp (both factors stay
+    below 2^53 up to ~10^11 shingles per source pair, so the IEEE
+    division is correctly rounded and hash-stable cross-engine).
+    MEASURED end-r10 (banked in NOTES): max |Δ| vs the exact X87
+    containment 0.115, median 0.016 over the 148 estimate-covered
+    source pairs at sf0.01 — inside the 1/sqrt(64) MinHash envelope,
+    pinned by a 0.2 tolerance test.
+
+    Spark shape: ONE distinct (source, shash) exchange (the distinct
+    is what makes the COUNT an exact set size — X85 skips it because
+    MIN alone is duplicate-insensitive, but containment needs |A|),
+    then ONE grouped aggregation produces all 64 minima AND the size
+    (`minhash_signatures(with_size=True)`), localCheckpoint'd at
+    source-count size; the pair match is X85's posexplode +
+    (perm, value) equi-join with sz carried through the group keys —
+    no sizes re-join, no source×source loop, no second corpus scan.
+    Reference anchor: `AA-AR.py` has no corpus tooling at all; this
+    extends the X84/X85/X87 family the engine adds for training-data
+    curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = hashed_shingles_arith(docs, key="source").select(
+        F.col("source").alias("doc_id"), "shash"
+    )
+    sig = minhash_signatures(src_sh, with_size=True).localCheckpoint()
+    perms = sig.select(
+        F.col("doc_id").alias("source"),
+        "sz",
+        F.posexplode("sig").alias("i", "m"),
+    )
+    a, b = perms.alias("a"), perms.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_match"))
+    )
+    num = (F.col("n_match") * (F.col("sz_a") + F.col("sz_b"))).cast("double")
+    return matched.select(
+        "src_a",
+        "src_b",
+        "n_match",
+        "sz_a",
+        "sz_b",
+        (F.col("n_match").cast("double") / MINHASH_PERMS)
+        .alias("est_jaccard"),
+        F.round(
+            num / ((F.lit(MINHASH_PERMS) + F.col("n_match")) * F.col("sz_a")),
+            6,
+        ).alias("est_containment_a_in_b"),
+        F.round(
+            num / ((F.lit(MINHASH_PERMS) + F.col("n_match")) * F.col("sz_b")),
+            6,
+        ).alias("est_containment_b_in_a"),
+    ).orderBy("src_a", "src_b")

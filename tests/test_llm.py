@@ -1161,6 +1161,118 @@ class TestSourceOverlap:
         assert sum(diffs) / len(diffs) <= 0.05
 
 
+class TestSourceContainmentMinhash:
+    """Pre-built r12/r13 birth candidate (NOT yet registered — the r11
+    window-capacity note defers the `@query` line to the next free
+    slot): the signature-only containment estimate. These tests drive
+    the function and its oracle SQL directly, so the future
+    registration is a one-line change with evidence already standing."""
+
+    def test_identical_sources_estimate_exactly_one(self, spark, tmp_path):
+        """Identical shingle unions → all 64 minima agree → est_J = 1
+        and the inclusion-exclusion estimate collapses EXACTLY:
+        64·(sz+sz)/((64+64)·sz) = 1.0 both directions."""
+        from autoaudit_spark.llm.dedup import source_containment_minhash
+
+        t1 = "alpha beta gamma delta epsilon zeta"
+        t2 = "one two three four five six"
+        rows = [
+            (0, t1, "en", "sx", len(t1)), (1, t2, "en", "sx", len(t2)),
+            (2, t1, "en", "sy", len(t1)), (3, t2, "en", "sy", len(t2)),
+        ]
+        d = str(tmp_path / "cmh1")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {(r["src_a"], r["src_b"]): r
+               for r in source_containment_minhash(spark, d).collect()}
+        r = got[("sx", "sy")]
+        assert r["n_match"] == 64
+        assert r["est_containment_a_in_b"] == 1.0
+        assert r["est_containment_b_in_a"] == 1.0
+
+    def test_flags_swallowed_source_directionally(self, spark, tmp_path):
+        """The X87 fixture through the estimator: dump ⊆ crawl. The
+        direction ratio est_b_in_a / est_a_in_b = sz_a/sz_b holds for
+        ANY n_match (both estimates share the n·(sz_a+sz_b) numerator),
+        so the swallowed side is named regardless of sampling noise;
+        the magnitudes use the deterministic portable hash, so the
+        planted value is stable."""
+        from autoaudit_spark.llm.dedup import source_containment_minhash
+
+        big_words = [f"w{i}" for i in range(80)]
+        big = " ".join(big_words)
+        small = " ".join(big_words[10:16])        # 4 trigrams, all in big
+        rows = [
+            (0, big, "en", "crawl", len(big)),
+            (1, small, "en", "dump", len(small)),
+        ]
+        d = str(tmp_path / "cmh2")
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {(r["src_a"], r["src_b"]): r
+               for r in source_containment_minhash(spark, d).collect()}
+        r = got[("crawl", "dump")]
+        assert (r["sz_a"], r["sz_b"]) == (78, 4)
+        assert r["est_jaccard"] < 0.15              # Jaccard stays blind
+        # direction: the small source is the swallowed one, by sz ratio
+        assert r["est_containment_b_in_a"] == round(
+            r["est_containment_a_in_b"] * 78 / 4, 6
+        ) or r["est_containment_b_in_a"] > 10 * r["est_containment_a_in_b"]
+        assert r["est_containment_b_in_a"] > 0.5
+
+    def test_oracle_cross_engine_exact(self, spark, sf_dir):
+        """Spark vs DuckDB on the real sf0.001 documents — every typed
+        column equal (the pre-registration value-hash evidence: the
+        pinned single divisions and the dyadic est_jaccard are
+        hash-stable cross-engine)."""
+        import duckdb
+
+        from autoaudit_spark.llm.dedup import (
+            _source_containment_minhash_sql,
+            source_containment_minhash,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        expect = con.execute(_source_containment_minhash_sql()).fetchall()
+        got = [
+            (r["src_a"], r["src_b"], r["n_match"], r["sz_a"], r["sz_b"],
+             r["est_jaccard"], r["est_containment_a_in_b"],
+             r["est_containment_b_in_a"])
+            for r in source_containment_minhash(spark, sf_dir).collect()
+        ]
+        assert got == expect
+        assert got, "fixture must produce a nonvacuous matrix"
+
+    def test_estimate_tracks_exact_containment(self, spark, sf_dir):
+        """The estimate must sit inside MinHash sampling error of the
+        exact X87 containment on the real fixture (measured end-r10 at
+        sf0.01: max |Δ| 0.115, median 0.016 over 148 pairs — the 0.2
+        threshold carries ~2× margin)."""
+        from autoaudit_spark.llm.dedup import source_containment_minhash
+        from autoaudit_spark.registry import QUERIES
+
+        exact = {}
+        for r in QUERIES["source_containment_matrix"](spark, sf_dir).collect():
+            exact[(r["src_a"], r["src_b"])] = (
+                r["containment_a_in_b"], r["containment_b_in_a"])
+        est = {(r["src_a"], r["src_b"]):
+               (r["est_containment_a_in_b"], r["est_containment_b_in_a"])
+               for r in source_containment_minhash(spark, sf_dir).collect()}
+        common = set(est) & set(exact)
+        assert common
+        diffs = [abs(est[k][i] - exact[k][i]) for k in common for i in (0, 1)]
+        assert max(diffs) <= 0.2
+        assert sorted(diffs)[len(diffs) // 2] <= 0.05  # median
+
+
 class TestSourceOverlapProperty:
     """Hypothesis: random small corpora through the documents seam —
     X84 against a pure-Python set reference and X85 against a BITWISE
