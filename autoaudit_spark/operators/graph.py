@@ -2754,6 +2754,108 @@ def core_dissolution(core: DataFrame, e0: DataFrame) -> DataFrame:
     return dissolution(core, e0, ("node",))
 
 
+def _formation_sql(
+    base: str, keys: tuple[str, ...], extra_cols: tuple[str, ...] = ()
+) -> str:
+    """Keyed DuckDB builder for the FORMATION-report family — the
+    dissolution builder's mirror: rows of `base` whose (window_start −
+    slide, *keys) is absent from `base`, bounded BELOW by the DATA's
+    FIRST window (the min sliding-window start any event falls in —
+    at the first window there is no predecessor report to compare
+    against, the X89 observability lesson with the sign flipped).
+    Backs `core_formation` (pre-built end-r11; registration deferred
+    to a free window slot — NOTES "Window capacity")."""
+    sel = ", ".join(f"b.{c}" for c in ("window_start",) + keys + extra_cols)
+    match = " AND ".join(f"n.{k} = b.{k}" for k in keys)
+    order = ", ".join(f"b.{c}" for c in ("window_start",) + keys)
+    return f"""
+    WITH base AS ({base}),
+    mn AS (SELECT make_timestamp(((epoch_us(MIN(ts)) // {_WT_SLIDE_US}) - 1)
+               * {_WT_SLIDE_US}) AS mn FROM events)
+    SELECT {sel}
+    FROM base b, mn
+    WHERE b.window_start > mn.mn
+      AND NOT EXISTS (
+        SELECT 1 FROM base n
+        WHERE {match}
+          AND n.window_start = b.window_start - INTERVAL '{WT_SLIDE}')
+    ORDER BY {order}
+    """
+
+
+def formation(
+    rel: DataFrame, e0: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Keyed formation kernel — `dissolution`'s mirror: the rows of
+    `rel` whose (window_start − slide, *keys) is absent from `rel`
+    and whose window FOLLOWS the DATA's first (an event at time t
+    falls in the sliding windows starting at slot(t) and
+    slot(t) − slide, so the data's first window is
+    slot(MIN(ts)) − slide — at that window no predecessor report is
+    observable, the X89 bound with the sign flipped). With
+    `dissolution` this completes the lifecycle delta pair: a ring
+    FORMS (appears with no predecessor) and DISSOLVES (disappears
+    with no successor); both reports share `rel`'s plan shape — a
+    1-row broadcast bound + one pure-equi anti-join."""
+    kl = list(keys)
+    r = rel.localCheckpoint()
+    mn = (
+        e0.select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+        .agg(F.min("w").alias("mn"))
+    )
+    prv = r.select(
+        (F.col("window_start") + F.expr(f"INTERVAL {WT_SLIDE}")).alias(
+            "window_start"
+        ),
+        *kl,
+    )
+    return (
+        r.crossJoin(F.broadcast(mn))
+        .filter(F.col("window_start") > F.col("mn"))
+        .drop("mn")
+        .join(prv, ["window_start", *kl], "left_anti")
+        .orderBy("window_start", *kl)
+    )
+
+
+def _core_formation_sql() -> str:
+    """DuckDB twin of `core_formation` — the windowed-core oracle
+    through the keyed formation builder."""
+    return _formation_sql(_k_core_windowed_oracle(), ("node",))
+
+
+def core_formation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core FORMATION events (pre-built end-r11; the r12+ birth
+    mirror of `k_core_dissolution` — registration deferred per the
+    window-capacity note): nodes in window w's {K_CORE_K}-core ABSENT
+    from window (w − slide)'s core — the ring-assembly event list (a
+    dense cell of accounts appearing where none existed is the
+    laundering-ring SPIN-UP signal; the dissolution report shows the
+    wind-down, this shows the onboarding — an investigator reads the
+    two as the ring's lifetime brackets). Output: (window_start,
+    node) at the node's first in-core window. Measured nonvacuous
+    end-r11: 150 / 1373 formed nodes at sf0.01/sf0.1 (sf0.001's core
+    is empty at k={K_CORE_K}; planted tests carry the semantics, the
+    X86/X90 pattern).
+
+    Semantics: a node at w is formed iff w strictly follows the
+    DATA's first window (windows before coverage are unobservable —
+    the first window's cores have no predecessor report, exactly the
+    X89/X90 events-derived bound with MIN in place of MAX and the
+    slide shift flipped) and (w − slide, node) is absent from the
+    core. Core-empty predecessor windows need no special case:
+    absent-from-empty is absent, in both engines identically.
+
+    Scale shape: identical to `k_core_dissolution` (the `formation`
+    kernel is `dissolution` with the shift sign and bound flipped) —
+    one checkpointed windowed core, a 1-row broadcast bound, one
+    pure-equi anti-join on (window_start, node)."""
+    from ..sources import edges as edges_src
+
+    e0 = edges_src(spark, sf_dir)
+    return formation(k_core_windowed(e0), e0, ("node",))
+
+
 @query(
     "clustering_coefficient",
     oracle=f"""

@@ -1009,6 +1009,87 @@ class TestKCoreDissolution:
         assert got == {(slot, n) for n in clique}
 
 
+class TestCoreFormation:
+    """Pre-built r12+ birth candidate (NOT yet registered — the r11
+    window-capacity note): the dissolution mirror. Driven through the
+    `core_formation` function directly."""
+
+    def test_planted_spin_up_is_reported_once(self, spark, tmp_path):
+        """A lone noise event two slots BEFORE a K7 cell extends data
+        coverage backward: the cell's windows are k-1 and k, window
+        k-2's core is empty but data-covered, so the cell FORMS at
+        window k-1 (its first in-core window) and nowhere else —
+        window k's predecessor (k-1) already holds it."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            core_formation,
+        )
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        clique = [1, 2, 3, 4, 5, 6, 7]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                        rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                        i += 1
+        # lone noise event (mult 1 — never a strong tie) extends data
+        # coverage two slots BEFORE the cell
+        rows.append((50, 60, 1.0, slot - 2 * slide))
+        d = str(tmp_path / "kform")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["window_start"], r["node"])
+            for r in core_formation(spark, d).collect()
+        }
+        assert got == {(slot - slide, n) for n in clique}
+
+    def test_first_window_formation_is_unobservable(self, spark, tmp_path):
+        """A K7 cell with NO earlier data: its first in-core window IS
+        the data's first window, so no predecessor report exists and
+        nothing may be reported formed (the cell may predate coverage
+        — the X89 observability lesson, sign flipped)."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            core_formation,
+        )
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        rows, i = [], 0
+        clique = [1, 2, 3, 4, 5, 6, 7]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):
+                        rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                        i += 1
+        d = str(tmp_path / "kform0")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+        assert core_formation(spark, d).count() == 0
+
+
 class TestButterflySrc:
     def test_planted_k23_flips_sides(self, spark, tmp_path):
         """Same K_{2,3}+noise fixture as X72's planted test: 3

@@ -646,6 +646,108 @@ class TestKCoreDissolutionProperty:
         assert got == expect
 
 
+class TestCoreFormationProperty:
+    """The dissolution property mirrored: a node formed at w iff it is
+    in w's core, absent from (w−slide)'s, and w FOLLOWS the DATA's
+    first event window (min over events of the earlier covering
+    window, self-loops included). Driven at k=2 via the parametric
+    kernels."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # a
+                st.integers(min_value=0, max_value=5),   # b
+                st.integers(min_value=0, max_value=2),   # slide slot
+                st.integers(min_value=0, max_value=3),   # repeat-seed
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def test_equals_python_peel_delta(self, spark, tmp_path, pairs):
+        from autoaudit_spark.operators.graph import (
+            WT_MIN_MULT,
+            _WT_SLIDE_US,
+            formation,
+            k_core_windowed,
+        )
+        from autoaudit_spark.sources import edges as edges_src
+
+        K = 2
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+        base_us = (
+            int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            // _WT_SLIDE_US + 1
+        ) * _WT_SLIDE_US
+        base = dt.datetime.fromtimestamp(
+            base_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+        rows = [
+            (a, b, 1.0, base + slot * slide + dt.timedelta(minutes=i))
+            for i, (a, b, slot, _r) in enumerate(pairs)
+        ]
+        d = str(tmp_path / f"kcf{next(_counter)}")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        mult = Counter()
+        min_w_us = None
+        for a, b, slot, _r in pairs:
+            ev_us = base_us + slot * _WT_SLIDE_US
+            # the DATA's first window is the EARLIER of the two windows
+            # covering the earliest event (incl. self-loops)
+            first = ev_us - _WT_SLIDE_US
+            min_w_us = first if min_w_us is None else min(min_w_us, first)
+            if a == b:
+                continue
+            for w_us in (ev_us, ev_us - _WT_SLIDE_US):
+                mult[(w_us, min(a, b), max(a, b))] += 1
+        by_w = {}
+        for (w_us, a, b), m in mult.items():
+            if m >= WT_MIN_MULT:
+                by_w.setdefault(w_us, set()).add((a, b))
+        core = {}
+        for w_us, edges in by_w.items():
+            nodes = {n for e in edges for n in e}
+            while True:
+                deg = Counter()
+                for a, b in edges:
+                    if a in nodes and b in nodes:
+                        deg[a] += 1
+                        deg[b] += 1
+                nxt = {n for n in nodes if deg[n] >= K}
+                if nxt == nodes:
+                    break
+                nodes = nxt
+            core[w_us] = nodes
+        expect = set()
+        for w_us, nodes in core.items():
+            if min_w_us is None or w_us <= min_w_us:
+                continue  # no predecessor report observable in the data
+            prv = core.get(w_us - _WT_SLIDE_US, set())
+            w_ts = dt.datetime.fromtimestamp(
+                w_us / 1_000_000, dt.timezone.utc
+            ).replace(tzinfo=None)
+            expect |= {(w_ts, n) for n in nodes if n not in prv}
+
+        e0 = edges_src(spark, d)
+        got = {
+            (r["window_start"], r["node"])
+            for r in formation(
+                k_core_windowed(e0, k=K), e0, ("node",)
+            ).collect()
+        }
+        assert got == expect
+
+
 class TestButterflySrcProperty:
     @settings(
         max_examples=8,

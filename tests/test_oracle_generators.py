@@ -372,3 +372,29 @@ class TestDissolutionBuilder:
         )
         assert kern == reg
         assert reg, "fixture must plant a nonvacuous dissolution"
+
+
+class TestFormationBuilder:
+    def test_core_formation_cross_engine_exact_on_real_data(self, spark):
+        """Spark `core_formation` vs its DuckDB builder twin on the
+        real sf0.01 events — every typed row equal (the
+        pre-registration value-hash evidence; measured end-r11: 150
+        formed nodes at this SF, so the parity is nonvacuous)."""
+        sf = "/root/testdata/sf0.01"
+        from autoaudit_spark.operators.graph import (
+            _core_formation_sql,
+            core_formation,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        expect = con.execute(_core_formation_sql()).fetchall()
+        got = [
+            (r["window_start"], r["node"])
+            for r in core_formation(spark, sf).collect()
+        ]
+        assert got == expect
+        assert len(got) == 150
