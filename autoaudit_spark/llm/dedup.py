@@ -383,10 +383,16 @@ def minhash_signatures(
     h = non-negative xxhash64 of the shingle (accepts either the string
     `shingle` column or the pre-hashed `shash`). Pure column expressions —
     one grouped aggregation computes all permutations. `with_size=True`
-    appends an exact `sz` count column from the SAME aggregation pass
-    (callers must then feed a DISTINCT shingle relation — COUNT is
-    duplicate-sensitive where MIN is not); the containment estimator
-    needs both quantities and this avoids a second corpus scan."""
+    appends an exact `sz` SET-size column from the SAME aggregation
+    pass and applies the distinct ITSELF (COUNT is duplicate-sensitive
+    where MIN is not — review catch: a docstring-only precondition
+    would let a caller follow the recommended distinct=False MIN-only
+    derivation and silently inflate every size); callers should feed
+    the raw non-distinct stream, the X85 shape. The containment
+    estimator needs both quantities and this keeps one corpus scan and
+    one distinct exchange."""
+    if with_size:
+        sh = sh.distinct()
     h = (
         F.abs(F.col("shash")) % _P
         if "shash" in sh.columns
@@ -514,6 +520,28 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def _minhash_mins_sql() -> str:
+    """The 64 affine-permutation MIN columns over the portable shingle
+    hash — the drift-sensitive permutation arithmetic, shared verbatim
+    by every MinHash oracle (`_minhash_hashed_sql`,
+    `_source_overlap_minhash_sql`, `_source_containment_minhash_sql`);
+    the fragments were byte-identical copies before the r11 extraction,
+    so the registered oracle strings are unchanged (verified by hash)."""
+    return ", ".join(
+        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
+        for i in range(MINHASH_PERMS)
+    )
+
+
+def _minhash_match_sum_sql() -> str:
+    """The quadratic per-perm signature match count (`a` vs `b` sigs) —
+    shared by the source-pair oracles, same extraction rationale."""
+    return " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERMS)
+    )
+
+
 def _minhash_hashed_sql() -> str:
     """DuckDB twin of the FULL MinHash+LSH pipeline over the
     engine-portable shingle hash: distinct shingle hashes → 64 affine-
@@ -524,10 +552,7 @@ def _minhash_hashed_sql() -> str:
     from .text import _ARITH_TOK_SQL
 
     sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
-    mins = ", ".join(
-        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
-        for i in range(MINHASH_PERMS)
-    )
+    mins = _minhash_mins_sql()
     rpb = MINHASH_PERMS // LSH_BANDS
 
     def fold(cols):
@@ -1337,14 +1362,8 @@ def _source_overlap_minhash_sql() -> str:
     from .text import _ARITH_TOK_SQL
 
     sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
-    mins = ", ".join(
-        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
-        for i in range(MINHASH_PERMS)
-    )
-    match_sum = " + ".join(
-        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
-        for i in range(MINHASH_PERMS)
-    )
+    mins = _minhash_mins_sql()
+    match_sum = _minhash_match_sum_sql()
     return f"""
     WITH toks AS (
         SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1439,22 +1458,18 @@ def _source_containment_minhash_sql() -> str:
     signature scheme over a DISTINCT per-source shingle-hash relation
     (the distinct pays for the exact per-source set size COUNT needs —
     MIN alone would not need it), pair match counts via the quadratic
-    CASE-sum, then the inclusion-exclusion containment estimate as ONE
-    pinned division per direction over exact BIGINTs:
+    CASE-sum, then the inclusion-exclusion containment estimate:
     est_J = n/{MINHASH_PERMS}; est_common = est_J·(sz_a+sz_b)/(1+est_J)
-    = n·(sz_a+sz_b)/({MINHASH_PERMS}+n); est_containment(A in B) =
-    est_common/sz_a = n·(sz_a+sz_b) / (({MINHASH_PERMS}+n)·sz_a)."""
+    = n·(sz_a+sz_b)/({MINHASH_PERMS}+n), CLAMPED to min(sz_a, sz_b) —
+    an intersection can never exceed the smaller set, and the
+    unclamped estimate can (review catch); est_containment(A in B) =
+    est_common/sz_a. Exact-BIGINT numerators, the pinned
+    division + LEAST + division chain identical in both engines."""
     from .text import _ARITH_TOK_SQL
 
     sh_hash = _ARITH_TOK_SQL.format(tok="shingle")
-    mins = ", ".join(
-        f"MIN(({_A[i]} * (shash % {_P}) + {_B[i]}) % {_P}) AS m{i}"
-        for i in range(MINHASH_PERMS)
-    )
-    match_sum = " + ".join(
-        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
-        for i in range(MINHASH_PERMS)
-    )
+    mins = _minhash_mins_sql()
+    match_sum = _minhash_match_sum_sql()
     return f"""
     WITH toks AS (
         SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1474,16 +1489,18 @@ def _source_containment_minhash_sql() -> str:
                CAST(({match_sum}) AS BIGINT) AS n_match,
                a.sz AS sz_a, b.sz AS sz_b
         FROM sigs a JOIN sigs b ON a.source < b.source
+    ),
+    est AS (
+        SELECT *, LEAST(CAST(n_match * (sz_a + sz_b) AS DOUBLE)
+                            / ({MINHASH_PERMS} + n_match),
+                        CAST(LEAST(sz_a, sz_b) AS DOUBLE)) AS est_common
+        FROM pairs WHERE n_match >= 1
     )
     SELECT src_a, src_b, n_match, sz_a, sz_b,
            CAST(n_match AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard,
-           ROUND(CAST(n_match * (sz_a + sz_b) AS DOUBLE)
-                 / (({MINHASH_PERMS} + n_match) * sz_a), 6)
-               AS est_containment_a_in_b,
-           ROUND(CAST(n_match * (sz_a + sz_b) AS DOUBLE)
-                 / (({MINHASH_PERMS} + n_match) * sz_b), 6)
-               AS est_containment_b_in_a
-    FROM pairs WHERE n_match >= 1
+           ROUND(est_common / sz_a, 6) AS est_containment_a_in_b,
+           ROUND(est_common / sz_b, 6) AS est_containment_b_in_a
+    FROM est
     ORDER BY src_a, src_b
     """
 
@@ -1496,15 +1513,18 @@ def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone, no shingle-pair join — the 100 TB path for the containment
     report exactly as X85 is for the Jaccard report. Estimate via
     inclusion-exclusion on the MinHash Jaccard: with J = c/(a+b−c),
-    c = J·(a+b)/(1+J), so est_containment(A in B) = est_c/sz_a reduces
-    to ONE pinned division of exact BIGINTs per direction:
-    n·(sz_a+sz_b) / ((perms+n)·sz_a), rounded 6dp (both factors stay
-    below 2^53 up to ~10^11 shingles per source pair, so the IEEE
-    division is correctly rounded and hash-stable cross-engine).
-    MEASURED end-r10 (banked in NOTES): max |Δ| vs the exact X87
-    containment 0.115, median 0.016 over the 148 estimate-covered
-    source pairs at sf0.01 — inside the 1/sqrt(64) MinHash envelope,
-    pinned by a 0.2 tolerance test.
+    c = J·(a+b)/(1+J), so est_common = n·(sz_a+sz_b)/(perms+n) over
+    exact BIGINTs, CLAMPED to min(sz_a, sz_b) — an intersection can
+    never exceed the smaller set, and for very asymmetric pairs the
+    raw estimate can blow far past it on a single chance permutation
+    collision (review catch: sz 1000 vs 4 → raw containment 3.86);
+    est_containment(A in B) = est_common/sz_a, rounded 6dp. All
+    operands stay below 2^53 up to ~10^11 shingles per source pair,
+    so the division + LEAST + division chain is correctly rounded and
+    hash-stable cross-engine. MEASURED end-r10 (banked in NOTES): max
+    |Δ| vs the exact X87 containment 0.115, median 0.016 over the 148
+    estimate-covered source pairs at sf0.01 — inside the 1/sqrt(64)
+    MinHash envelope, pinned by a 0.2 tolerance test.
 
     Spark shape: ONE distinct (source, shash) exchange (the distinct
     is what makes the COUNT an exact set size — X85 skips it because
@@ -1518,7 +1538,9 @@ def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends the X84/X85/X87 family the engine adds for training-data
     curation."""
     docs = load_table(spark, sf_dir, "documents")
-    src_sh = hashed_shingles_arith(docs, key="source").select(
+    # raw non-distinct stream (the X85 shape) — with_size=True applies
+    # the one distinct exchange itself, so the set size is exact
+    src_sh = hashed_shingles_arith(docs, key="source", distinct=False).select(
         F.col("source").alias("doc_id"), "shash"
     )
     sig = minhash_signatures(src_sh, with_size=True).localCheckpoint()
@@ -1544,6 +1566,17 @@ def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_match"))
     )
     num = (F.col("n_match") * (F.col("sz_a") + F.col("sz_b"))).cast("double")
+    # est_common clamped to min(sz_a, sz_b): an intersection can never
+    # exceed the smaller set, but the raw inclusion-exclusion estimate
+    # can (review catch: sz_a=1000, sz_b=4, one chance perm collision →
+    # raw containment_b_in_a 3.86 — semantically impossible and past
+    # any swallowed-source threshold); the clamp only ever moves the
+    # estimate TOWARD the truth, and LEAST of exact doubles is
+    # hash-stable cross-engine like the divisions
+    est_common = F.least(
+        num / (F.lit(MINHASH_PERMS) + F.col("n_match")),
+        F.least("sz_a", "sz_b").cast("double"),
+    )
     return matched.select(
         "src_a",
         "src_b",
@@ -1552,12 +1585,8 @@ def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sz_b",
         (F.col("n_match").cast("double") / MINHASH_PERMS)
         .alias("est_jaccard"),
-        F.round(
-            num / ((F.lit(MINHASH_PERMS) + F.col("n_match")) * F.col("sz_a")),
-            6,
-        ).alias("est_containment_a_in_b"),
-        F.round(
-            num / ((F.lit(MINHASH_PERMS) + F.col("n_match")) * F.col("sz_b")),
-            6,
-        ).alias("est_containment_b_in_a"),
+        F.round(est_common / F.col("sz_a"), 6)
+        .alias("est_containment_a_in_b"),
+        F.round(est_common / F.col("sz_b"), 6)
+        .alias("est_containment_b_in_a"),
     ).orderBy("src_a", "src_b")

@@ -375,12 +375,14 @@ class TestDissolutionBuilder:
 
 
 class TestFormationBuilder:
-    def test_core_formation_cross_engine_exact_on_real_data(self, spark):
+    def test_core_formation_cross_engine_exact_on_real_data(
+        self, spark, sf_root
+    ):
         """Spark `core_formation` vs its DuckDB builder twin on the
         real sf0.01 events — every typed row equal (the
         pre-registration value-hash evidence; measured end-r11: 150
         formed nodes at this SF, so the parity is nonvacuous)."""
-        sf = "/root/testdata/sf0.01"
+        sf = f"{sf_root}/sf0.01"
         from autoaudit_spark.operators.graph import (
             _core_formation_sql,
             core_formation,
