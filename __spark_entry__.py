@@ -32,78 +32,82 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-11
-# rotation: the flagship canary; this round's birth
-# (same-round-window rule): k_core_dissolution (the r10 verdict's
-# slot #1 — the X89 recipe composed on X86); this round's RE-GATE:
-# k_truss_windowed (slot #2 — its inline strong-tie derivation swapped
-# onto the shared `windowed_strong_ties` helper, so the edited query
-# re-enters the window per the same-round-window rule); and ALL 47
-# queries whose latest driver row is r7 (recomputed from
-# CORRECTNESS_r01–r10 by tools/rotation.py, strict criterion — never
-# trust an estimate). 1 + 1 + 1 + 47 = 50 exactly. Steady state: with
-# 196 registered queries and a 50-slot window the registry cycles in
-# ~4 rounds, so an r8-latest row entering r12's pool is on schedule,
-# not debt.
+# value-hash row; rows-only queries the weaker rows check). Round-12
+# rotation: this round's birth (same-round-window rule):
+# source_containment_minhash (the r11 verdict's slot #3 — X87's
+# swallowed-source signal from signatures alone, the 100 TB path);
+# and ALL 49 queries whose latest driver row is r8 (recomputed from
+# CORRECTNESS_r01–r11 by tools/rotation.py, strict criterion — never
+# trust an estimate). 1 + 49 = 50 exactly.
+#
+# CANARY RETIRED (r11 verdict, "Next round" #1): through r11 the
+# flagship `two_hop_candidates` held a dedicated every-round slot.
+# That duplicated coverage — `entry(spark)` smoke-runs the identical
+# registry callable every round regardless — and with 196 queries it
+# consumed the only birth capacity (196 + 4×canary = 200 of the 200
+# rows per 4-round cycle). From r12 the flagship rotates like every
+# other query (latest row r11 → due r15); flagship execution coverage
+# every round is preserved via entry(). Frees 3 window slots per
+# 4-round cycle for births; this round's slot funds the containment
+# birth above.
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    "two_hop_candidates",          # flagship (entry) — canary
     # -- born this round (same-round-window rule) --
-    "k_core_dissolution",          # node-side wind-down event list
-    # -- re-gated this round (edited: shared-helper swap) --
-    "k_truss_windowed",            # X82 on windowed_strong_ties
-    # -- the 47 queries whose latest driver row is r7 (full pool) --
-    "account_succession",
-    "background_edges",
-    "bigram_surprise",
-    "butterfly_counts",
-    "butterfly_counts_salted",
-    "chunk_documents",
-    "contamination_ngram",
-    "corpus_mix_allocation",
-    "cusum_upshifts",
-    "dedup_components",
-    "direction_mapped_edges",
-    "dsir_importance",
-    "ewma_spike_flags",
-    "feature_pairs",
-    "focus_plot_sum",
-    "hits_scores",
-    "iforest_points",
-    "inout_zero_fill",
-    "k_truss",
-    "label_propagation",
-    "multimodal_assemble",
-    "near_dup_jaccard_capped",
-    "near_dup_jaccard_salted",
-    "pagerank",
-    "pagerank_weighted",
-    "powerlaw_fit",
-    "pps_sample",
-    "range_join_event_context",
-    "repeated_passages",
-    "round_number_bias",
-    "sample_stratified",
-    "seeded_ppr",
-    "seeded_ppr_weighted",
-    "sink_accounts",
-    "stream_change_cosine",
-    "stream_change_scores",
-    "stream_sketch_sums",
-    "stream_value_milestones",
-    "term_frequencies",
-    "tfidf_top_terms",
-    "threshold_structuring",
-    "topk_per_group",
-    "trailing_window_avg",
-    "user_profile_divergence",
-    "user_sessions",
-    "window_alignment",
-    "windowed_features",
+    "source_containment_minhash",  # X91: signature-only containment
+    # -- the 49 queries whose latest driver row is r8 (full pool) --
+    "account_features",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "anomaly_scores_mahalanobis",
+    "asof_join_attribution",
+    "attention_routing_hashed",
+    "bucketed_degree_join",
+    "connected_components",
+    "connected_components_jump",
+    "connected_components_twostar",
+    "corpus_filter",
+    "corpus_token_budget",
+    "cube_events",
+    "date_functions",
+    "dedup_retention",
+    "degree_counts",
+    "filter_project",
+    "global_argmax",
+    "harmonic_centrality",
+    "heavy_pairs",
+    "intersect_except_users",
+    "json_props_extract",
+    "json_source_roundtrip",
+    "log_bin_means",
+    "media_features_hashed",
+    "media_frame_sample",
+    "media_pipeline_real",
+    "near_dup_levenshtein",
+    "near_dup_minhash_hashed",
+    "node_universe",
+    "orc_source_roundtrip",
+    "partition_pruned_scan",
+    "profit_by_nation_year",
+    "revenue_by_nation",
+    "rollup_orders",
+    "salted_user_totals",
+    "scalar_math",
+    "sketch_values_hashed",
+    "stream_dedup_exact",
+    "stream_user_sessions",
+    "stream_window_event_stats",
+    "text_normalize",
+    "two_hop_intermediaries",
+    "two_hop_salted",
+    "union_dedup",
+    "value_percentiles",
+    "weight_stats",
+    "window_event_stats",
+    "window_topk_accounts",
 ]
 
 

@@ -390,9 +390,13 @@ def minhash_signatures(
     derivation and silently inflate every size); callers should feed
     the raw non-distinct stream, the X85 shape. The containment
     estimator needs both quantities and this keeps one corpus scan and
-    one distinct exchange."""
+    one distinct exchange. The distinct is taken over the KEY columns
+    only — (doc_id, shash|shingle) — projected first, so a caller
+    passing extra payload columns (weights, metadata) cannot silently
+    inflate `sz` while the signatures stay correct (r11 ADVICE)."""
     if with_size:
-        sh = sh.distinct()
+        key = "shash" if "shash" in sh.columns else "shingle"
+        sh = sh.select("doc_id", key).distinct()
     h = (
         F.abs(F.col("shash")) % _P
         if "shash" in sh.columns
@@ -1452,9 +1456,9 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_containment_minhash_sql() -> str:
-    """DuckDB twin of `source_containment_minhash` (NOT yet registered —
-    the r11 window-capacity note defers registration to the next free
-    slot; the cross-engine unit test drives this SQL directly): the X85
+    """DuckDB twin of `source_containment_minhash` (registered r12 into
+    the slot freed by the canary retirement — NOTES "Window capacity";
+    the cross-engine unit test also drives this SQL directly): the X85
     signature scheme over a DISTINCT per-source shingle-hash relation
     (the distinct pays for the exact per-source set size COUNT needs —
     MIN alone would not need it), pair match counts via the quadratic
@@ -1505,10 +1509,11 @@ def _source_containment_minhash_sql() -> str:
     """
 
 
+@query("source_containment_minhash", oracle=_source_containment_minhash_sql())
 def source_containment_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-estimated cross-source CONTAINMENT matrix (pre-built
-    end-r11; registration as a `@query` is deferred to the next free
-    window slot — see NOTES "Window capacity"): X87's asymmetric
+    """MinHash-estimated cross-source CONTAINMENT matrix (X91, pre-built
+    end-r11, REGISTERED r12 into the canary-retirement slot — see NOTES
+    "Window capacity"): X87's asymmetric
     swallowed-source signal computed from signatures + exact set sizes
     alone, no shingle-pair join — the 100 TB path for the containment
     report exactly as X85 is for the Jaccard report. Estimate via

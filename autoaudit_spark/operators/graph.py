@@ -2275,6 +2275,14 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
 WT_WINDOW = "28 days"
 WT_SLIDE = "14 days"
 _WT_SLIDE_US = 14 * 86400 * 1_000_000
+_WT_WINDOW_US = 28 * 86400 * 1_000_000
+#: sliding windows each event falls in (= window/slide ratio; F.window
+#: requires the window be a multiple of the slide for this alignment).
+#: _WT_EDGES_SQL's VALUES list and _formation_sql's first-window bound
+#: are both derived from this, so retuning WT_WINDOW/WT_SLIDE moves the
+#: oracles in lockstep with Spark's F.window (r11 ADVICE).
+_WT_N_WINDOWS = _WT_WINDOW_US // _WT_SLIDE_US
+assert _WT_WINDOW_US % _WT_SLIDE_US == 0, "window must be a multiple of slide"
 #: per-window strong-tie threshold (global truss uses ≥ 3 over the
 #: whole month; a 28-day window sees roughly half each pair's events)
 WT_MIN_MULT = 2
@@ -2288,7 +2296,7 @@ _WT_EDGES_SQL = f"""
     SELECT make_timestamp(((epoch_us(ts) // {_WT_SLIDE_US}) - k.k)
                * {_WT_SLIDE_US}) AS w,
            src, dst
-    FROM edges, (VALUES (0), (1)) k(k)
+    FROM edges, (VALUES {", ".join(f"({i})" for i in range(_WT_N_WINDOWS))}) k(k)
 """
 
 
@@ -2770,7 +2778,8 @@ def _formation_sql(
     order = ", ".join(f"b.{c}" for c in ("window_start",) + keys)
     return f"""
     WITH base AS ({base}),
-    mn AS (SELECT make_timestamp(((epoch_us(MIN(ts)) // {_WT_SLIDE_US}) - 1)
+    mn AS (SELECT make_timestamp(
+               ((epoch_us(MIN(ts)) // {_WT_SLIDE_US}) - {_WT_N_WINDOWS - 1})
                * {_WT_SLIDE_US}) AS mn FROM events)
     SELECT {sel}
     FROM base b, mn

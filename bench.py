@@ -94,6 +94,8 @@ HEADLINE = [
     "truss_dissolution",      # graph: ring wind-down event list (X89)
     # -- r11 birth (all 52 rows above UNCHANGED) --
     "k_core_dissolution",     # graph: node-side wind-down event list
+    # -- r12 birth (all 53 rows above UNCHANGED) --
+    "source_containment_minhash",  # llm: signature-only containment (X91)
 ]
 
 

@@ -49,38 +49,56 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round11_rotation_in_window():
-    """Round-11 rotation: flagship canary, the r11 birth
-    (k_core_dissolution, same-round-window rule), the r11 re-gate
-    (k_truss_windowed — edited onto the shared windowed_strong_ties
-    helper), and ALL 47 queries whose latest driver row is r7 (the
-    pool recomputed from CORRECTNESS_r01–r10 by tools/rotation.py,
-    strict criterion). 1 + 1 + 1 + 47 = 50."""
+def test_round12_rotation_in_window():
+    """Round-12 rotation: the r12 birth (source_containment_minhash,
+    same-round-window rule) and ALL 49 queries whose latest driver row
+    is r8 (the pool recomputed from CORRECTNESS_r01-r11 by
+    tools/rotation.py, strict criterion). 1 + 49 = 50. The every-round
+    flagship canary is RETIRED this round (r11 verdict #1): entry()
+    smoke-runs the flagship regardless, and the dedicated slot was the
+    window-capacity bottleneck; two_hop_candidates now rotates like any
+    other query (latest row r11, due back r15)."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # canary + the r11 birth + the r11 re-gate
-        "two_hop_candidates", "k_core_dissolution", "k_truss_windowed",
-        # the 47 r7-latest queries
-        "account_succession", "background_edges", "bigram_surprise",
-        "butterfly_counts", "butterfly_counts_salted", "chunk_documents",
-        "contamination_ngram", "corpus_mix_allocation", "cusum_upshifts",
-        "dedup_components", "direction_mapped_edges", "dsir_importance",
-        "ewma_spike_flags", "feature_pairs", "focus_plot_sum",
-        "hits_scores", "iforest_points", "inout_zero_fill", "k_truss",
-        "label_propagation", "multimodal_assemble",
-        "near_dup_jaccard_capped", "near_dup_jaccard_salted", "pagerank",
-        "pagerank_weighted", "powerlaw_fit", "pps_sample",
-        "range_join_event_context", "repeated_passages",
-        "round_number_bias", "sample_stratified", "seeded_ppr",
-        "seeded_ppr_weighted", "sink_accounts", "stream_change_cosine",
-        "stream_change_scores", "stream_sketch_sums",
-        "stream_value_milestones", "term_frequencies", "tfidf_top_terms",
-        "threshold_structuring", "topk_per_group", "trailing_window_avg",
-        "user_profile_divergence", "user_sessions", "window_alignment",
-        "windowed_features",
+        # the r12 birth
+        "source_containment_minhash",
+        # the 49 r8-latest queries
+        "account_features", "ann_cosine_topk", "ann_int8_topk",
+        "anomaly_scores_mahalanobis", "asof_join_attribution",
+        "attention_routing_hashed", "bucketed_degree_join",
+        "connected_components", "connected_components_jump",
+        "connected_components_twostar", "corpus_filter",
+        "corpus_token_budget", "cube_events", "date_functions",
+        "dedup_retention", "degree_counts", "filter_project",
+        "global_argmax", "harmonic_centrality", "heavy_pairs",
+        "intersect_except_users", "json_props_extract",
+        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
+        "media_frame_sample", "media_pipeline_real",
+        "near_dup_levenshtein", "near_dup_minhash_hashed", "node_universe",
+        "orc_source_roundtrip", "partition_pruned_scan",
+        "profit_by_nation_year", "revenue_by_nation", "rollup_orders",
+        "salted_user_totals", "scalar_math", "sketch_values_hashed",
+        "stream_dedup_exact", "stream_user_sessions",
+        "stream_window_event_stats", "text_normalize",
+        "two_hop_intermediaries", "two_hop_salted", "union_dedup",
+        "value_percentiles", "weight_stats", "window_event_stats",
+        "window_topk_accounts",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
+
+
+def test_canary_retired_flagship_still_covered():
+    """The retirement is only safe because the flagship stays executed
+    every round through entry() — pin that entry() and the registry
+    callable are the same query, and that the flagship remains
+    registered + oracled for its r15 rotation row."""
+    q = entry_mod.queries()
+    assert "two_hop_candidates" in q
+    assert "two_hop_candidates" in entry_mod.oracle_sql()
+    import inspect
+    src = inspect.getsource(entry_mod.entry)
+    assert 'QUERIES["two_hop_candidates"]' in src
 
 
 def test_rotated_out_queries_still_registered():
@@ -109,6 +127,8 @@ def test_rotated_out_queries_still_registered():
         # the r10 births, rotated out by the r11 window
         "k_core_windowed", "source_containment_matrix",
         "butterfly_counts_windowed", "truss_dissolution",
+        # the r11 birth/re-gate + retired canary, rotated out by r12
+        "k_core_dissolution", "k_truss_windowed", "two_hop_candidates",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

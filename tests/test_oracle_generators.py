@@ -399,4 +399,8 @@ class TestFormationBuilder:
             for r in core_formation(spark, sf).collect()
         ]
         assert got == expect
-        assert len(got) == 150
+        # nonvacuity only — the typed-row equality above is the parity
+        # evidence; pinning the measured 150 would break on any fixture
+        # regeneration or K_CORE_K/WT retune for non-correctness
+        # reasons (r11 ADVICE)
+        assert got
