@@ -1090,6 +1090,91 @@ class TestCoreFormation:
         assert core_formation(spark, d).count() == 0
 
 
+class TestCorePersistence:
+    """Pre-built r12 birth candidate (NOT yet registered — the window
+    capacity note): maximal consecutive-window core runs. Driven
+    through the `persistence` kernel and the `core_persistence`
+    composition directly."""
+
+    def test_kernel_islands_split_on_gaps(self, spark):
+        """Hand-planted islands: node 1 holds slots {0,1,2, 4,5} →
+        runs (0..2, 3 windows) and (4..5, 2); node 2 holds {3} → one
+        1-window run. The slide-aligned slot arithmetic must split
+        exactly at the gap and nowhere else."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            persistence,
+        )
+
+        base_us = (
+            int(
+                dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+            // _WT_SLIDE_US
+        ) * _WT_SLIDE_US
+
+        def w(slot):
+            return dt.datetime.fromtimestamp(
+                (base_us + slot * _WT_SLIDE_US) / 1_000_000, dt.timezone.utc
+            ).replace(tzinfo=None)
+
+        rows = [(w(s), 1) for s in (0, 1, 2, 4, 5)] + [(w(3), 2)]
+        rel = spark.createDataFrame(
+            rows, "window_start timestamp, node long"
+        )
+        got = [
+            (r["node"], r["run_start"], r["run_end"], r["n_windows"])
+            for r in persistence(rel, ("node",)).collect()
+        ]
+        assert got == [
+            (1, w(0), w(2), 3),
+            (1, w(4), w(5), 2),
+            (2, w(3), w(3), 1),
+        ]
+
+    def test_planted_cell_reports_one_two_window_run(self, spark, tmp_path):
+        """A K7 cell with all events in one slot holds the core in the
+        two windows covering that slot (slot−slide and slot) — one run
+        per node: (node, slot−slide, slot, 2). Same fixture family as
+        the formation/dissolution planted tests."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            core_persistence,
+        )
+
+        t = dt.datetime(2024, 3, 1)
+        e_us = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        slot_us = (e_us // _WT_SLIDE_US) * _WT_SLIDE_US
+        slot = dt.datetime.fromtimestamp(
+            slot_us / 1_000_000, dt.timezone.utc
+        ).replace(tzinfo=None)
+        slide = dt.timedelta(microseconds=_WT_SLIDE_US)
+
+        rows, i = [], 0
+        clique = [1, 2, 3, 4, 5, 6, 7]
+        for a in clique:
+            for b in clique:
+                if a < b:
+                    for _ in range(2):  # mult 2 >= WT_MIN_MULT
+                        rows.append((a, b, 1.0, slot + dt.timedelta(minutes=i)))
+                        i += 1
+        d = str(tmp_path / "kpers")
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, value double, ts timestamp"
+        ).write.parquet(f"{d}/events.parquet")
+
+        got = {
+            (r["node"], r["run_start"], r["run_end"], r["n_windows"])
+            for r in core_persistence(spark, d).collect()
+        }
+        assert got == {(n, slot - slide, slot, 2) for n in clique}
+
+
 class TestButterflySrc:
     def test_planted_k23_flips_sides(self, spark, tmp_path):
         """Same K_{2,3}+noise fixture as X72's planted test: 3

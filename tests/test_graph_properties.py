@@ -779,3 +779,70 @@ class TestButterflySrcProperty:
         dst_total = sum(r["butterflies"]
                         for r in QUERIES["butterfly_counts"](spark, d).collect())
         assert sum(got.values()) == dst_total
+
+
+class TestPersistenceKernelProperty:
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        cells=st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # node
+                st.integers(min_value=0, max_value=8),   # window slot
+            ),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    def test_equals_python_islands(self, spark, cells):
+        """The keyed `persistence` kernel on arbitrary (window_start,
+        node) membership sets equals a Python maximal-run reference —
+        gaps split runs, consecutive slots merge, singletons survive,
+        per-node independence holds. Kernel-level on synthetic
+        membership (no graph needed — any per-window relation is a
+        valid input), the planted + real-data tests cover the core
+        composition."""
+        from autoaudit_spark.operators.graph import (
+            _WT_SLIDE_US,
+            persistence,
+        )
+
+        base_us = (
+            int(T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            // _WT_SLIDE_US + 1
+        ) * _WT_SLIDE_US
+
+        def w(slot):
+            return dt.datetime.fromtimestamp(
+                (base_us + slot * _WT_SLIDE_US) / 1_000_000, dt.timezone.utc
+            ).replace(tzinfo=None)
+
+        expect = []
+        for node in sorted({n for n, _s in cells}):
+            slots = sorted(s for n, s in cells if n == node)
+            run = [slots[0]]
+            for s in slots[1:]:
+                if s == run[-1] + 1:
+                    run.append(s)
+                else:
+                    expect.append((node, w(run[0]), w(run[-1]), len(run)))
+                    run = [s]
+            expect.append((node, w(run[0]), w(run[-1]), len(run)))
+
+        if not cells:
+            rel = spark.createDataFrame(
+                [], "window_start timestamp, node long"
+            )
+        else:
+            rel = spark.createDataFrame(
+                [(w(s), n) for n, s in cells],
+                "window_start timestamp, node long",
+            )
+        got = [
+            (r["node"], r["run_start"], r["run_end"], r["n_windows"])
+            for r in persistence(rel, ("node",)).collect()
+        ]
+        assert got == expect

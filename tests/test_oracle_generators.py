@@ -404,3 +404,83 @@ class TestFormationBuilder:
         # regeneration or K_CORE_K/WT retune for non-correctness
         # reasons (r11 ADVICE)
         assert got
+
+
+class TestPersistenceBuilder:
+    def test_core_persistence_cross_engine_exact_on_real_data(
+        self, spark, sf_root
+    ):
+        """Spark `core_persistence` vs its DuckDB builder twin on the
+        real sf0.01 events — every typed row equal (the
+        pre-registration value-hash evidence; measured end-r11 the
+        run-length histogram is {2: 15, 3: 135} at this SF, so the
+        parity covers multi-length runs, not a degenerate single
+        bucket)."""
+        sf = f"{sf_root}/sf0.01"
+        from autoaudit_spark.operators.graph import (
+            _core_persistence_sql,
+            core_persistence,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        expect = con.execute(_core_persistence_sql()).fetchall()
+        got = [
+            (r["node"], r["run_start"], r["run_end"], r["n_windows"])
+            for r in core_persistence(spark, sf).collect()
+        ]
+        assert got == expect
+        assert got
+        # the parity must cover >1 distinct run length or the island
+        # arithmetic is untested beyond COUNT(*)=k
+        assert len({n for *_k, n in got}) > 1
+
+    def test_lifecycle_reports_are_views_of_one_island_decomposition(
+        self, spark, sf_root
+    ):
+        """The three lifecycle reports must reconcile EXACTLY on real
+        sf0.01 data — they are projections of one island decomposition
+        of the windowed core: Σ n_windows = |core|; the formation
+        report = run starts strictly after the data's first window;
+        the dissolution report = run ends strictly before the data's
+        last window. Computed off ONE shared core materialization so a
+        disagreement is in the report algebra, not the peel."""
+        sf = f"{sf_root}/sf0.01"
+        from autoaudit_spark.operators.graph import (
+            WT_SLIDE,
+            WT_WINDOW,
+            dissolution,
+            formation,
+            k_core_windowed,
+            persistence,
+        )
+        from autoaudit_spark.sources import edges as edges_src
+        from pyspark.sql import functions as F
+
+        e0 = edges_src(spark, sf)
+        core = k_core_windowed(e0).localCheckpoint()
+        runs = persistence(core, ("node",)).collect()
+        formed = {
+            (r["window_start"], r["node"])
+            for r in formation(core, e0, ("node",)).collect()
+        }
+        dissolved = {
+            (r["window_start"], r["node"])
+            for r in dissolution(core, e0, ("node",)).collect()
+        }
+        w = (
+            e0.select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+            .agg(F.min("w").alias("mn"), F.max("w").alias("mx"))
+            .collect()[0]
+        )
+        assert sum(r["n_windows"] for r in runs) == core.count()
+        assert {
+            (r["run_start"], r["node"]) for r in runs if r["run_start"] > w["mn"]
+        } == formed
+        assert {
+            (r["run_end"], r["node"]) for r in runs if r["run_end"] < w["mx"]
+        } == dissolved
+        assert runs and formed and dissolved
