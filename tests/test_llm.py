@@ -1386,3 +1386,112 @@ class TestSourceOverlapProperty:
             assert got85 == expect85
 
         run()
+
+
+class TestSourceContainmentMinhashProperty:
+    """Hypothesis: random small corpora through the documents seam —
+    X91 against a BITWISE pure-Python replication of the whole
+    estimate chain (hash, permutations, match count, exact sizes,
+    clamped inclusion-exclusion, and Spark's BigDecimal-HALF_UP
+    6dp round via Decimal(repr(x))) — the X80/X85 replication tier:
+    the same integers and the same doubles, not a tolerance."""
+
+    def test_containment_matches_python(self, spark, tmp_path):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from autoaudit_spark.llm.dedup import (
+            MINHASH_PERMS,
+            _A,
+            _B,
+            _P,
+            source_containment_minhash,
+        )
+
+        word = st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        )
+        doc = st.lists(word, min_size=3, max_size=9).map(" ".join)
+        corpora_st = st.dictionaries(
+            st.sampled_from(["sa", "sb", "sc"]),
+            st.lists(doc, min_size=1, max_size=3),
+            min_size=2,
+            max_size=3,
+        )
+
+        def half_up6(x):
+            # Spark round(double, 6) = BigDecimal.valueOf(x) (shortest
+            # repr, same as Python repr) .setScale(6, HALF_UP)
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def arith(sh):
+            h = 0
+            for ch in sh:
+                h = (h * 131 + ord(ch)) % 1000000007
+            return h
+
+        counter = [0]
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(corpora=corpora_st)
+        def run(corpora):
+            from itertools import combinations
+
+            counter[0] += 1
+            d = TestSourceOverlapProperty._write_docs(
+                spark, tmp_path, corpora, f"cm{counter[0]}"
+            )
+            sets = {
+                s: TestSourceOverlapProperty._shingle_set(ds)
+                for s, ds in corpora.items()
+            }
+
+            sz, sigs = {}, {}
+            for s, shs in sets.items():
+                hset = {arith(x) for x in shs}  # sz = DISTINCT shash
+                if hset:
+                    sz[s] = len(hset)
+                    hs = [h % _P for h in hset]
+                    sigs[s] = [
+                        min((_A[i] * h + _B[i]) % _P for h in hs)
+                        for i in range(MINHASH_PERMS)
+                    ]
+
+            expect = {}
+            for a, b in combinations(sorted(sigs), 2):
+                m = sum(
+                    1
+                    for i in range(MINHASH_PERMS)
+                    if sigs[a][i] == sigs[b][i]
+                )
+                if m >= 1:
+                    est_common = min(
+                        float(m * (sz[a] + sz[b])) / (MINHASH_PERMS + m),
+                        float(min(sz[a], sz[b])),
+                    )
+                    expect[(a, b)] = (
+                        m, sz[a], sz[b], m / MINHASH_PERMS,
+                        half_up6(est_common / sz[a]),
+                        half_up6(est_common / sz[b]),
+                    )
+            got = {
+                (r["src_a"], r["src_b"]): (
+                    r["n_match"], r["sz_a"], r["sz_b"], r["est_jaccard"],
+                    r["est_containment_a_in_b"],
+                    r["est_containment_b_in_a"],
+                )
+                for r in source_containment_minhash(spark, d).collect()
+            }
+            assert got == expect
+
+        run()
