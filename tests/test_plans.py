@@ -626,3 +626,51 @@ class TestR11Plans:
         # section — count detail headers: exactly one shuffle (the
         # multiplicity aggregate), nothing else
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+class TestLifecycleKernelPlans:
+    """Pre-built r12 lifecycle kernels (r13/r14 birth candidates):
+    lock the scale-deciding plan shapes in BEFORE registration, the
+    X90 pattern — a refactor that silently loses one fails CI, not
+    the cluster."""
+
+    def test_formation_anti_join_is_equi(self, spark):
+        """`formation` is `dissolution` with the shift sign and bound
+        flipped — same required shape: pure equi LEFT-ANTI on
+        (window_start, *keys) (the slide shift is a projection, not a
+        join condition); the only nested-loop join is the 1-row
+        broadcast first-window bound; no cartesian product."""
+        from autoaudit_spark.operators.graph import core_formation
+
+        p = plan(core_formation(spark, SF))
+        assert "LeftAnti" in p, p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" in p, p
+        assert not re.findall(r"BroadcastNestedLoopJoin[^\n]*LeftAnti", p), p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_persistence_single_keys_exchange(self, spark):
+        """The gaps-and-islands layer must cost exactly ONE keys-hash
+        exchange: the window's partitionBy(*keys) shuffle feeds BOTH
+        the ROW_NUMBER and the (keys, grp) aggregate — hash
+        partitioning on `node` satisfies the aggregate's clustered
+        distribution on (node, grp), so Spark inserts NO exchange
+        between Window and HashAggregate. The only other exchange is
+        the final ORDER BY's range partitioning. All JVM — no Python
+        eval nodes."""
+        import datetime as dt
+
+        from autoaudit_spark.operators.graph import persistence
+
+        rel = spark.createDataFrame(
+            [(dt.datetime(2024, 3, 7), 1)],
+            "window_start timestamp, node long",
+        )
+        p = plan(persistence(rel, ("node",)))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Window" in p, p
+        # detail headers: keys-hash (window+agg) + range (orderBy).
+        # If the aggregate ever stopped reusing the window's hash
+        # partitioning, a third exchange would appear between Window
+        # and HashAggregate and this count fails.
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
