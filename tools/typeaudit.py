@@ -11,7 +11,12 @@ natively) and flags any column whose physical type differs after a small
 normalization (timestamp tz/unit, large_string→string, not-null flags).
 Types don't depend on scale factor, so it runs at sf0.001 for speed.
 
-Usage: python tools/typeaudit.py [sf_dir] [query ...]
+Usage: python tools/typeaudit.py [--prebuilt] [sf_dir] [query ...]
+
+--prebuilt: audit the banked pre-built-but-unregistered pairs (the
+NOTES "Window capacity" queue) instead of the registry — their
+cross-engine tests compare Python values, which an int128-vs-int64
+divergence would NOT trip, so run this before each registration.
 """
 
 from __future__ import annotations
@@ -51,8 +56,25 @@ def canon(t: pa.DataType) -> str:
     return str(t)
 
 
+#: banked (pre-built, not yet registered) Spark/oracle pairs — audited
+#: with --prebuilt so a registration round re-checks them without
+#: hand-written scripts. Each entry: name -> (callable, oracle SQL
+#: builder). Kept in lockstep with NOTES "Window capacity" queue.
+def _prebuilt_pairs():
+    from autoaudit_spark.operators import graph as g
+
+    return {
+        "core_formation": (g.core_formation, g._core_formation_sql),
+        "core_persistence": (g.core_persistence, g._core_persistence_sql),
+        "truss_formation": (g.truss_formation, g._truss_formation_sql),
+        "truss_persistence": (g.truss_persistence, g._truss_persistence_sql),
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
+    prebuilt = "--prebuilt" in args
+    args = [a for a in args if a != "--prebuilt"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     only = [a for a in args if "/" not in a]
     spark = get_spark("typeaudit")
@@ -60,16 +82,25 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    names = only or [n for n in registry.QUERIES if n in registry.ORACLES]
+    if prebuilt:
+        pairs = {n: (fn, mk()) for n, (fn, mk) in _prebuilt_pairs().items()}
+        names = only or list(pairs)
+    else:
+        pairs = None
+        names = only or [
+            n for n in registry.QUERIES if n in registry.ORACLES
+        ]
     bad = 0
     for name in names:
-        sql = registry.ORACLES.get(name)
+        sql = pairs[name][1] if pairs else registry.ORACLES.get(name)
         if sql is None:
             print(f"skip {name}: rows-only")
             continue
         try:
             duck = con.execute(sql).fetch_arrow_table().schema
-            sdf = registry.QUERIES[name](spark, sf_dir)
+            sdf = (pairs[name][0] if pairs else registry.QUERIES[name])(
+                spark, sf_dir
+            )
             sp = sdf.limit(0).toArrow().schema
         except Exception as e:  # noqa: BLE001 — audit must survey everything
             print(f"ERR  {name}: {type(e).__name__}: {e}")
