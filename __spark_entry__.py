@@ -32,24 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-12
-# rotation: this round's birth (same-round-window rule):
-# source_containment_minhash (the r11 verdict's slot #3 — X87's
-# swallowed-source signal from signatures alone, the 100 TB path);
-# and ALL 49 queries whose latest driver row is r8 (recomputed from
-# CORRECTNESS_r01–r11 by tools/rotation.py, strict criterion — never
-# trust an estimate). 1 + 49 = 50 exactly.
+# value-hash row; rows-only queries the weaker rows check). Round-13
+# rotation (the r12 verdict's "Next round" #1–#3, executed exactly):
+# this round's birth `core_formation` (same-round-window rule — the
+# pre-built lifecycle spin-up report, slot 1), the r13 re-gate
+# `truss_dissolution` (slot 2 — body and oracle swapped onto the
+# keyed dissolution kernel/builder, a proven no-op per the standing
+# identity-pin tests; its fresh row makes it r13-latest so the r14
+# pool shrinks back to 48), and ALL 48 queries whose latest driver
+# row is r9 (recomputed from CORRECTNESS_r01–r12 by
+# tools/rotation.py, strict criterion — never trust an estimate).
+# 2 + 48 = 50 exactly.
 #
-# CANARY RETIRED (r11 verdict, "Next round" #1): through r11 the
-# flagship `two_hop_candidates` held a dedicated every-round slot.
-# That duplicated coverage — `entry(spark)` smoke-runs the identical
-# registry callable every round regardless — and with 196 queries it
-# consumed the only birth capacity (196 + 4×canary = 200 of the 200
-# rows per 4-round cycle). From r12 the flagship rotates like every
-# other query (latest row r11 → due r15); flagship execution coverage
-# every round is preserved via entry(). Frees 3 window slots per
-# 4-round cycle for births; this round's slot funds the containment
-# birth above.
+# CANARY RETIRED (r11 verdict #1, executed r12): the flagship
+# `two_hop_candidates` rotates like every other query (latest row
+# r11 → due r15); flagship execution coverage every round is
+# preserved via entry(). This freed 3 window slots per 4-round cycle
+# for births; post-canary arithmetic at 198 registered: 200 rows per
+# cycle, demand 198 → 2 slots of churn per cycle (the r14
+# core_persistence birth takes it to 199; then HOLD — see NOTES
+# "Window capacity").
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
@@ -57,57 +59,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # spiral cannot recur.
 _PRIORITY: list[str] = [
     # -- born this round (same-round-window rule) --
-    "source_containment_minhash",  # X91: signature-only containment
-    # -- the 49 queries whose latest driver row is r8 (full pool) --
-    "account_features",
-    "ann_cosine_topk",
-    "ann_int8_topk",
-    "anomaly_scores_mahalanobis",
-    "asof_join_attribution",
-    "attention_routing_hashed",
-    "bucketed_degree_join",
-    "connected_components",
-    "connected_components_jump",
-    "connected_components_twostar",
-    "corpus_filter",
-    "corpus_token_budget",
-    "cube_events",
-    "date_functions",
-    "dedup_retention",
-    "degree_counts",
-    "filter_project",
-    "global_argmax",
-    "harmonic_centrality",
-    "heavy_pairs",
-    "intersect_except_users",
-    "json_props_extract",
-    "json_source_roundtrip",
-    "log_bin_means",
-    "media_features_hashed",
-    "media_frame_sample",
-    "media_pipeline_real",
-    "near_dup_levenshtein",
-    "near_dup_minhash_hashed",
-    "node_universe",
-    "orc_source_roundtrip",
-    "partition_pruned_scan",
-    "profit_by_nation_year",
-    "revenue_by_nation",
-    "rollup_orders",
-    "salted_user_totals",
-    "scalar_math",
-    "sketch_values_hashed",
-    "stream_dedup_exact",
-    "stream_user_sessions",
-    "stream_window_event_stats",
-    "text_normalize",
-    "two_hop_intermediaries",
-    "two_hop_salted",
-    "union_dedup",
-    "value_percentiles",
-    "weight_stats",
-    "window_event_stats",
-    "window_topk_accounts",
+    "core_formation",  # lifecycle spin-up mirror of k_core_dissolution
+    # -- re-gated this round (keyed-kernel swap; needs its fresh row) --
+    "truss_dissolution",
+    # -- the 48 queries whose latest driver row is r9 (full pool) --
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benford_digits",
+    "bpe_token_count",
+    "burst_detection",
+    "butterfly_counts_src",
+    "chisq_type_segment",
+    "clustering_coefficient",
+    "cohort_retention",
+    "containment_dedup",
+    "corpus_budget_quantile",
+    "dataset_split",
+    "degree_assortativity",
+    "edge_reciprocity",
+    "embedding_centroids",
+    "event_transitions",
+    "funnel_stages",
+    "grouping_sets_events",
+    "hashing_tf",
+    "k_core",
+    "latest_snapshot",
+    "media_features_arrow",
+    "negative_edge_sample",
+    "pivot_event_matrix",
+    "repetition_metrics",
+    "robust_zscore",
+    "rolling_active_users",
+    "sequence_packing",
+    "session_concurrency",
+    "source_overlap_matrix",
+    "source_overlap_minhash",
+    "stream_funnel_stages",
+    "stream_latest_snapshot",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_upsert_sink",
+    "stream_value_histogram",
+    "temporal_cycles",
+    "text_scrub",
+    "triangle_count",
+    "two_hop_flow",
+    "two_hop_temporal",
+    "type_entropy",
+    "unigram_logprob",
+    "value_histogram",
+    "window_function_suite",
 ]
 
 

@@ -2369,86 +2369,6 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "a", "b")
 
 
-def _truss_dissolution_sql() -> str:
-    """DuckDB twin of `q_truss_dissolution`: the windowed-truss oracle
-    as a CTE, anti-joined against itself one slide later — pure
-    composition, exactly like the Spark side. The observability bound
-    comes from the DATA's last window (arithmetic twin of the max
-    F.window start: the k=0 branch at MAX(ts)), NOT from the truss
-    output — r10 review: a truss-derived max would silently drop a
-    TOTAL collapse of the last truss-bearing window, the flagship
-    wind-down event."""
-    return f"""
-    WITH base AS ({_k_truss_windowed_oracle()}),
-    mx AS (SELECT make_timestamp((epoch_us(MAX(ts)) // {_WT_SLIDE_US})
-               * {_WT_SLIDE_US}) AS mx FROM events)
-    SELECT b.window_start, b.a, b.b, b.support
-    FROM base b, mx
-    WHERE b.window_start < mx.mx
-      AND NOT EXISTS (
-        SELECT 1 FROM base n
-        WHERE n.a = b.a AND n.b = b.b
-          AND n.window_start = b.window_start + INTERVAL '{WT_SLIDE}')
-    ORDER BY b.window_start, b.a, b.b
-    """
-
-
-@query("truss_dissolution", oracle=_truss_dissolution_sql())
-def q_truss_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truss dissolution events (X89, r10 — the r9 verdict's birth #4):
-    edges in window w's {K_TRUSS}-truss that are GONE from window
-    (w + slide)'s truss — the dissolution-event list an investigator
-    actually reads (a mutually-confirming ring that stops confirming is
-    the wind-down signal; `k_truss_windowed` shows each window's rings,
-    this shows the transitions). Output: (window_start, a, b, support)
-    — the dissolved edge with its last-seen in-truss support.
-
-    Semantics: an edge at w is dissolved iff w is strictly before the
-    DATA's last window (the max sliding-window start any event falls
-    in — later windows' dissolutions are unobservable: the data does
-    not cover a w + slide report) and (w + slide, a, b) is absent from
-    the truss. The bound deliberately comes from the EVENTS, not the
-    truss output (r10 review): a truss-derived max would exclude the
-    strongest signal the operator exists for — the last truss-bearing
-    window collapsing ENTIRELY, leaving empty trusses under later
-    data. Truss-empty successor windows need no special case:
-    absent-from-empty is absent, in both engines identically.
-
-    Scale shape: the truss is computed once and localCheckpoint'd here
-    (r10 review — the peel loop's own checkpoint covers the converged
-    path, but the budget-exhausted fallback returns an un-checkpointed
-    support recompute, and this query consumes the relation twice);
-    on top sit one events max aggregate reduced to a 1-row broadcast
-    cross join (parameter-sized, the `_rate_bias` global pattern) and
-    one equi anti-join on (window_start, a, b) over truss-sized
-    relations (the shift is a projection, not a join condition, so the
-    anti-join stays pure equi and AQE-plannable). The slide constant
-    feeds both engines from WT_SLIDE/_WT_SLIDE_US (the r9-review
-    probe-desync lesson)."""
-    from ..sources import edges as edges_src
-
-    t = q_k_truss_windowed(spark, sf_dir).localCheckpoint()
-    mx = (
-        edges_src(spark, sf_dir)
-        .select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
-        .agg(F.max("w").alias("mx"))
-    )
-    nxt = t.select(
-        (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
-            "window_start"
-        ),
-        "a",
-        "b",
-    )
-    return (
-        t.crossJoin(F.broadcast(mx))
-        .filter(F.col("window_start") < F.col("mx"))
-        .drop("mx")
-        .join(nxt, ["window_start", "a", "b"], "left_anti")
-        .orderBy("window_start", "a", "b")
-    )
-
-
 def k_core_peel(
     sym: DataFrame, core: DataFrame, k: int, keys: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -2638,11 +2558,12 @@ def _dissolution_sql(
     (the k=0 branch at MAX(ts)), NOT from the base output — the X89
     review lesson: a base-derived max would silently drop a TOTAL
     collapse of the last populated window, the flagship wind-down
-    event. `_truss_dissolution_sql` (registered to the out-of-window
-    X89) keeps its literal form this round; the oracle-generator test
-    pins this builder's ("a", "b") + ("support",) instance
-    whitespace-identical to it, so the r12+ re-gate swap is a no-op
-    (the r9 truss-kernel-unification safety check)."""
+    event. Both dissolution oracles delegate here since the r13
+    re-gate (`_truss_dissolution_sql` held a literal twin through r12;
+    the oracle-generator test pinned this builder's ("a", "b") +
+    ("support",) instance whitespace-identical to it, proving the swap
+    a no-op — the r9 truss-kernel-unification safety check, now
+    standing with the literal inlined in the test)."""
     sel = ", ".join(f"b.{c}" for c in ("window_start",) + keys + extra_cols)
     match = " AND ".join(f"n.{k} = b.{k}" for k in keys)
     order = ", ".join(f"b.{c}" for c in ("window_start",) + keys)
@@ -2727,10 +2648,11 @@ def dissolution(
     report's two consumers (the filter path and the shifted anti-join
     side) — without it each consumer replays `rel`'s final
     projection/sort, and for `q_truss_dissolution`'s budget-exhausted
-    truss path the full support recompute. `q_truss_dissolution`
-    (out-of-window this round) keeps its literal body; the r12+
-    re-gate should swap it onto `dissolution(t, e0, ("a", "b"))` —
-    the parity test on sf0.001 already pins the equivalence."""
+    truss path the full support recompute. Since the r13 re-gate BOTH
+    registered dissolution reports run through this kernel
+    (`q_truss_dissolution` as `dissolution(truss, e0, ("a", "b"))`);
+    the planted-K4 parity test pins the kernel form against the
+    former literal body, inlined there."""
     kl = list(keys)
     r = rel.localCheckpoint()
     mx = (
@@ -2762,6 +2684,61 @@ def core_dissolution(core: DataFrame, e0: DataFrame) -> DataFrame:
     return dissolution(core, e0, ("node",))
 
 
+def _truss_dissolution_sql() -> str:
+    """DuckDB twin of `q_truss_dissolution`: the windowed-truss oracle
+    through the keyed dissolution builder with the support column
+    carried — pure composition since the r13 re-gate. The literal SQL
+    this replaced was pinned whitespace-identical to exactly this
+    builder instance by the standing identity test through r12, so the
+    swap is a proven no-op; the test now holds the former literal
+    inline and pins it against this delegation (direction flipped),
+    keeping the drift guard alive."""
+    return _dissolution_sql(
+        _k_truss_windowed_oracle(), ("a", "b"), ("support",)
+    )
+
+
+@query("truss_dissolution", oracle=_truss_dissolution_sql())
+def q_truss_dissolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss dissolution events (X89, r10 — the r9 verdict's birth #4;
+    re-gated onto the keyed `dissolution` kernel r13 per the r12
+    verdict's slot #2): edges in window w's {K_TRUSS}-truss that are
+    GONE from window (w + slide)'s truss — the dissolution-event list
+    an investigator actually reads (a mutually-confirming ring that
+    stops confirming is the wind-down signal; `k_truss_windowed` shows
+    each window's rings, this shows the transitions). Output:
+    (window_start, a, b, support) — the dissolved edge with its
+    last-seen in-truss support.
+
+    Semantics: an edge at w is dissolved iff w is strictly before the
+    DATA's last window (the max sliding-window start any event falls
+    in — later windows' dissolutions are unobservable: the data does
+    not cover a w + slide report) and (w + slide, a, b) is absent from
+    the truss. The bound deliberately comes from the EVENTS, not the
+    truss output (r10 review): a truss-derived max would exclude the
+    strongest signal the operator exists for — the last truss-bearing
+    window collapsing ENTIRELY, leaving empty trusses under later
+    data. Truss-empty successor windows need no special case:
+    absent-from-empty is absent, in both engines identically.
+
+    Pure composition: `dissolution(truss, e0, ("a", "b"))` — support
+    flows through the anti-join untouched. The kernel keeps every
+    scale property the literal body had (it was extracted from it):
+    the truss localCheckpoint'd once (the budget-exhausted fallback
+    path replays a support recompute per consumer otherwise), one
+    events max aggregate reduced to a 1-row broadcast cross join,
+    one pure-equi anti-join on (window_start, a, b) (the slide shift
+    is a projection, not a join condition — AQE-plannable). The slide
+    constant feeds both engines from WT_SLIDE/_WT_SLIDE_US (the
+    r9-review probe-desync lesson). The r12 parity test planted a K4
+    collapse and pinned kernel ≡ literal on it; since the re-gate the
+    same test pins registered-kernel ≡ inlined-literal."""
+    from ..sources import edges as edges_src
+
+    e0 = edges_src(spark, sf_dir)
+    return dissolution(q_k_truss_windowed(spark, sf_dir), e0, ("a", "b"))
+
+
 def _formation_sql(
     base: str, keys: tuple[str, ...], extra_cols: tuple[str, ...] = ()
 ) -> str:
@@ -2771,8 +2748,7 @@ def _formation_sql(
     FIRST window (the min sliding-window start any event falls in —
     at the first window there is no predecessor report to compare
     against, the X89 observability lesson with the sign flipped).
-    Backs `core_formation` (pre-built end-r11; registration deferred
-    to a free window slot — NOTES "Window capacity")."""
+    Backs `core_formation` (pre-built end-r11, registered r13)."""
     sel = ", ".join(f"b.{c}" for c in ("window_start",) + keys + extra_cols)
     match = " AND ".join(f"n.{k} = b.{k}" for k in keys)
     order = ", ".join(f"b.{c}" for c in ("window_start",) + keys)
@@ -2833,10 +2809,11 @@ def _core_formation_sql() -> str:
     return _formation_sql(_k_core_windowed_oracle(), ("node",))
 
 
+@query("core_formation", oracle=_core_formation_sql())
 def core_formation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Core FORMATION events (pre-built end-r11; the r12+ birth
-    mirror of `k_core_dissolution` — registration deferred per the
-    window-capacity note): nodes in window w's {K_CORE_K}-core ABSENT
+    """Core FORMATION events (pre-built end-r11, registered r13 — the
+    r12 verdict's slot #1, the birth mirror of `k_core_dissolution`):
+    nodes in window w's {K_CORE_K}-core ABSENT
     from window (w − slide)'s core — the ring-assembly event list (a
     dense cell of accounts appearing where none existed is the
     laundering-ring SPIN-UP signal; the dissolution report shows the

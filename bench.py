@@ -96,6 +96,8 @@ HEADLINE = [
     "k_core_dissolution",     # graph: node-side wind-down event list
     # -- r12 birth (all 53 rows above UNCHANGED) --
     "source_containment_minhash",  # llm: signature-only containment (X91)
+    # -- r13 birth (all 54 rows above UNCHANGED) --
+    "core_formation",         # graph: node-side spin-up event list
 ]
 
 

@@ -49,40 +49,36 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round12_rotation_in_window():
-    """Round-12 rotation: the r12 birth (source_containment_minhash,
-    same-round-window rule) and ALL 49 queries whose latest driver row
-    is r8 (the pool recomputed from CORRECTNESS_r01-r11 by
-    tools/rotation.py, strict criterion). 1 + 49 = 50. The every-round
-    flagship canary is RETIRED this round (r11 verdict #1): entry()
-    smoke-runs the flagship regardless, and the dedicated slot was the
-    window-capacity bottleneck; two_hop_candidates now rotates like any
-    other query (latest row r11, due back r15)."""
+def test_round13_rotation_in_window():
+    """Round-13 rotation: the r13 birth (core_formation, same-round-
+    window rule), the r13 re-gate (truss_dissolution — keyed-kernel
+    swap needs its fresh driver row so it counts r13-latest), and ALL
+    48 queries whose latest driver row is r9 (the pool recomputed from
+    CORRECTNESS_r01-r12 by tools/rotation.py, strict criterion).
+    2 + 48 = 50."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the r12 birth
-        "source_containment_minhash",
-        # the 49 r8-latest queries
-        "account_features", "ann_cosine_topk", "ann_int8_topk",
-        "anomaly_scores_mahalanobis", "asof_join_attribution",
-        "attention_routing_hashed", "bucketed_degree_join",
-        "connected_components", "connected_components_jump",
-        "connected_components_twostar", "corpus_filter",
-        "corpus_token_budget", "cube_events", "date_functions",
-        "dedup_retention", "degree_counts", "filter_project",
-        "global_argmax", "harmonic_centrality", "heavy_pairs",
-        "intersect_except_users", "json_props_extract",
-        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
-        "media_frame_sample", "media_pipeline_real",
-        "near_dup_levenshtein", "near_dup_minhash_hashed", "node_universe",
-        "orc_source_roundtrip", "partition_pruned_scan",
-        "profit_by_nation_year", "revenue_by_nation", "rollup_orders",
-        "salted_user_totals", "scalar_math", "sketch_values_hashed",
-        "stream_dedup_exact", "stream_user_sessions",
-        "stream_window_event_stats", "text_normalize",
-        "two_hop_intermediaries", "two_hop_salted", "union_dedup",
-        "value_percentiles", "weight_stats", "window_event_stats",
-        "window_topk_accounts",
+        # the r13 birth + re-gate
+        "core_formation", "truss_dissolution",
+        # the 48 r9-latest queries
+        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
+        "benford_digits", "bpe_token_count", "burst_detection",
+        "butterfly_counts_src", "chisq_type_segment",
+        "clustering_coefficient", "cohort_retention", "containment_dedup",
+        "corpus_budget_quantile", "dataset_split", "degree_assortativity",
+        "edge_reciprocity", "embedding_centroids", "event_transitions",
+        "funnel_stages", "grouping_sets_events", "hashing_tf", "k_core",
+        "latest_snapshot", "media_features_arrow", "negative_edge_sample",
+        "pivot_event_matrix", "repetition_metrics", "robust_zscore",
+        "rolling_active_users", "sequence_packing", "session_concurrency",
+        "source_overlap_matrix", "source_overlap_minhash",
+        "stream_funnel_stages", "stream_latest_snapshot",
+        "stream_static_join", "stream_stream_join",
+        "stream_stream_left_join", "stream_upsert_sink",
+        "stream_value_histogram", "temporal_cycles", "text_scrub",
+        "triangle_count", "two_hop_flow", "two_hop_temporal",
+        "type_entropy", "unigram_logprob", "value_histogram",
+        "window_function_suite",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"

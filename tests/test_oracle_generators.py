@@ -296,40 +296,63 @@ class TestWindowedTrussRoundLimitFallback:
 
 
 class TestDissolutionBuilder:
-    def test_truss_form_is_identical_to_the_registered_literal(self):
-        """The keyed `_dissolution_sql` builder's ("a", "b") +
-        ("support",) instance must be whitespace-normalized IDENTICAL
-        to the literal `_truss_dissolution_sql()` registered to the
-        out-of-window X89 — the r9 truss-kernel-unification safety
-        check, standing: the r12+ re-gate swap is then provably a
-        no-op, and until it lands any drift between the builder and
-        the literal fails here instead of desynchronizing the two
-        dissolution oracles."""
+    def test_truss_form_is_identical_to_the_former_literal(self):
+        """Direction-flipped r13 re-gate guard: through r12 the
+        registered truss oracle was a LITERAL SQL string and this test
+        pinned the keyed `_dissolution_sql` builder's ("a", "b") +
+        ("support",) instance whitespace-identical to it, proving the
+        re-gate a no-op. Since the re-gate the registration delegates
+        to the builder, so the former literal lives HERE instead — any
+        drift in the builder (or in the windowed-truss base/slide
+        constants it splices) now fails against the frozen literal
+        form rather than silently changing the registered oracle."""
         from autoaudit_spark.operators.graph import (
-            _dissolution_sql,
+            _WT_SLIDE_US,
+            WT_SLIDE,
             _k_truss_windowed_oracle,
             _truss_dissolution_sql,
         )
+        from autoaudit_spark.registry import ORACLES
 
-        built = _dissolution_sql(
-            _k_truss_windowed_oracle(), ("a", "b"), ("support",)
+        literal = f"""
+        WITH base AS ({_k_truss_windowed_oracle()}),
+        mx AS (SELECT make_timestamp((epoch_us(MAX(ts)) // {_WT_SLIDE_US})
+                   * {_WT_SLIDE_US}) AS mx FROM events)
+        SELECT b.window_start, b.a, b.b, b.support
+        FROM base b, mx
+        WHERE b.window_start < mx.mx
+          AND NOT EXISTS (
+            SELECT 1 FROM base n
+            WHERE n.a = b.a AND n.b = b.b
+              AND n.window_start = b.window_start + INTERVAL '{WT_SLIDE}')
+        ORDER BY b.window_start, b.a, b.b
+        """
+        assert " ".join(literal.split()) == " ".join(
+            _truss_dissolution_sql().split()
         )
-        assert " ".join(built.split()) == " ".join(
+        # and the REGISTERED oracle is exactly the builder instance
+        assert ORACLES["truss_dissolution"] == " ".join(
             _truss_dissolution_sql().split()
         )
 
-    def test_truss_dissolution_spark_parity_with_keyed_kernel(
+    def test_truss_dissolution_spark_parity_with_former_literal(
         self, spark, tmp_path
     ):
-        """The keyed `dissolution` kernel applied to the windowed truss
-        must return exactly the registered `truss_dissolution` rows —
-        pinned on a fixture with a planted dissolve so the parity is
-        nonvacuous (the Spark-side half of the re-gate no-op proof)."""
+        """Direction-flipped r13 re-gate guard (Spark side): through
+        r12 the registered body was a literal plan and this test
+        pinned `dissolution(truss, e0, ("a", "b"))` equal to it on a
+        planted-K4-collapse fixture. Since the re-gate the
+        registration IS the kernel call, so the former literal body is
+        built inline here and pinned against the registered rows —
+        same nonvacuous equivalence, drift guard preserved."""
         import datetime as dt
+
+        from pyspark.sql import functions as F
 
         from autoaudit_spark.operators.graph import (
             _WT_SLIDE_US,
-            dissolution,
+            WT_SLIDE,
+            WT_WINDOW,
             q_k_truss_windowed,
         )
         from autoaudit_spark.registry import QUERIES
@@ -363,14 +386,31 @@ class TestDissolutionBuilder:
             (r["window_start"], r["a"], r["b"], r["support"])
             for r in QUERIES["truss_dissolution"](spark, d).collect()
         )
-        e0 = edges_src(spark, d)
-        kern = sorted(
+        # the former literal body, verbatim (pre-r13 registration)
+        t_lit = q_k_truss_windowed(spark, d).localCheckpoint()
+        mx = (
+            edges_src(spark, d)
+            .select(F.window("ts", WT_WINDOW, WT_SLIDE)["start"].alias("w"))
+            .agg(F.max("w").alias("mx"))
+        )
+        nxt = t_lit.select(
+            (F.col("window_start") - F.expr(f"INTERVAL {WT_SLIDE}")).alias(
+                "window_start"
+            ),
+            "a",
+            "b",
+        )
+        lit = sorted(
             (r["window_start"], r["a"], r["b"], r["support"])
-            for r in dissolution(
-                q_k_truss_windowed(spark, d), e0, ("a", "b")
+            for r in (
+                t_lit.crossJoin(F.broadcast(mx))
+                .filter(F.col("window_start") < F.col("mx"))
+                .drop("mx")
+                .join(nxt, ["window_start", "a", "b"], "left_anti")
+                .orderBy("window_start", "a", "b")
             ).collect()
         )
-        assert kern == reg
+        assert lit == reg
         assert reg, "fixture must plant a nonvacuous dissolution"
 
 

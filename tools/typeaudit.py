@@ -64,7 +64,8 @@ def _prebuilt_pairs():
     from autoaudit_spark.operators import graph as g
 
     return {
-        "core_formation": (g.core_formation, g._core_formation_sql),
+        # core_formation graduated to the registry r13 (audited on the
+        # default path now); the three below remain banked pre-builds
         "core_persistence": (g.core_persistence, g._core_persistence_sql),
         "truss_formation": (g.truss_formation, g._truss_formation_sql),
         "truss_persistence": (g.truss_persistence, g._truss_persistence_sql),
@@ -92,6 +93,12 @@ def main() -> int:
         ]
     bad = 0
     for name in names:
+        if pairs is not None and name not in pairs:
+            # explicit name outside the prebuilt dict (r12 ADVICE):
+            # report cleanly instead of crashing the whole audit
+            print(f"ERR  {name}: not a prebuilt pair")
+            bad += 1
+            continue
         sql = pairs[name][1] if pairs else registry.ORACLES.get(name)
         if sql is None:
             print(f"skip {name}: rows-only")
