@@ -1,0 +1,150 @@
+"""Window-count scale probe for the windowed lifecycle family.
+
+Reproduces (and makes repeatable) the ad-hoc r10–r12 probe recipe: N
+time-shifted copies of a scale factor's events — +70 days per copy
+(5 slides of the 28d/14d grid, so every copy's windows are disjoint)
+with unique, mod-150-preserving event ids (edges derive dst from
+event_id % 150, so the per-copy graph content is identical) — then a
+registered query timed at 1x and Nx in the same warm session.
+
+The lifecycle reports have sharp expected arithmetic under this
+transform (BASELINE r11/r12 probes):
+
+- persistence: NO observability crop and disjoint copies cannot merge
+  runs -> the Nx report must be EXACTLY N shifted copies of the 1x
+  report (--verify checks the shift-back multiset identity).
+- formation: the MIN-bound crop removes rows only AT the data's first
+  window; on data whose first window holds no report rows (true for
+  the k-core at sf0.1) the crop is vacuous and the Nx report is again
+  EXACTLY N shifted copies (--verify applies).
+- dissolution: the MAX-bound makes copies 1..N-1's final populated
+  windows newly-observable total collapses, so rows EXCEED Nx by
+  exactly those finals (BASELINE r11's k_core_dissolution arithmetic:
+  8x2 windows + 7 finals = 23) — run WITHOUT --verify and read the
+  excess against the final-window population.
+
+Usage:
+    python tools/scaleprobe.py [sf_dir] QUERY [--copies N] [--verify]
+
+--verify sorts the Nx rows after shifting window_start back by each
+copy's offset and compares the multiset against N copies of the 1x
+rows (requires the query to expose a window_start column).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from autoaudit_spark import registry
+from autoaudit_spark.session import get_spark
+from autoaudit_spark.sources import load_table
+
+SHIFT_DAYS = 70  # 5 slides of 14d — copies' 28d windows stay disjoint
+
+
+def build_shifted(spark, sf_dir: str, out_dir: str, copies: int) -> None:
+    ev = load_table(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    # unique ids, event_id % 150 preserved (dst = event_id % 150)
+    off = ((max_id // 150) + 1) * 150
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * off)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k * SHIFT_DAYS} DAYS")).alias(
+                "ts"
+            ),
+            *[c for c in ev.columns if c not in ("event_id", "ts")],
+        )
+        for k in range(copies)
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    verify = "--verify" in args
+    args = [a for a in args if a != "--verify"]
+    copies = 8
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
+    names = [a for a in args if "/" not in a]
+    if not names:
+        print("usage: scaleprobe.py [sf_dir] QUERY [--copies N] [--verify]")
+        return 2
+
+    spark = get_spark("scaleprobe")
+    tmp = tempfile.mkdtemp(prefix="scaleprobe_")
+    try:
+        build_shifted(spark, sf_dir, tmp, copies)
+        rc = 0
+        for name in names:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                print(f"ERR  {name}: not registered")
+                rc = 1
+                continue
+            t0 = time.monotonic()
+            rows1 = fn(spark, sf_dir).collect()
+            w1 = time.monotonic() - t0
+            t0 = time.monotonic()
+            rows_n = fn(spark, tmp).collect()
+            wn = time.monotonic() - t0
+            print(
+                f"{name}: 1x {len(rows1)} rows in {w1:.1f}s | "
+                f"{copies}x {len(rows_n)} rows in {wn:.1f}s "
+                f"(rows ratio {len(rows_n) / max(len(rows1), 1):.2f}, "
+                f"wall ratio {wn / w1:.2f})"
+            )
+            if verify:
+                import datetime as dt
+
+                shift = dt.timedelta(days=SHIFT_DAYS)
+                want = sorted(
+                    tuple(r) for k in range(copies) for r in (
+                        (r0["window_start"] + k * shift,)
+                        + tuple(
+                            r0[c] for c in rows1[0].__fields__
+                            if c != "window_start"
+                        )
+                        for r0 in rows1
+                    )
+                ) if rows1 else []
+                got = sorted(
+                    (r["window_start"],)
+                    + tuple(
+                        r[c] for c in rows_n[0].__fields__
+                        if c != "window_start"
+                    )
+                    for r in rows_n
+                ) if rows_n else []
+                ok = want == got and bool(want)
+                print(
+                    f"  shift-back identity: "
+                    f"{'EXACT' if ok else 'MISMATCH (or empty)'}"
+                )
+                if not ok:
+                    rc = 1
+        return rc
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    registry.load_all()
+    sys.exit(main())
