@@ -81,3 +81,25 @@ class TestPredictGuard:
         latest = {"real_query": 7, "other": 8}
         assert unknown_priority(["real_query", "typod"], latest) == ["typod"]
         assert unknown_priority(["real_query", "other"], latest) == []
+
+
+class TestFillPool:
+    def test_fill_takes_next_stalest_by_round_then_name(self):
+        from rotation import fill_pool
+
+        latest = {"a": 9, "b": 9, "c": 10, "d": 11, "e": 10}
+        # pool (<=9) has 2 names; fill to 4 -> the two r10 names, by name
+        assert fill_pool(latest, 9, 4) == ["c", "e"]
+
+    def test_fill_is_empty_when_pool_already_covers_want(self):
+        from rotation import fill_pool
+
+        latest = {"a": 9, "b": 9, "c": 10}
+        assert fill_pool(latest, 9, 2) == []
+        assert fill_pool(latest, 9, 1) == []
+
+    def test_fill_orders_rounds_before_names(self):
+        from rotation import fill_pool
+
+        latest = {"a": 9, "z_old": 10, "a_new": 11}
+        assert fill_pool(latest, 9, 3) == ["z_old", "a_new"]

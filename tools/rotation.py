@@ -26,6 +26,13 @@ Usage: python tools/rotation.py [--max-round N] [--predict]
     CORRECTNESS_rN comes back green, the rN+1 pool is ..."), which r10
     still derived by hand; if the driver run later disagrees, the
     normal (non-predict) recount at round start is authoritative.
+
+    --fill N (r13): when the stalest pool is smaller than the window,
+    also print the next-stalest queries (ascending latest round, then
+    name) up to N names total — the standardized choice for spare
+    window slots (pulling a query one round early is always safe: it
+    just becomes freshest). Births are NOT in this list; they take
+    their slots by the same-round-window rule.
 """
 
 from __future__ import annotations
@@ -62,6 +69,21 @@ def unknown_priority(
     them (r10 ADVICE: the pre-r11 silent skip produced an optimistic
     pool when the tool ran standalone)."""
     return [q for q in priority if q not in latest]
+
+
+def fill_pool(
+    latest: dict[str, int], cut: int, want: int
+) -> list[str]:
+    """The next-stalest queries (ascending latest round, then name)
+    beyond the <=cut pool, enough to grow it to `want` names — the
+    standardized spare-slot choice (pulling early is always safe: the
+    pulled query just becomes freshest)."""
+    pool_n = sum(1 for r in latest.values() if r <= cut)
+    rest = sorted(
+        (q for q, r in latest.items() if r > cut),
+        key=lambda q: (latest[q], q),
+    )
+    return rest[: max(0, want - pool_n)]
 
 
 def latest_rounds(repo_root: str) -> dict[str, int]:
@@ -132,8 +154,15 @@ def main() -> None:
     print(f"\npool (latest round <= {cut}): {len(pool)} queries")
     for q in pool:
         print(f"  {q}  (r{latest[q]})")
+    fill: list[str] = []
+    if "--fill" in args:
+        want = int(args[args.index("--fill") + 1])
+        fill = fill_pool(latest, cut, want)
+        print(f"\nfill to {want} (next-stalest, pull-early-is-safe):")
+        for q in fill:
+            print(f"  {q}  (r{latest[q]})")
     print("\n# ready-to-paste _PRIORITY block:")
-    for q in pool:
+    for q in pool + fill:
         print(f'    "{q}",')
 
 
