@@ -25,10 +25,17 @@ transform (BASELINE r11/r12 probes):
 
 Usage:
     python tools/scaleprobe.py [sf_dir] QUERY [--copies N] [--verify]
+                               [--prebuilt]
 
 --verify sorts the Nx rows after shifting window_start back by each
 copy's offset and compares the multiset against N copies of the 1x
-rows (requires the query to expose a window_start column).
+rows (requires the query to expose a window_start column). For the
+persistence reports there is no window_start; --verify instead shifts
+run_start/run_end back per copy, the same identity.
+
+--prebuilt resolves names from typeaudit's banked unregistered pairs
+(the NOTES "Window capacity" queue) instead of the registry — probe a
+birth candidate BEFORE spending its window slot.
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
@@ -76,7 +84,8 @@ def build_shifted(spark, sf_dir: str, out_dir: str, copies: int) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     verify = "--verify" in args
-    args = [a for a in args if a != "--verify"]
+    prebuilt = "--prebuilt" in args
+    args = [a for a in args if a not in ("--verify", "--prebuilt")]
     copies = 8
     if "--copies" in args:
         i = args.index("--copies")
@@ -89,14 +98,20 @@ def main() -> int:
         return 2
 
     spark = get_spark("scaleprobe")
+    fns = dict(registry.QUERIES)
+    if prebuilt:
+        from typeaudit import _prebuilt_pairs
+
+        fns = {n: fn for n, (fn, _mk) in _prebuilt_pairs().items()}
     tmp = tempfile.mkdtemp(prefix="scaleprobe_")
     try:
         build_shifted(spark, sf_dir, tmp, copies)
         rc = 0
         for name in names:
-            fn = registry.QUERIES.get(name)
+            fn = fns.get(name)
             if fn is None:
-                print(f"ERR  {name}: not registered")
+                kind = "a prebuilt pair" if prebuilt else "registered"
+                print(f"ERR  {name}: not {kind}")
                 rc = 1
                 continue
             t0 = time.monotonic()
@@ -114,25 +129,26 @@ def main() -> int:
             if verify:
                 import datetime as dt
 
+                # shift EVERY timestamp column back — covers both the
+                # window_start family and the persistence reports'
+                # (run_start, run_end) without naming columns
                 shift = dt.timedelta(days=SHIFT_DAYS)
+                cols = list(rows1[0].__fields__) if rows1 else []
+                ts_cols = {
+                    c for c in cols
+                    if isinstance(rows1[0][c], dt.datetime)
+                } if rows1 else set()
                 want = sorted(
-                    tuple(r) for k in range(copies) for r in (
-                        (r0["window_start"] + k * shift,)
-                        + tuple(
-                            r0[c] for c in rows1[0].__fields__
-                            if c != "window_start"
-                        )
-                        for r0 in rows1
+                    tuple(
+                        r0[c] + k * shift if c in ts_cols else r0[c]
+                        for c in cols
                     )
-                ) if rows1 else []
+                    for k in range(copies)
+                    for r0 in rows1
+                )
                 got = sorted(
-                    (r["window_start"],)
-                    + tuple(
-                        r[c] for c in rows_n[0].__fields__
-                        if c != "window_start"
-                    )
-                    for r in rows_n
-                ) if rows_n else []
+                    tuple(r[c] for c in cols) for r in rows_n
+                ) if rows1 else []
                 ok = want == got and bool(want)
                 print(
                     f"  shift-back identity: "
