@@ -915,6 +915,148 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(adjacency(spark, sf_dir)).orderBy("node")
 
 
+#: HyperBall sketch parameters (banked approximate-centrality path):
+#: m = 64 registers (p = 6; HLL std error 1.04/sqrt(64) ~ 13%),
+#: rank capped at 24 (register hash < 2^30 so trailing-zero runs
+#: never reach the cap on real ids; the cap bounds the CASE chain).
+HB_M = 64
+HB_RANK_CAP = 24
+#: alpha_64 from Flajolet et al. 2007 (the m=64 bias constant)
+HB_ALPHA = 0.709
+_HB_SEED1 = 11
+_HB_SEED2 = 97
+
+
+def _hb_init_exprs(node):
+    """(idx, rank) register derivation from a node id via the repo's
+    portable arithmetic hash (`(x % 1000003) * 2654435761 % P` — the
+    negative-sample/attention-routing pattern: int64-safe in Spark,
+    DuckDB, and Python alike, so the property tests replicate the
+    registers BITWISE). rank = trailing zero bits of a second hash
+    + 1, as a pinned CASE chain (pure integer — no float, no log)."""
+    h1 = ((node % 1000003) * 2654435761 + _HB_SEED1) % 1000000007
+    idx = h1 % HB_M
+    h2 = (h1 * 2654435761 + _HB_SEED2) % 1000000007
+    rank = F.when(h2 == 0, HB_RANK_CAP)
+    for r in range(1, HB_RANK_CAP):
+        rank = rank.when(h2 % (2 ** r) == 2 ** (r - 1), r)
+    rank = rank.otherwise(HB_RANK_CAP)
+    return idx, rank
+
+
+def hyperball_registers(
+    adj: DataFrame, depth: int = HARMONIC_DEPTH
+) -> list[DataFrame]:
+    """HyperBall register propagation (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013): each
+    node holds an m-register HLL sketch of its ball; one round merges
+    every neighbor's sketch by element-wise max, so after d rounds the
+    sketch is EXACTLY the HLL of ball_d(v)'s membership (max is
+    associative/commutative/idempotent — revisits are free, which is
+    the whole trick). Returns the per-depth sketch DataFrames
+    (node, h0..h63) for d = 1..depth.
+
+    This is the 100 TB path the exact `harmonic_centrality` documents
+    as its eventual approximation: the exact kernel's `seen` set is
+    Sigma |ball_D(v)| PAIRS (quadratic through hubs), while this state
+    is N x m INTEGERS regardless of ball size, and each round is the
+    pagerank plan shape — one equi-join contribution expansion + one
+    grouped aggregation (64 max() columns, all whole-stage codegen),
+    nothing else. Registers are pure integers derived from the
+    portable hash, so cross-engine/Python replication is bitwise.
+
+    Banked capability (r13): NOT registered — the exact X81 report is
+    the oracle-checked surface; this kernel is the measured scale
+    escape hatch, pinned by bitwise property tests instead (the
+    truss_formation/persistence pattern)."""
+    regs = [f"h{j}" for j in range(HB_M)]
+    und = undirected_simple(adj)
+    nbr = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    idx, rank = _hb_init_exprs(F.col("node"))
+    sk = node_universe(adj).select(
+        "node",
+        *[
+            F.when(idx == j, rank).otherwise(0).cast("int").alias(f"h{j}")
+            for j in range(HB_M)
+        ],
+    ).localCheckpoint()
+    out: list[DataFrame] = []
+    for _ in range(depth):
+        contrib = sk.join(nbr, sk.node == nbr.u).select(
+            F.col("v").alias("node"), *regs
+        )
+        sk = (
+            contrib.unionByName(sk.select("node", *regs))
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in regs])
+            .localCheckpoint()
+        )
+        out.append(sk)
+    nbr.unpersist()
+    return out
+
+
+def _hb_estimate(sk: DataFrame, est_col: str) -> DataFrame:
+    """HLL cardinality estimate from a register sketch: raw =
+    alpha_m * m^2 / Sigma 2^-r_j with the standard linear-counting
+    small-range correction (E <= 2.5m and zero registers present ->
+    m * ln(m / V)). The 2^-r_j terms and their 64-term sum are exact
+    dyadic doubles (common denominator 2^-24, numerator < 2^53), so
+    only the final division/ln are rounding steps — documented float
+    output, property-tested at 1e-12 relative (ln ulps differ across
+    runtimes; the registers underneath are bitwise)."""
+    s = F.pow(F.lit(0.5), F.col("h0"))
+    v = F.when(F.col("h0") == 0, 1).otherwise(0)
+    for j in range(1, HB_M):
+        s = s + F.pow(F.lit(0.5), F.col(f"h{j}"))
+        v = v + F.when(F.col(f"h{j}") == 0, 1).otherwise(0)
+    raw = F.lit(HB_ALPHA) * F.lit(float(HB_M * HB_M)) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HB_M)) & (v > 0),
+        F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return sk.select("node", est.alias(est_col))
+
+
+def hyperball_harmonic(
+    adj: DataFrame, depth: int = HARMONIC_DEPTH
+) -> DataFrame:
+    """Approximate bounded-depth harmonic centrality via HyperBall
+    (banked, unregistered — the exact X81 is the checked surface):
+    H_D(v) ~ Sigma_d (|ball_d| - |ball_{d-1}|) / d with |ball_0| = 1
+    exact and |ball_d| the per-depth HLL estimates. Estimate noise can
+    make a shell difference negative (documented HyperBall behavior at
+    m = 64); consumers ranking by the score are insensitive to it.
+    Output: (node, est1..estD ball-size estimates, harmonic_est).
+    Adjacency-level like `harmonic_centrality(adj)`, so the skew probe
+    can drive both kernels over the same planted-hub graph."""
+    sketches = hyperball_registers(adj, depth)
+    out = None
+    for d, sk in enumerate(sketches, start=1):
+        est = _hb_estimate(sk, f"est{d}")
+        out = est if out is None else out.join(est, "node")
+    h = (F.col("est1") - F.lit(1.0)) / F.lit(1.0)
+    for d in range(2, depth + 1):
+        h = h + (F.col(f"est{d}") - F.col(f"est{d - 1}")) / F.lit(float(d))
+    return out.select(
+        "node",
+        *[f"est{d}" for d in range(1, depth + 1)],
+        h.alias("harmonic_est"),
+    ).orderBy("node")
+
+
+def harmonic_centrality_hyperball(
+    spark: SparkSession, sf_dir: str, depth: int = HARMONIC_DEPTH
+) -> DataFrame:
+    """`hyperball_harmonic` over the derived adjacency — the sf-dir
+    composition matching `q_harmonic_centrality`'s input."""
+    return hyperball_harmonic(adjacency(spark, sf_dir), depth)
+
+
 @query(
     "triangle_count",
     oracle=f"""

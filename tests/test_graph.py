@@ -1444,3 +1444,37 @@ class TestHarmonicCentrality:
         adj = spark.createDataFrame([(0, 1)], "src long, dst long")
         with pytest.raises(ValueError, match="depth"):
             harmonic_centrality(adj, depth=0)
+
+
+class TestHyperballQuality:
+    def test_ball_estimates_track_exact_on_real_data(self, spark, sf_root):
+        """The banked HyperBall path vs the exact X81 kernel on real
+        sf0.001 edges: same node universe, and the depth-3 ball-size
+        estimate lands within HLL's m=64 accuracy class (std error
+        ~13%; measured 7.9% uniformly here — every depth-3 ball is the
+        whole 150-node component, so the sketch estimate is shared).
+        The bitwise register/estimate semantics live in the hypothesis
+        property tests; this pins the end-to-end quality claim."""
+        import statistics
+
+        from autoaudit_spark.operators.graph import (
+            adjacency,
+            harmonic_centrality,
+            harmonic_centrality_hyperball,
+        )
+
+        sf = f"{sf_root}/sf0.001"
+        approx = {
+            r["node"]: r["est3"]
+            for r in harmonic_centrality_hyperball(spark, sf).collect()
+        }
+        exact = {
+            r["node"]: 1 + r["n1"] + r["n2"] + r["n3"]
+            for r in harmonic_centrality(adjacency(spark, sf)).collect()
+        }
+        assert set(approx) == set(exact)
+        rel = [
+            abs(approx[n] - exact[n]) / exact[n] for n in exact
+        ]
+        assert statistics.median(rel) < 0.2
+        assert max(rel) < 0.4

@@ -846,3 +846,140 @@ class TestPersistenceKernelProperty:
             for r in persistence(rel, ("node",)).collect()
         ]
         assert got == expect
+
+
+class TestHyperballProperty:
+    """The banked HyperBall kernel (r13): registers are pure integers
+    from the portable hash, so the replication is BITWISE — the round-d
+    sketch must equal the HLL of the EXACT ball_d membership
+    (element-wise max over members' init registers), because max-merge
+    propagation is idempotent over revisits. The float estimate layer
+    replicates at 1e-12 relative (ln/div ulps differ across runtimes;
+    everything beneath them is exact dyadic arithmetic)."""
+
+    @staticmethod
+    def _init_regs(v):
+        from autoaudit_spark.operators.graph import (
+            HB_M,
+            HB_RANK_CAP,
+            _HB_SEED1,
+            _HB_SEED2,
+        )
+
+        h1 = ((v % 1000003) * 2654435761 + _HB_SEED1) % 1000000007
+        idx = h1 % HB_M
+        h2 = (h1 * 2654435761 + _HB_SEED2) % 1000000007
+        if h2 == 0:
+            rank = HB_RANK_CAP
+        else:
+            ntz = (h2 & -h2).bit_length() - 1
+            rank = min(ntz + 1, HB_RANK_CAP)
+        regs = [0] * HB_M
+        regs[idx] = rank
+        return regs
+
+    @staticmethod
+    def _balls(pairs, depth):
+        und = {
+            (min(a, b), max(a, b))
+            for (a, b, _) in pairs
+            if a != b
+        }
+        nodes = {n for (a, b, _) in pairs for n in (a, b)}
+        neigh: dict[int, set[int]] = {n: set() for n in nodes}
+        for a, b in und:
+            neigh[a].add(b)
+            neigh[b].add(a)
+        balls = {}
+        for v in nodes:
+            ball = {v}
+            frontier = {v}
+            per_depth = []
+            for _ in range(depth):
+                frontier = {
+                    w for u in frontier for w in neigh[u]
+                } - ball
+                ball |= frontier
+                per_depth.append(set(ball))
+            balls[v] = per_depth
+        return balls
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_registers_equal_hll_of_exact_balls(
+        self, spark, tmp_path, pairs
+    ):
+        from autoaudit_spark.operators.graph import (
+            HB_M,
+            adjacency,
+            hyperball_registers,
+        )
+
+        d = _events_dir(spark, tmp_path, pairs)
+        sketches = hyperball_registers(adjacency(spark, d), depth=3)
+        balls = self._balls(pairs, 3)
+        for depth_i, sk in enumerate(sketches):
+            got = {
+                r["node"]: [r[f"h{j}"] for j in range(HB_M)]
+                for r in sk.collect()
+            }
+            want = {
+                v: [
+                    max(self._init_regs(u)[j] for u in per_depth[depth_i])
+                    for j in range(HB_M)
+                ]
+                for v, per_depth in balls.items()
+            }
+            assert got == want
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(pairs=edge_list)
+    def test_estimates_replicate_within_float_tolerance(
+        self, spark, tmp_path, pairs
+    ):
+        import math
+
+        from autoaudit_spark.operators.graph import (
+            HB_ALPHA,
+            HB_M,
+            harmonic_centrality_hyperball,
+        )
+
+        d = _events_dir(spark, tmp_path, pairs)
+        if not any(a != b for (a, b, _) in pairs):
+            return  # empty simple graph -> empty report, nothing to pin
+        got = {
+            r["node"]: (r["est1"], r["est2"], r["est3"], r["harmonic_est"])
+            for r in harmonic_centrality_hyperball(spark, d).collect()
+        }
+        balls = self._balls(pairs, 3)
+
+        def est(members):
+            regs = [
+                max(self._init_regs(u)[j] for u in members)
+                for j in range(HB_M)
+            ]
+            s = 0.0
+            for r in regs:
+                s += 0.5 ** r
+            v = sum(1 for r in regs if r == 0)
+            raw = HB_ALPHA * (HB_M * HB_M) / s
+            if raw <= 2.5 * HB_M and v > 0:
+                return HB_M * math.log(HB_M / v)
+            return raw
+
+        for node, per_depth in balls.items():
+            e1, e2, e3 = (est(m) for m in per_depth)
+            h = (e1 - 1.0) / 1.0 + (e2 - e1) / 2.0 + (e3 - e2) / 3.0
+            for want, have in zip((e1, e2, e3, h), got[node]):
+                assert abs(want - have) <= 1e-12 * max(
+                    abs(want), abs(have), 1.0
+                )

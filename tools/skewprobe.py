@@ -18,10 +18,12 @@ deterministic and engine-comparable — byte sizes scale linearly).
 Verifies the two forms agree bit-identically on the skewed fixture, then
 prints ONE JSON line for BASELINE.md.
 
-Usage: python tools/skewprobe.py [sf_dir] [butterfly|harmonic|wtruss|bfw]
+Usage: python tools/skewprobe.py [sf_dir]
+                                 [butterfly|harmonic|hyperball|wtruss|bfw]
 (second arg selects a single probe: the butterfly wedge, the harmonic
-expansion, the windowed-truss subadditivity probe, or the
-windowed-butterfly hot-key split probe)
+expansion, the exact-vs-HyperBall harmonic state/wall comparison, the
+windowed-truss subadditivity probe, or the windowed-butterfly hot-key
+split probe)
 """
 
 from __future__ import annotations
@@ -237,6 +239,53 @@ def harmonic_probe(spark, sf_dir: str) -> dict:
         "round2_expansion_work_per_task": hist,
         "wall_sec": {"aqe_default": t_aqe},
         "result_rows": n_out,
+    }
+
+
+def hyperball_probe(spark, sf_dir: str) -> dict:
+    """r13: exact-vs-HyperBall harmonic on the SAME planted-hub graph
+    the r8 harmonic probe uses. The exact kernel's per-round state is
+    the (s, c) seen-pair set — Sigma |ball_D(v)|, quadratic through a
+    hub (ball_2 of every hub neighbor contains every other neighbor) —
+    while the sketch state is N x 64 integers no matter what the balls
+    do. This probe measures both walls and reports the exact kernel's
+    materialized seen-pair count next to the sketch's register count:
+    the state ratio is the 100 TB argument, the walls are the
+    this-box evidence."""
+    from autoaudit_spark.operators.graph import (
+        HB_M,
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    adj = hub_skewed_adjacency(adjacency(spark, sf_dir)).persist()
+    n_edges = adj.count()
+
+    t0 = time.monotonic()
+    exact = harmonic_centrality(adj)
+    exact.write.format("noop").mode("overwrite").save()
+    t_exact = round(time.monotonic() - t0, 2)
+    # Sigma |ball_D(v)| incl. self — the exact kernel's seen-set size
+    seen_pairs = exact.select(
+        F.sum(
+            F.lit(1) + F.col("n1") + F.col("n2") + F.col("n3")
+        ).alias("p")
+    ).collect()[0]["p"]
+
+    t0 = time.monotonic()
+    approx = hyperball_harmonic(adj)
+    approx.write.format("noop").mode("overwrite").save()
+    t_hb = round(time.monotonic() - t0, 2)
+    n_nodes = approx.count()
+    adj.unpersist()
+    return {
+        "metric": "hyperball_vs_exact_harmonic_probe",
+        "sf_dir": sf_dir,
+        "edges": n_edges,
+        "wall_sec": {"exact": t_exact, "hyperball": t_hb},
+        "exact_seen_pairs": int(seen_pairs),
+        "sketch_ints": int(n_nodes) * HB_M,
+        "result_rows": int(n_nodes),
     }
 
 
@@ -735,6 +784,9 @@ def main() -> None:
         return
     if only == "harmonic":
         print(json.dumps(harmonic_probe(spark, sf_dir)))
+        return
+    if only == "hyperball":
+        print(json.dumps(hyperball_probe(spark, sf_dir)))
         return
     if only == "wtruss":
         print(json.dumps(wtruss_probe(spark, sf_dir)))
