@@ -32,26 +32,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-13
-# rotation (the r12 verdict's "Next round" #1–#3, executed exactly):
-# this round's birth `core_formation` (same-round-window rule — the
-# pre-built lifecycle spin-up report, slot 1), the r13 re-gate
-# `truss_dissolution` (slot 2 — body and oracle swapped onto the
-# keyed dissolution kernel/builder, a proven no-op per the standing
-# identity-pin tests; its fresh row makes it r13-latest so the r14
-# pool shrinks back to 48), and ALL 48 queries whose latest driver
-# row is r9 (recomputed from CORRECTNESS_r01–r12 by
-# tools/rotation.py, strict criterion — never trust an estimate).
-# 2 + 48 = 50 exactly.
+# value-hash row; rows-only queries the weaker rows check). Round-14
+# rotation (the r13 verdict's "Next round" #1–#2, executed exactly):
+# this round's birth `core_persistence` (same-round-window rule —
+# the pre-built lifecycle tenure report completing the formation /
+# dissolution / persistence triple, slot 1), ALL 48 queries whose
+# latest driver row is r10 (recomputed from CORRECTNESS_r01–r13 by
+# tools/rotation.py, strict criterion — never trust an estimate),
+# and the `--fill 1` spare-slot answer `account_succession` (first
+# r11-latest, pulled one round early — always safe, it just becomes
+# freshest). 1 + 48 + 1 = 50 exactly.
 #
 # CANARY RETIRED (r11 verdict #1, executed r12): the flagship
 # `two_hop_candidates` rotates like every other query (latest row
 # r11 → due r15); flagship execution coverage every round is
 # preserved via entry(). This freed 3 window slots per 4-round cycle
-# for births; post-canary arithmetic at 198 registered: 200 rows per
-# cycle, demand 198 → 2 slots of churn per cycle (the r14
-# core_persistence birth takes it to 199; then HOLD — see NOTES
-# "Window capacity").
+# for births; post-canary arithmetic at 199 registered (the r14
+# core_persistence birth): 200 rows per cycle, demand 199 → 1 slot
+# of churn per cycle. HOLD at 199 — see NOTES "Window capacity".
 #
 # REGISTRY UNFREEZE RULE (round-5 verdict, "Next round" #2): any new
 # query MUST be added to _PRIORITY (inside the first 50) in the round
@@ -59,58 +57,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # spiral cannot recur.
 _PRIORITY: list[str] = [
     # -- born this round (same-round-window rule) --
-    "core_formation",  # lifecycle spin-up mirror of k_core_dissolution
-    # -- re-gated this round (keyed-kernel swap; needs its fresh row) --
-    "truss_dissolution",
-    # -- the 48 queries whose latest driver row is r9 (full pool) --
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "benford_digits",
-    "bpe_token_count",
-    "burst_detection",
-    "butterfly_counts_src",
-    "chisq_type_segment",
-    "clustering_coefficient",
-    "cohort_retention",
-    "containment_dedup",
-    "corpus_budget_quantile",
-    "dataset_split",
-    "degree_assortativity",
-    "edge_reciprocity",
-    "embedding_centroids",
-    "event_transitions",
-    "funnel_stages",
-    "grouping_sets_events",
-    "hashing_tf",
-    "k_core",
-    "latest_snapshot",
-    "media_features_arrow",
-    "negative_edge_sample",
-    "pivot_event_matrix",
-    "repetition_metrics",
-    "robust_zscore",
-    "rolling_active_users",
-    "sequence_packing",
-    "session_concurrency",
-    "source_overlap_matrix",
-    "source_overlap_minhash",
-    "stream_funnel_stages",
-    "stream_latest_snapshot",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_upsert_sink",
-    "stream_value_histogram",
-    "temporal_cycles",
-    "text_scrub",
-    "triangle_count",
-    "two_hop_flow",
-    "two_hop_temporal",
-    "type_entropy",
-    "unigram_logprob",
-    "value_histogram",
-    "window_function_suite",
+    "core_persistence",  # lifecycle tenure report (triple complete)
+    # -- the 48 queries whose latest driver row is r10 (full pool) --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_scores_iforest",
+    "approx_distinct_stats",
+    "asof_join_nearest",
+    "asof_join_within",
+    "attention_routing",
+    "bernoulli_sample",
+    "butterfly_counts_windowed",
+    "change_scores",
+    "csv_source_roundtrip",
+    "decayed_user_value",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_fingerprint_hashed",
+    "dow_seasonality",
+    "event_runs",
+    "grouped_percentiles",
+    "hash_reservoir_sample",
+    "injection_recovery_eval",
+    "k_core_windowed",
+    "lang_id",
+    "media_features",
+    "media_resize",
+    "morton_order_key",
+    "near_dup_embedding",
+    "near_dup_embedding_ivf",
+    "near_dup_jaccard",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "near_dup_simhash_hashed",
+    "node_jaccard",
+    "node_jaccard_salted",
+    "pricing_summary",
+    "profile_columns",
+    "python_datasource_roundtrip",
+    "quality_scores",
+    "relabel_reorder",
+    "resample_gap_fill",
+    "sketch_change_cosine",
+    "sketch_values",
+    "smurf_blocks",
+    "smurf_injection_edges",
+    "smurf_injection_labels",
+    "source_containment_matrix",
+    "token_stats",
+    "udtf_word_explode",
+    "variant_props_extract",
+    # -- spare 50th slot: tools/rotation.py --fill 1 (first
+    #    r11-latest, pulled one round early) --
+    "account_succession",
 ]
 
 

@@ -2995,8 +2995,8 @@ def _persistence_sql(base: str, keys: tuple[str, ...]) -> str:
     family member does (groupBy/HAVING or DISTINCT outputs); a
     duplicate would split island arithmetic in BOTH engines the same
     way, but the precondition is documented rather than paid for with
-    a defensive DISTINCT. Backs `core_persistence` (pre-built r12;
-    registration awaits a free window slot — NOTES "Window
+    a defensive DISTINCT. Backs `core_persistence` (pre-built r12,
+    registered r14 when the window slot opened — NOTES "Window
     capacity")."""
     kl = ", ".join(keys)
     return f"""
@@ -3071,10 +3071,11 @@ def _core_persistence_sql() -> str:
     return _persistence_sql(_k_core_windowed_oracle(), ("node",))
 
 
+@query("core_persistence", oracle=_core_persistence_sql())
 def core_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Core PERSISTENCE report (pre-built r12; the third lifecycle
-    report — registration awaits a free window slot per NOTES "Window
-    capacity"): for every node, the maximal runs of consecutive
+    """Core PERSISTENCE report (pre-built r12, registered r14 — the
+    r13 verdict's slot #1, completing the formation / dissolution /
+    persistence lifecycle triple): for every node, the maximal runs of consecutive
     28d/14d windows it holds {K_CORE_K}-core strength — (node,
     run_start, run_end, n_windows). Formation says a ring spun up,
     dissolution says it wound down; persistence is the duration signal

@@ -98,6 +98,8 @@ HEADLINE = [
     "source_containment_minhash",  # llm: signature-only containment (X91)
     # -- r13 birth (all 54 rows above UNCHANGED) --
     "core_formation",         # graph: node-side spin-up event list
+    # -- r14 birth (all 55 rows above UNCHANGED) --
+    "core_persistence",       # graph: lifecycle tenure runs
 ]
 
 

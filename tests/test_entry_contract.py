@@ -49,36 +49,38 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round13_rotation_in_window():
-    """Round-13 rotation: the r13 birth (core_formation, same-round-
-    window rule), the r13 re-gate (truss_dissolution — keyed-kernel
-    swap needs its fresh driver row so it counts r13-latest), and ALL
-    48 queries whose latest driver row is r9 (the pool recomputed from
-    CORRECTNESS_r01-r12 by tools/rotation.py, strict criterion).
-    2 + 48 = 50."""
+def test_round14_rotation_in_window():
+    """Round-14 rotation: the r14 birth (core_persistence, same-round-
+    window rule), ALL 48 queries whose latest driver row is r10 (the
+    pool recomputed from CORRECTNESS_r01-r13 by tools/rotation.py,
+    strict criterion), and the --fill 1 spare-slot answer
+    (account_succession, first r11-latest pulled one round early).
+    1 + 48 + 1 = 50."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the r13 birth + re-gate
-        "core_formation", "truss_dissolution",
-        # the 48 r9-latest queries
-        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
-        "benford_digits", "bpe_token_count", "burst_detection",
-        "butterfly_counts_src", "chisq_type_segment",
-        "clustering_coefficient", "cohort_retention", "containment_dedup",
-        "corpus_budget_quantile", "dataset_split", "degree_assortativity",
-        "edge_reciprocity", "embedding_centroids", "event_transitions",
-        "funnel_stages", "grouping_sets_events", "hashing_tf", "k_core",
-        "latest_snapshot", "media_features_arrow", "negative_edge_sample",
-        "pivot_event_matrix", "repetition_metrics", "robust_zscore",
-        "rolling_active_users", "sequence_packing", "session_concurrency",
-        "source_overlap_matrix", "source_overlap_minhash",
-        "stream_funnel_stages", "stream_latest_snapshot",
-        "stream_static_join", "stream_stream_join",
-        "stream_stream_left_join", "stream_upsert_sink",
-        "stream_value_histogram", "temporal_cycles", "text_scrub",
-        "triangle_count", "two_hop_flow", "two_hop_temporal",
-        "type_entropy", "unigram_logprob", "value_histogram",
-        "window_function_suite",
+        # the r14 birth
+        "core_persistence",
+        # the 48 r10-latest queries
+        "ann_ivf_topk", "ann_lsh_topk", "anomaly_scores_iforest",
+        "approx_distinct_stats", "asof_join_nearest", "asof_join_within",
+        "attention_routing", "bernoulli_sample",
+        "butterfly_counts_windowed", "change_scores",
+        "csv_source_roundtrip", "decayed_user_value", "dedup_exact",
+        "doc_fingerprint", "doc_fingerprint_hashed", "dow_seasonality",
+        "event_runs", "grouped_percentiles", "hash_reservoir_sample",
+        "injection_recovery_eval", "k_core_windowed", "lang_id",
+        "media_features", "media_resize", "morton_order_key",
+        "near_dup_embedding", "near_dup_embedding_ivf",
+        "near_dup_jaccard", "near_dup_minhash_lsh", "near_dup_simhash",
+        "near_dup_simhash_hashed", "node_jaccard", "node_jaccard_salted",
+        "pricing_summary", "profile_columns",
+        "python_datasource_roundtrip", "quality_scores",
+        "relabel_reorder", "resample_gap_fill", "sketch_change_cosine",
+        "sketch_values", "smurf_blocks", "smurf_injection_edges",
+        "smurf_injection_labels", "source_containment_matrix",
+        "token_stats", "udtf_word_explode", "variant_props_extract",
+        # the spare 50th slot (tools/rotation.py --fill 1)
+        "account_succession",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
@@ -125,6 +127,8 @@ def test_rotated_out_queries_still_registered():
         "butterfly_counts_windowed", "truss_dissolution",
         # the r11 birth/re-gate + retired canary, rotated out by r12
         "k_core_dissolution", "k_truss_windowed", "two_hop_candidates",
+        # the r12/r13 births + r13 re-gate, rotated out by the r14 window
+        "source_containment_minhash", "core_formation", "truss_dissolution",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"
