@@ -866,9 +866,15 @@ class TestHyperballProperty:
             _HB_SEED2,
         )
 
-        h1 = ((v % 1000003) * 2654435761 + _HB_SEED1) % 1000000007
+        # independent replication of the split-id injective pair hash
+        # (hi = id >> 29 mod P, lo = id & (2^29 - 1); two linear mixes
+        # mod P with nonzero matrix determinant — see _hb_init_exprs)
+        P = 1000000007
+        hi = (v >> 29) % P
+        lo = v & ((1 << 29) - 1)
+        h1 = (hi * 2654435761 + lo * 737407013 + _HB_SEED1) % P
         idx = h1 % HB_M
-        h2 = (h1 * 2654435761 + _HB_SEED2) % 1000000007
+        h2 = (hi * 3266489917 + lo * 461845907 + _HB_SEED2) % P
         if h2 == 0:
             rank = HB_RANK_CAP
         else:

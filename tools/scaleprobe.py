@@ -131,13 +131,19 @@ def main() -> int:
 
                 # shift EVERY timestamp column back — covers both the
                 # window_start family and the persistence reports'
-                # (run_start, run_end) without naming columns
+                # (run_start, run_end) without naming columns.
+                # Detected from the DataFrame SCHEMA, not the first
+                # row's values (r13 ADVICE: a NULL in row 0 would
+                # misclassify the column and fake a MISMATCH).
+                from pyspark.sql.types import TimestampType
+
                 shift = dt.timedelta(days=SHIFT_DAYS)
-                cols = list(rows1[0].__fields__) if rows1 else []
+                schema = fn(spark, sf_dir).schema
+                cols = [f.name for f in schema.fields]
                 ts_cols = {
-                    c for c in cols
-                    if isinstance(rows1[0][c], dt.datetime)
-                } if rows1 else set()
+                    f.name for f in schema.fields
+                    if isinstance(f.dataType, TimestampType)
+                }
                 want = sorted(
                     tuple(
                         r0[c] + k * shift if c in ts_cols else r0[c]
