@@ -1090,6 +1090,155 @@ def harmonic_centrality_hyperball(
     return hyperball_harmonic(adjacency(spark, sf_dir), depth)
 
 
+def _hb_dyadic_exprs(d: int):
+    """(zeros, dsum, raw) column expressions over a depth-d register
+    sketch — ONLY IEEE-determined arithmetic (the r13 NOTES ln-ulp-safe
+    design): zeros = exact integer count of empty registers; dsum =
+    Σ 2^-h_j built as 1.0 / (1L << h) per term (exact power-of-two
+    division, no libm pow) summed over a common 2^-{HB_RANK_CAP}
+    denominator with numerator ≤ 64·2^24 « 2^53, so the sum is an
+    EXACT dyadic double in any association order; raw = α·m² / dsum
+    where α·m² is the parsed 0.709 double scaled by the power of two
+    m² (exact) — one correctly-rounded division, bit-identical in any
+    IEEE engine. The ln small-range branch (`_hb_estimate`) is left to
+    CONSUMERS precisely because ln ulps differ across runtimes."""
+    def term(j: int):
+        # SQL shiftleft takes column bit counts (the Python-API
+        # F.shiftleft wants a literal int, hence F.expr here)
+        return F.lit(1.0) / F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), h{j}) AS DOUBLE)"
+        )
+
+    s = term(0)
+    z = F.when(F.col("h0") == 0, 1).otherwise(0)
+    for j in range(1, HB_M):
+        s = s + term(j)
+        z = z + F.when(F.col(f"h{j}") == 0, 1).otherwise(0)
+    alpha_m2 = F.lit(HB_ALPHA * HB_M * HB_M)  # exact power-of-2 scale
+    return (
+        z.cast("long").alias(f"zeros{d}"),
+        s.alias(f"dsum{d}"),
+        (alpha_m2 / s).alias(f"raw{d}"),
+    )
+
+
+def hyperball_sketch(
+    spark: SparkSession, sf_dir: str, depth: int = HARMONIC_DEPTH
+) -> DataFrame:
+    """Oracle-safe HyperBall sketch report (r13 verdict #5 — the
+    registrable surface for the banked approximate-centrality path):
+    per node, for each depth d = 1..{depth}, the zero-register count
+    `zeros{{d}}`, the exact dyadic register sum `dsum{{d}}`, and the
+    raw HLL estimate `raw{{d}}` = α·m²/dsum — every column either
+    exact integer arithmetic or a single correctly-rounded IEEE
+    division, so the DuckDB twin `_hyperball_sketch_sql` matches
+    BIT-EXACTLY (standing tri-SF test in test_oracle_generators.py).
+    Consumers apply the linear-counting ln branch and the shell
+    differences themselves (`_hb_estimate` / `hyperball_harmonic`);
+    keeping ln out of the checked surface is what makes the value-hash
+    viable.
+
+    Registration one-liner when a window slot opens (NOTES
+    "Window capacity" retirement-swap proposal):
+    `@query("hyperball_sketch", oracle=_hyperball_sketch_sql())`.
+
+    Scale shape: identical to `hyperball_registers` (its plan IS this
+    plan — one equi-join contribution expansion + one 64-column max
+    aggregation per round, N×64 ints of state); the report layer adds
+    one projection per depth and a node-keyed join of the {depth}
+    per-depth reports."""
+    sketches = hyperball_registers(adjacency(spark, sf_dir), depth)
+    out = None
+    for d, sk in enumerate(sketches, start=1):
+        per = sk.select("node", *_hb_dyadic_exprs(d))
+        out = per if out is None else out.join(per, "node")
+    return out.orderBy("node")
+
+
+def _hyperball_sketch_sql(depth: int = HARMONIC_DEPTH) -> str:
+    """DuckDB twin of `hyperball_sketch`: the SAME split-id pair hash
+    (`//`/`%` on non-negative BIGINTs ≡ Spark's shiftright/% ≡
+    Python's >>/%), the SAME trailing-zero CASE chain, {depth}
+    unrolled max-merge rounds over the 64 register columns, and the
+    SAME dyadic zeros/dsum/raw layer (1.0/(1<<h) terms, α·m² inlined
+    via Python repr so strtod parses the identical double)."""
+    m, cap = HB_M, HB_RANK_CAP
+    regs = [f"h{j}" for j in range(m)]
+    rank_arms = " ".join(
+        f"WHEN h2 % {2 ** r} = {2 ** (r - 1)} THEN {r}"
+        for r in range(1, cap)
+    )
+    init_cols = ", ".join(
+        f"CASE WHEN idx = {j} THEN rnk ELSE 0 END AS h{j}" for j in range(m)
+    )
+    maxes = ", ".join(f"MAX({c}) AS {c}" for c in regs)
+    allregs = ", ".join(regs)
+    parts = [
+        f"edges AS ({EDGES_SQL})",
+        "adj AS (SELECT DISTINCT src, dst FROM edges)",
+        """und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM adj WHERE src <> dst)""",
+        "nbr AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)",
+        "nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj)",
+        f"""hv AS (
+        SELECT node,
+               ((node // {_HB_SPLIT}) % {_HB_P}) AS hi,
+               (node % {_HB_SPLIT}) AS lo
+        FROM nodes)""",
+        f"""hh AS (
+        SELECT node,
+               ((hi * {_HB_A1} + lo * {_HB_A2} + {_HB_SEED1}) % {_HB_P})
+                   AS h1,
+               ((hi * {_HB_A3} + lo * {_HB_A4} + {_HB_SEED2}) % {_HB_P})
+                   AS h2
+        FROM hv)""",
+        f"""ir AS (
+        SELECT node, h1 % {m} AS idx,
+               CASE WHEN h2 = 0 THEN {cap} {rank_arms} ELSE {cap} END
+                   AS rnk
+        FROM hh)""",
+        f"sk0 AS (SELECT node, {init_cols} FROM ir)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"""sk{d} AS MATERIALIZED (
+            SELECT node, {maxes}
+            FROM (
+                SELECT b.v AS node, {allregs}
+                FROM sk{d - 1} s JOIN nbr b ON b.u = s.node
+                UNION ALL
+                SELECT node, {allregs} FROM sk{d - 1}
+            )
+            GROUP BY node)"""
+        )
+    alpha_m2 = repr(HB_ALPHA * HB_M * HB_M)
+    out_cols = []
+    joins = ""
+    for d in range(1, depth + 1):
+        zeros = " + ".join(
+            f"CASE WHEN e{d}.{c} = 0 THEN 1 ELSE 0 END" for c in regs
+        )
+        dsum = " + ".join(
+            f"1.0 / CAST(CAST(1 AS BIGINT) << e{d}.{c} AS DOUBLE)"
+            for c in regs
+        )
+        out_cols.append(
+            f"CAST({zeros} AS BIGINT) AS zeros{d}, "
+            f"({dsum}) AS dsum{d}, "
+            f"CAST({alpha_m2} AS DOUBLE) / ({dsum}) AS raw{d}"
+        )
+        joins += f" JOIN sk{d} e{d} ON e{d}.node = n.node"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT n.node, {", ".join(out_cols)}
+    FROM nodes n{joins}
+    ORDER BY n.node
+    """
+    )
+
+
 @query(
     "triangle_count",
     oracle=f"""

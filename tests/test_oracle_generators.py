@@ -665,3 +665,78 @@ class TestTrussLifecycle:
             if r["run_end"] < w["mx"]
         } == dissolved
         assert runs and formed and dissolved
+
+
+class TestHyperballSketchOracle:
+    """The r13-verdict #5 oracle design: `hyperball_sketch` emits only
+    IEEE-determined columns (integer zero counts, exact dyadic register
+    sums, one correctly-rounded division), so the DuckDB twin must
+    match BIT-EXACTLY — floats compared with ==, at all three SFs.
+    This standing check is what makes registration a one-liner when a
+    window slot opens."""
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact(self, spark, sf_root, sf):
+        import os
+
+        import duckdb as ddb
+
+        from autoaudit_spark.operators.graph import (
+            _hyperball_sketch_sql,
+            hyperball_sketch,
+        )
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"no testdata at {d}")
+        got = [tuple(r) for r in hyperball_sketch(spark, d).collect()]
+        con = ddb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(_hyperball_sketch_sql()).fetchall()
+        assert len(got) == len(want) and got and got == want
+
+    def test_planted_star_registers_and_depth2(self, spark, tmp_path):
+        """Off the registered depth (depth=2) on a planted star +
+        pendant chain: the generator parameterization must track the
+        Spark kernel away from the default point too (the
+        _harmonic_sql generator discipline)."""
+        import duckdb as ddb
+
+        from autoaudit_spark.operators.graph import (
+            _hyperball_sketch_sql,
+            adjacency,
+            hyperball_registers,
+        )
+
+        pairs = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+        d = _events_fixture(spark, tmp_path, pairs, "hbs2")
+        from autoaudit_spark.operators.graph import hyperball_sketch
+
+        got = [tuple(r) for r in hyperball_sketch(spark, d, depth=2).collect()]
+        con = _duck(d)
+        want = con.execute(_hyperball_sketch_sql(depth=2)).fetchall()
+        assert got == want and len(got) == 6
+        # depth-2 sketch of node 5 must equal the HLL of {3,4,5}'s
+        # init registers (ball_2(5)), independently recomputed
+        sk2 = hyperball_registers(adjacency(spark, d), depth=2)[1]
+        row5 = [r for r in sk2.collect() if r["node"] == 5][0]
+        P = 1000000007
+
+        def init(v):
+            hi = (v >> 29) % P
+            lo = v & ((1 << 29) - 1)
+            h1 = (hi * 2654435761 + lo * 737407013 + 11) % P
+            h2 = (hi * 3266489917 + lo * 461845907 + 97) % P
+            idx = h1 % 64
+            rnk = 24 if h2 == 0 else min((h2 & -h2).bit_length(), 24)
+            regs = [0] * 64
+            regs[idx] = rnk
+            return regs
+
+        want5 = [
+            max(init(u)[j] for u in (3, 4, 5)) for j in range(64)
+        ]
+        assert [row5[f"h{j}"] for j in range(64)] == want5
