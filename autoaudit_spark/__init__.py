@@ -13,8 +13,9 @@ Layout:
     sources      — parquet table loaders + graph/edge derivations
     functions    — scalar/array column-expression helpers (no UDFs)
     operators    — relational / graph / temporal operators (DataFrame→DataFrame)
-    mining       — AutoAudit's ML/mining layer (iforest, sketch, SVD, MDL, smurf)
-    plans        — end-to-end pipelines (AA-Smurf, AA-AR, generator)
+    mining       — AutoAudit's ML/mining layer (iforest, sketch, SVD, MDL,
+                   smurf — the end-to-end AA-Smurf/AA-AR/generator pipelines
+                   live here; plan-shape assertions in tests/test_plans.py)
     llm          — dedup / similarity / text-analysis / multimodal extensions
     streaming    — Structured Streaming variants of the temporal operators
     registry     — query + DuckDB-oracle registry backing __spark_entry__.py

@@ -123,6 +123,30 @@ def main() -> None:
     # Warm the JVM + file listing so q1 doesn't pay session startup.
     spark.range(1).count()
 
+    # Untimed warm-up of the iterative/checkpointed family (r13
+    # verdict #6): these rows' recorded draws historically swing
+    # ±30-50% on first-execution JIT of the checkpoint/shuffle
+    # machinery (BASELINE r12: k_core_dissolution 3.4-33.5 s across
+    # five runs of identical code; r13 single-draw ratios
+    # pagerank_weighted 1.50x, hits_scores 1.41x). One untimed
+    # execution of six representatives warms the shared kernels
+    # (damped_walk, HITS two-phase, stateful streaming, Lloyd/IVF
+    # session cache, windowed-peel checkpoints) before the recorded
+    # loop — composition unchanged, bands tighten. A/B recorded in
+    # BASELINE r14.
+    WARMUP = [
+        "pagerank_weighted",
+        "hits_scores",
+        "stream_change_cosine",
+        "near_dup_embedding_ivf",
+        "seeded_ppr",
+        "k_core_dissolution",
+    ]
+    for name in WARMUP:
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]

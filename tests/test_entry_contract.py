@@ -127,8 +127,9 @@ def test_rotated_out_queries_still_registered():
         "butterfly_counts_windowed", "truss_dissolution",
         # the r11 birth/re-gate + retired canary, rotated out by r12
         "k_core_dissolution", "k_truss_windowed", "two_hop_candidates",
-        # the r12/r13 births + r13 re-gate, rotated out by the r14 window
-        "source_containment_minhash", "core_formation", "truss_dissolution",
+        # the r12/r13 births, rotated out by the r14 window (the r13
+        # re-gate truss_dissolution is already in the r10 group above)
+        "source_containment_minhash", "core_formation",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

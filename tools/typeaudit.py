@@ -64,11 +64,13 @@ def _prebuilt_pairs():
     from autoaudit_spark.operators import graph as g
 
     return {
-        # core_formation graduated to the registry r13 (audited on the
-        # default path now); the three below remain banked pre-builds
-        "core_persistence": (g.core_persistence, g._core_persistence_sql),
+        # core_formation graduated r13, core_persistence r14 (both
+        # audited on the default path now); the banked pre-builds:
         "truss_formation": (g.truss_formation, g._truss_formation_sql),
         "truss_persistence": (g.truss_persistence, g._truss_persistence_sql),
+        # the r14 oracle-safe HyperBall report (tri-SF bit-exact
+        # standing test in test_oracle_generators.py)
+        "hyperball_sketch": (g.hyperball_sketch, g._hyperball_sketch_sql),
     }
 
 
