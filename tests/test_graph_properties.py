@@ -848,6 +848,62 @@ class TestPersistenceKernelProperty:
         assert got == expect
 
 
+class TestHyperballHashInjectivity:
+    """The r14 domain-widening claim, checked both ways: the mixer
+    matrix determinant is nonzero mod P (the algebraic condition that
+    makes the (h1, h2) PAIR a bijection of (hi mod P, lo) pairs), and
+    a hypothesis sweep over ids below the 5.4e17 bound finds no pair
+    collision (distinct ids → distinct pairs, so ball-size estimates
+    cannot saturate — the r13 ADVICE defect)."""
+
+    def test_mixer_determinant_nonzero_mod_p(self):
+        from autoaudit_spark.operators.graph import (
+            _HB_A1,
+            _HB_A2,
+            _HB_A3,
+            _HB_A4,
+            _HB_P,
+        )
+
+        assert (_HB_A1 * _HB_A4 - _HB_A2 * _HB_A3) % _HB_P != 0
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=536870915758096383),
+            min_size=2,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def test_pair_hash_injective_below_bound(self, ids):
+        from autoaudit_spark.operators.graph import (
+            _HB_A1,
+            _HB_A2,
+            _HB_A3,
+            _HB_A4,
+            _HB_P,
+            _HB_SEED1,
+            _HB_SEED2,
+            _HB_SPLIT,
+        )
+
+        def pair(v):
+            hi = (v // _HB_SPLIT) % _HB_P
+            lo = v % _HB_SPLIT
+            return (
+                (hi * _HB_A1 + lo * _HB_A2 + _HB_SEED1) % _HB_P,
+                (hi * _HB_A3 + lo * _HB_A4 + _HB_SEED2) % _HB_P,
+            )
+
+        pairs = [pair(v) for v in ids]
+        assert len(set(pairs)) == len(ids)
+        # int64 safety of every intermediate term, worst case
+        worst_hi, worst_lo = _HB_P - 1, _HB_SPLIT - 1
+        assert worst_hi * _HB_A1 + worst_lo * _HB_A2 + _HB_SEED1 < 2**63
+        assert worst_hi * _HB_A3 + worst_lo * _HB_A4 + _HB_SEED2 < 2**63
+
+
 class TestHyperballProperty:
     """The banked HyperBall kernel (r13): registers are pure integers
     from the portable hash, so the replication is BITWISE — the round-d
