@@ -978,7 +978,7 @@ def _hb_init_exprs(node):
 
 
 def hyperball_registers(
-    adj: DataFrame, depth: int = HARMONIC_DEPTH
+    adj: DataFrame, depth: int = HARMONIC_DEPTH, checkpoint: bool = True
 ) -> list[DataFrame]:
     """HyperBall register propagation (Boldi & Vigna, "In-Core
     Computation of Geometric Centralities with HyperBall", 2013): each
@@ -1001,7 +1001,10 @@ def hyperball_registers(
     Banked capability (r13): NOT registered — the exact X81 report is
     the oracle-checked surface; this kernel is the measured scale
     escape hatch, pinned by bitwise property tests instead (the
-    truss_formation/persistence pattern)."""
+    truss_formation/persistence pattern). `checkpoint=False` skips the
+    per-round localCheckpoint (A/B-measured as the right production
+    placement, BASELINE r13) so the plan tests can inspect a full
+    uncut round; never use it for more than plan inspection."""
     regs = [f"h{j}" for j in range(HB_M)]
     und = undirected_simple(adj)
     nbr = (
@@ -1016,7 +1019,9 @@ def hyperball_registers(
             F.when(idx == j, rank).otherwise(0).cast("int").alias(f"h{j}")
             for j in range(HB_M)
         ],
-    ).localCheckpoint()
+    )
+    if checkpoint:
+        sk = sk.localCheckpoint()
     out: list[DataFrame] = []
     for _ in range(depth):
         contrib = sk.join(nbr, sk.node == nbr.u).select(
@@ -1026,8 +1031,9 @@ def hyperball_registers(
             contrib.unionByName(sk.select("node", *regs))
             .groupBy("node")
             .agg(*[F.max(c).alias(c) for c in regs])
-            .localCheckpoint()
         )
+        if checkpoint:
+            sk = sk.localCheckpoint()
         out.append(sk)
     nbr.unpersist()
     return out

@@ -674,3 +674,29 @@ class TestLifecycleKernelPlans:
         # partitioning, a third exchange would appear between Window
         # and HashAggregate and this count fails.
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+
+    def test_hyperball_round_partial_agg_equi_join_no_python(self, spark):
+        """One uncut HyperBall round (checkpoint=False, plan-inspection
+        only): the contribution expansion must be a pure EQUI join
+        (hash/sort-merge, never nested-loop/cartesian) and the
+        64-column max merge a partial+final HashAggregate pair
+        (map-side combine carries 64 ints per node across the
+        exchange, not raw contribution rows). All JVM — the register
+        CASE chains and the max merge never leave codegen. Pinned
+        BEFORE any registration (the formation/persistence
+        discipline); the dyadic report layer on top is pinned by the
+        bit-exact oracle test instead."""
+        from autoaudit_spark.operators.graph import (
+            adjacency,
+            hyperball_registers,
+        )
+
+        sk1 = hyperball_registers(
+            adjacency(spark, SF), depth=1, checkpoint=False
+        )[0]
+        p = plan(sk1)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert len(re.findall(r"HashAggregate", p)) >= 2, p
+        assert "Exchange" in p
