@@ -1451,10 +1451,11 @@ class TestHyperballQuality:
         """The banked HyperBall path vs the exact X81 kernel on real
         sf0.001 edges: same node universe, and the depth-3 ball-size
         estimate lands within HLL's m=64 accuracy class (std error
-        ~13%; measured 7.9% uniformly here — every depth-3 ball is the
-        whole 150-node component, so the sketch estimate is shared).
-        The bitwise register/estimate semantics live in the hypothesis
-        property tests; this pins the end-to-end quality claim."""
+        ~13%; measured 7.6% uniformly with the r14 injective pair
+        hash — every depth-3 ball is the whole 150-node component, so
+        the sketch estimate is shared). The bitwise register/estimate
+        semantics live in the hypothesis property tests; this pins the
+        end-to-end quality claim."""
         import statistics
 
         from autoaudit_spark.operators.graph import (
