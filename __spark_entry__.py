@@ -32,16 +32,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-14
-# rotation (the r13 verdict's "Next round" #1–#2, executed exactly):
-# this round's birth `core_persistence` (same-round-window rule —
-# the pre-built lifecycle tenure report completing the formation /
-# dissolution / persistence triple, slot 1), ALL 48 queries whose
-# latest driver row is r10 (recomputed from CORRECTNESS_r01–r13 by
-# tools/rotation.py, strict criterion — never trust an estimate),
-# and the `--fill 1` spare-slot answer `account_succession` (first
-# r11-latest, pulled one round early — always safe, it just becomes
-# freshest). 1 + 48 + 1 = 50 exactly.
+# value-hash row; rows-only queries the weaker rows check). Round-15
+# rotation (the r14 verdict's "Next round" #1–#2, executed exactly):
+# this round's birth `truss_formation` (same-round-window rule — the
+# banked edge-side spin-up report, registered into the slot freed by
+# retiring the rows-only `doc_fingerprint` driver row per the r14
+# verdict's swap ruling; slot 1), plus ALL 49 queries whose latest
+# driver row is r11 (recomputed from CORRECTNESS_r01–r14 by
+# tools/rotation.py, strict criterion — never trust an estimate;
+# includes the flagship `two_hop_candidates` on its normal
+# post-canary cadence). 1 + 49 = 50 exactly — the swap and the
+# rotation compose with no spare slot this round.
 #
 # CANARY RETIRED (r11 verdict #1, executed r12): the flagship
 # `two_hop_candidates` rotates like every other query (latest row
@@ -56,60 +57,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    # -- born this round (same-round-window rule) --
-    "core_persistence",  # lifecycle tenure report (triple complete)
-    # -- the 48 queries whose latest driver row is r10 (full pool) --
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "anomaly_scores_iforest",
-    "approx_distinct_stats",
-    "asof_join_nearest",
-    "asof_join_within",
-    "attention_routing",
-    "bernoulli_sample",
-    "butterfly_counts_windowed",
-    "change_scores",
-    "csv_source_roundtrip",
-    "decayed_user_value",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_fingerprint_hashed",
-    "dow_seasonality",
-    "event_runs",
-    "grouped_percentiles",
-    "hash_reservoir_sample",
-    "injection_recovery_eval",
-    "k_core_windowed",
-    "lang_id",
-    "media_features",
-    "media_resize",
-    "morton_order_key",
-    "near_dup_embedding",
-    "near_dup_embedding_ivf",
-    "near_dup_jaccard",
-    "near_dup_minhash_lsh",
-    "near_dup_simhash",
-    "near_dup_simhash_hashed",
-    "node_jaccard",
-    "node_jaccard_salted",
-    "pricing_summary",
-    "profile_columns",
-    "python_datasource_roundtrip",
-    "quality_scores",
-    "relabel_reorder",
-    "resample_gap_fill",
-    "sketch_change_cosine",
-    "sketch_values",
-    "smurf_blocks",
-    "smurf_injection_edges",
-    "smurf_injection_labels",
-    "source_containment_matrix",
-    "token_stats",
-    "udtf_word_explode",
-    "variant_props_extract",
-    # -- spare 50th slot: tools/rotation.py --fill 1 (first
-    #    r11-latest, pulled one round early) --
-    "account_succession",
+    # -- born this round (same-round-window rule; swap ruling #1) --
+    "truss_formation",  # edge-side lifecycle spin-up report
+    # -- the 49 queries whose latest driver row is r11 (full pool) --
+    "background_edges",
+    "bigram_surprise",
+    "butterfly_counts",
+    "butterfly_counts_salted",
+    "chunk_documents",
+    "contamination_ngram",
+    "corpus_mix_allocation",
+    "cusum_upshifts",
+    "dedup_components",
+    "direction_mapped_edges",
+    "dsir_importance",
+    "ewma_spike_flags",
+    "feature_pairs",
+    "focus_plot_sum",
+    "hits_scores",
+    "iforest_points",
+    "inout_zero_fill",
+    "k_core_dissolution",
+    "k_truss",
+    "k_truss_windowed",
+    "label_propagation",
+    "multimodal_assemble",
+    "near_dup_jaccard_capped",
+    "near_dup_jaccard_salted",
+    "pagerank",
+    "pagerank_weighted",
+    "powerlaw_fit",
+    "pps_sample",
+    "range_join_event_context",
+    "repeated_passages",
+    "round_number_bias",
+    "sample_stratified",
+    "seeded_ppr",
+    "seeded_ppr_weighted",
+    "sink_accounts",
+    "stream_change_cosine",
+    "stream_change_scores",
+    "stream_sketch_sums",
+    "stream_value_milestones",
+    "term_frequencies",
+    "tfidf_top_terms",
+    "threshold_structuring",
+    "topk_per_group",
+    "trailing_window_avg",
+    "two_hop_candidates",
+    "user_profile_divergence",
+    "user_sessions",
+    "window_alignment",
+    "windowed_features",
 ]
 
 

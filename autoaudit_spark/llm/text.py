@@ -494,10 +494,15 @@ def q_doc_fingerprint_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprint")
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: winnowing-style fingerprint — min/max/count over the doc's
-    token-5-gram xxhash64 set (rows-only: hash is engine-specific)."""
+    token-5-gram xxhash64 set (hash is engine-specific, so this form is
+    not value-hash checkable). Driver row RETIRED r15 (the r14 verdict's
+    swap ruling): `doc_fingerprint_hashed` above carries the full oracle
+    for the identical plan shape, and the xxhash64 production kernel
+    stays importable and structurally pinned against the hashed twin by
+    `tests/test_llm.py` — retiring the rows-only row freed the window
+    slot that registered `truss_formation`."""
     docs = load_table(spark, sf_dir, "documents")
     t = _tokens(F.col("text"))
     k = 5

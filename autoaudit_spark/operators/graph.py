@@ -3296,9 +3296,11 @@ def _truss_formation_sql() -> str:
     )
 
 
+@query("truss_formation", oracle=_truss_formation_sql())
 def truss_formation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truss FORMATION events (pre-built r12; registration awaits a
-    free window slot — NOTES "Window capacity"): edges in window w's
+    """Truss FORMATION events (pre-built r12, registered r15 in the
+    slot freed by retiring the rows-only `doc_fingerprint` driver row —
+    the r14 verdict's swap ruling #1): edges in window w's
     {K_TRUSS}-truss ABSENT from window (w − slide)'s truss, with their
     first-seen in-truss support — the EDGE-side spin-up list
     completing the lifecycle bracket `truss_dissolution` opened on the

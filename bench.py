@@ -100,6 +100,8 @@ HEADLINE = [
     "core_formation",         # graph: node-side spin-up event list
     # -- r14 birth (all 55 rows above UNCHANGED) --
     "core_persistence",       # graph: lifecycle tenure runs
+    # -- r15 birth (all 56 rows above UNCHANGED) --
+    "truss_formation",        # graph: edge-side spin-up event list (X94)
 ]
 
 

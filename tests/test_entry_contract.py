@@ -49,41 +49,55 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round14_rotation_in_window():
-    """Round-14 rotation: the r14 birth (core_persistence, same-round-
-    window rule), ALL 48 queries whose latest driver row is r10 (the
-    pool recomputed from CORRECTNESS_r01-r13 by tools/rotation.py,
-    strict criterion), and the --fill 1 spare-slot answer
-    (account_succession, first r11-latest pulled one round early).
-    1 + 48 + 1 = 50."""
+def test_round15_rotation_in_window():
+    """Round-15 rotation: the r15 birth (truss_formation, same-round-
+    window rule — registered into the slot freed by retiring the
+    rows-only doc_fingerprint driver row, the r14 verdict's swap
+    ruling #1) plus ALL 49 queries whose latest driver row is r11
+    (the pool recomputed from CORRECTNESS_r01-r14 by
+    tools/rotation.py, strict criterion; includes the flagship on its
+    normal post-canary cadence). 1 + 49 = 50 — no spare slot."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the r14 birth
-        "core_persistence",
-        # the 48 r10-latest queries
-        "ann_ivf_topk", "ann_lsh_topk", "anomaly_scores_iforest",
-        "approx_distinct_stats", "asof_join_nearest", "asof_join_within",
-        "attention_routing", "bernoulli_sample",
-        "butterfly_counts_windowed", "change_scores",
-        "csv_source_roundtrip", "decayed_user_value", "dedup_exact",
-        "doc_fingerprint", "doc_fingerprint_hashed", "dow_seasonality",
-        "event_runs", "grouped_percentiles", "hash_reservoir_sample",
-        "injection_recovery_eval", "k_core_windowed", "lang_id",
-        "media_features", "media_resize", "morton_order_key",
-        "near_dup_embedding", "near_dup_embedding_ivf",
-        "near_dup_jaccard", "near_dup_minhash_lsh", "near_dup_simhash",
-        "near_dup_simhash_hashed", "node_jaccard", "node_jaccard_salted",
-        "pricing_summary", "profile_columns",
-        "python_datasource_roundtrip", "quality_scores",
-        "relabel_reorder", "resample_gap_fill", "sketch_change_cosine",
-        "sketch_values", "smurf_blocks", "smurf_injection_edges",
-        "smurf_injection_labels", "source_containment_matrix",
-        "token_stats", "udtf_word_explode", "variant_props_extract",
-        # the spare 50th slot (tools/rotation.py --fill 1)
-        "account_succession",
+        # the r15 birth (swap ruling #1)
+        "truss_formation",
+        # the 49 r11-latest queries
+        "background_edges", "bigram_surprise", "butterfly_counts",
+        "butterfly_counts_salted", "chunk_documents",
+        "contamination_ngram", "corpus_mix_allocation", "cusum_upshifts",
+        "dedup_components", "direction_mapped_edges", "dsir_importance",
+        "ewma_spike_flags", "feature_pairs", "focus_plot_sum",
+        "hits_scores", "iforest_points", "inout_zero_fill",
+        "k_core_dissolution", "k_truss", "k_truss_windowed",
+        "label_propagation", "multimodal_assemble",
+        "near_dup_jaccard_capped", "near_dup_jaccard_salted", "pagerank",
+        "pagerank_weighted", "powerlaw_fit", "pps_sample",
+        "range_join_event_context", "repeated_passages",
+        "round_number_bias", "sample_stratified", "seeded_ppr",
+        "seeded_ppr_weighted", "sink_accounts", "stream_change_cosine",
+        "stream_change_scores", "stream_sketch_sums",
+        "stream_value_milestones", "term_frequencies", "tfidf_top_terms",
+        "threshold_structuring", "topk_per_group", "trailing_window_avg",
+        "two_hop_candidates", "user_profile_divergence", "user_sessions",
+        "window_alignment", "windowed_features",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
+
+
+def test_doc_fingerprint_row_retired_kernel_kept():
+    """The r15 retirement swap: doc_fingerprint's DRIVER ROW retires
+    (unregistered — no queries()/window slot), but the xxhash64
+    production kernel stays importable and runnable, and its oracle
+    coverage is carried by the registered doc_fingerprint_hashed twin
+    (identical plan shape, engine-portable arithmetic)."""
+    q = entry_mod.queries()
+    assert "doc_fingerprint" not in q
+    assert "doc_fingerprint" not in entry_mod.oracle_sql()
+    assert "doc_fingerprint_hashed" in q
+    assert "doc_fingerprint_hashed" in entry_mod.oracle_sql()
+    from autoaudit_spark.llm.text import q_doc_fingerprint
+    assert callable(q_doc_fingerprint)
 
 
 def test_canary_retired_flagship_still_covered():
@@ -130,6 +144,15 @@ def test_rotated_out_queries_still_registered():
         # the r12/r13 births, rotated out by the r14 window (the r13
         # re-gate truss_dissolution is already in the r10 group above)
         "source_containment_minhash", "core_formation",
+        # the r14 window's oracled names rotated out by the r15 window
+        # (birth + --fill spare + the r10-pool names not listed above)
+        "core_persistence", "account_succession", "csv_source_roundtrip",
+        "decayed_user_value", "dow_seasonality", "event_runs",
+        "grouped_percentiles", "hash_reservoir_sample", "morton_order_key",
+        "near_dup_embedding_ivf", "node_jaccard", "node_jaccard_salted",
+        "profile_columns", "python_datasource_roundtrip",
+        "relabel_reorder", "resample_gap_fill", "sketch_change_cosine",
+        "udtf_word_explode", "variant_props_extract",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

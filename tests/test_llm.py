@@ -330,6 +330,31 @@ class TestArithmeticHashTwins:
         assert 0.3 < (m > 0).mean() < 0.7
 
 
+class TestDocFingerprintRetiredKernel:
+    def test_xxhash_kernel_agrees_with_hashed_twin_structure(self, spark):
+        """The r15 retirement swap keeps the xxhash64 fingerprint KERNEL
+        tested even though its driver row retired: both fingerprint
+        forms count distinct token-5-gram hashes per document, so on
+        real data they must emit the same doc_id set and (absent hash
+        collisions, none at this scale) identical n_grams per doc —
+        only min/max differ (engine-specific vs portable hash)."""
+        from autoaudit_spark.llm.text import (
+            q_doc_fingerprint,
+            q_doc_fingerprint_hashed,
+        )
+
+        raw = {
+            r["doc_id"]: r["n_grams"]
+            for r in q_doc_fingerprint(spark, SF).collect()
+        }
+        hashed = {
+            r["doc_id"]: r["n_grams"]
+            for r in q_doc_fingerprint_hashed(spark, SF).collect()
+        }
+        assert raw, "fingerprint kernel empty at sf0.001"
+        assert raw == hashed
+
+
 class TestRetention:
     def test_retention_clusters_transitively(self, spark):
         """a~b and b~c near-dups (a≁c directly) must land in ONE cluster

@@ -115,7 +115,8 @@ def main() -> int:
                 rc = 1
                 continue
             t0 = time.monotonic()
-            rows1 = fn(spark, sf_dir).collect()
+            df1 = fn(spark, sf_dir)
+            rows1 = df1.collect()
             w1 = time.monotonic() - t0
             t0 = time.monotonic()
             rows_n = fn(spark, tmp).collect()
@@ -134,11 +135,14 @@ def main() -> int:
                 # (run_start, run_end) without naming columns.
                 # Detected from the DataFrame SCHEMA, not the first
                 # row's values (r13 ADVICE: a NULL in row 0 would
-                # misclassify the column and fake a MISMATCH).
+                # misclassify the column and fake a MISMATCH). Reuse
+                # the DataFrame built for the timed collect (r14
+                # ADVICE: rebuilding it re-ran the lifecycle kernels'
+                # eager localCheckpoint jobs once per probe).
                 from pyspark.sql.types import TimestampType
 
                 shift = dt.timedelta(days=SHIFT_DAYS)
-                schema = fn(spark, sf_dir).schema
+                schema = df1.schema
                 cols = [f.name for f in schema.fields]
                 ts_cols = {
                     f.name for f in schema.fields

@@ -64,9 +64,9 @@ def _prebuilt_pairs():
     from autoaudit_spark.operators import graph as g
 
     return {
-        # core_formation graduated r13, core_persistence r14 (both
-        # audited on the default path now); the banked pre-builds:
-        "truss_formation": (g.truss_formation, g._truss_formation_sql),
+        # core_formation graduated r13, core_persistence r14,
+        # truss_formation r15 (all audited on the default path now);
+        # the banked pre-builds:
         "truss_persistence": (g.truss_persistence, g._truss_persistence_sql),
         # the r14 oracle-safe HyperBall report (tri-SF bit-exact
         # standing test in test_oracle_generators.py)
