@@ -700,3 +700,19 @@ class TestLifecycleKernelPlans:
         assert "BroadcastNestedLoopJoin" not in p
         assert len(re.findall(r"HashAggregate", p)) >= 2, p
         assert "Exchange" in p
+
+    def test_truss_formation_registered_path_anti_join_is_equi(
+        self, spark, q
+    ):
+        """X94 (registered r15): the formation filter through the
+        REGISTERED path must keep the kernel's shape — pure equi
+        LEFT-ANTI on (window_start, a, b) with the slide shift as a
+        projection, the 1-row broadcast first-window bound as the
+        only nested-loop join, no cartesian, all JVM — the
+        truss_dissolution pin mirrored on the spin-up side."""
+        p = plan(q["truss_formation"](spark, SF))
+        assert "LeftAnti" in p, p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" in p, p
+        assert not re.findall(r"BroadcastNestedLoopJoin[^\n]*LeftAnti", p), p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
