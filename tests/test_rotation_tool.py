@@ -83,6 +83,20 @@ class TestPredictGuard:
         assert unknown_priority(["real_query", "other"], latest) == []
 
 
+class TestBirthCapacity:
+    def test_driver_window_constant_matches_contract_pin(self):
+        """rotation.py's capacity line and the entry-contract test must
+        agree on the driver's window size — a drift here would make the
+        planning view lie about birth feasibility (the r15 lesson: the
+        r14 verdict queued swaps into rounds whose pools already filled
+        the window)."""
+        import rotation
+
+        import test_entry_contract
+
+        assert rotation.DRIVER_WINDOW == test_entry_contract.DRIVER_WINDOW
+
+
 class TestFillPool:
     def test_fill_takes_next_stalest_by_round_then_name(self):
         from rotation import fill_pool

@@ -44,6 +44,11 @@ import re
 import sys
 
 
+#: the driver checks exactly the first 50 queries() entries (observed
+#: r1-r5; pinned by tests/test_entry_contract.py DRIVER_WINDOW)
+DRIVER_WINDOW = 50
+
+
 def _passed(rec: dict) -> bool:
     if rec.get("err") == "no_oracle":
         return rec.get("spark_rows") is not None
@@ -152,6 +157,17 @@ def main() -> None:
         cut = min(latest.values())
     pool = sorted(q for q, r in latest.items() if r <= cut)
     print(f"\npool (latest round <= {cut}): {len(pool)} queries")
+    # Birth capacity (r15 lesson): a birth takes a window slot in its
+    # own round (the unfreeze rule), so a round whose mandatory pool
+    # already fills the 50-slot window CANNOT take a registration
+    # without pushing a pool row to age 5. The r14 verdict's r16/r17
+    # swap queue missed exactly this; print it so no plan does again.
+    # (A retirement of a query INSIDE this pool raises capacity by 1.)
+    print(
+        f"birth capacity at this pool: {max(0, DRIVER_WINDOW - len(pool))} "
+        f"(window {DRIVER_WINDOW} - pool {len(pool)}; retiring a pool "
+        "member adds one)"
+    )
     for q in pool:
         print(f"  {q}  (r{latest[q]})")
     fill: list[str] = []
