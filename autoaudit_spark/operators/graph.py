@@ -2878,6 +2878,149 @@ def k_core_windowed(
     )
 
 
+def _windowed_component_census_sql() -> str:
+    """DuckDB twin of `windowed_component_census`: the CC closure
+    oracle (`_CC_CLOSURE_PARTS`' algorithm-independent min-reachable-id
+    recursion) with the window key threaded through the recursion, over
+    the SAME windowed strong-tie base CTE the truss/core oracles share
+    — a shared derivation bug in Spark and SQL could not agree because
+    the labeling is closure, not a mirrored round simulation."""
+    return f"""
+    WITH RECURSIVE edges AS ({EDGES_SQL}),
+    und0 AS (
+        SELECT w, LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ({_WT_EDGES_SQL}) WHERE src <> dst
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= {WT_MIN_MULT}),
+    und AS (SELECT w, a, b FROM und0 UNION SELECT w, b, a FROM und0),
+    nodes AS (SELECT DISTINCT w, a AS node FROM und),
+    reach AS (
+        SELECT w, node, node AS label FROM nodes
+        UNION
+        SELECT u.w, u.b AS node, r.label
+        FROM reach r JOIN und u ON u.w = r.w AND u.a = r.node
+    ),
+    comp AS (
+        SELECT w, node, MIN(label) AS component
+        FROM reach GROUP BY w, node
+    )
+    SELECT w AS window_start, component,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_windowed_component_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-window connected-component census (pre-built r15;
+    registration awaits a free window slot — NOTES "Window capacity"):
+    hash-min components of each 28d/14d window's strong-tie graph,
+    reported as (window_start, component, n_members) with component =
+    min member id — the CONSOLIDATION timeline the per-entity
+    lifecycle reports cannot express (formation/dissolution/persistence
+    say which accounts and pairs enter, hold, and leave the dense
+    cell; this says how the cell's CONNECTIVITY coalesces: many small
+    fragments merging into one giant component across consecutive
+    windows is the ring-assembly trajectory at graph granularity, the
+    time-evolving view of the reference's static component framing —
+    `AA-Smurf.py:102-111` scores within one static graph). Measured
+    before building (the X82/X86 discipline): census rows 10 / 26 / 77
+    at sf0.001/0.01/0.1 with an analytically rich shape — the first
+    partial window is fragmented (1→23→74 components as SF grows) and
+    later windows consolidate to ONE giant component (60→106, 150,
+    ~1500 members); fixpoint ≤ 7 hash-min rounds at every SF.
+
+    One loop serves ALL windows (the X82/X86 argument transposed to
+    label propagation): hash-min labels are componentwise
+    non-increasing in EVERY window, so a globally-unchanged round
+    proves every window simultaneously hit its fixpoint; the safety
+    bound raises rather than returning non-converged labels (the
+    `connected_components` contract). Scale shape: each round is one
+    (w, node)-keyed equi join + one grouped min + the least/coalesce
+    merge, all JVM; hub skew spreads across a hub's (w, node) keys
+    and per-key work only shrinks vs the global graph (Σ_w deg_w ≤
+    deg, the wtruss-probe subadditivity argument)."""
+    from ..sources import edges as edges_src
+
+    return component_census_windowed(edges_src(spark, sf_dir))
+
+
+def component_census_windowed(
+    e0: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Parametric kernel behind `q_windowed_component_census`: hash-min
+    label propagation keyed by (w, node) over the shared
+    `windowed_strong_ties` relation, then the per-(window, component)
+    member count. `max_iter` is the `connected_components` SAFETY
+    BOUND, not a truncation — non-convergence raises (measured
+    fixpoints 7/5/7 at the three SFs; a chain-like window would want
+    the pointer-doubling form)."""
+    st = windowed_strong_ties(e0)
+    und = (
+        st.unionAll(
+            st.select("w", F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select("w", F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.alias("u")
+            .join(
+                labels.alias("l"),
+                (F.col("u.w") == F.col("l.w"))
+                & (F.col("u.a") == F.col("l.node")),
+            )
+            .groupBy(F.col("u.w").alias("w"), F.col("u.b").alias("node"))
+            .agg(F.min("l.label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, ["w", "node"], "left")
+            .select(
+                "w",
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            # eager lineage truncation — labels appears twice per round
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["w", "node"])
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        und.unpersist()
+        raise ValueError(
+            "windowed hash-min did not converge within the safety bound "
+            "(a window's diameter exceeds it) — raise max_iter or use a "
+            "pointer-doubling formulation for chain-like windows"
+        )
+    und.unpersist()
+    return (
+        labels.groupBy(
+            F.col("w").alias("window_start"),
+            F.col("label").alias("component"),
+        )
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("window_start", "component")
+    )
+
+
 def _dissolution_sql(
     base: str, keys: tuple[str, ...], extra_cols: tuple[str, ...] = ()
 ) -> str:

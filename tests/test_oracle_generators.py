@@ -740,3 +740,110 @@ class TestHyperballSketchOracle:
             max(init(u)[j] for u in (3, 4, 5)) for j in range(64)
         ]
         assert [row5[f"h{j}"] for j in range(64)] == want5
+
+
+class TestWindowedComponentCensus:
+    """Pre-built r15 birth candidate (NOT registered — window
+    capacity): per-window hash-min component census over the shared
+    windowed strong-tie relation, closure-oracled like the global CC
+    family."""
+
+    def test_planted_consolidation(self, spark, tmp_path):
+        """Two disjoint strong-tie pairs → two 2-member components in
+        both windows the events fall into; adding a strong bridge
+        merges them into ONE 4-member component labeled by the min id
+        — the consolidation semantics the census exists to report."""
+        from autoaudit_spark.operators.graph import (
+            component_census_windowed,
+        )
+        from autoaudit_spark.sources import edges as edges_src
+
+        frag = _events_fixture(
+            spark, tmp_path,
+            [(1, 2), (1, 2), (3, 4), (3, 4)],
+            "census_frag",
+        )
+        got = {
+            (r["component"], r["n_members"])
+            for r in component_census_windowed(
+                edges_src(spark, frag)
+            ).collect()
+        }
+        assert got == {(1, 2), (3, 2)}
+
+        merged = _events_fixture(
+            spark, tmp_path,
+            [(1, 2), (1, 2), (3, 4), (3, 4), (2, 3), (2, 3)],
+            "census_merged",
+        )
+        rows = component_census_windowed(edges_src(spark, merged)).collect()
+        assert {(r["component"], r["n_members"]) for r in rows} == {(1, 4)}
+        # every event lands in window/slide = 2 sliding windows
+        assert len({r["window_start"] for r in rows}) == 2
+
+    def test_weak_tie_excluded(self, spark, tmp_path):
+        """A pair seen ONCE in a window is not a strong tie and must
+        not bridge components (the WT_MIN_MULT >= 2 contract shared
+        with the truss/core family)."""
+        from autoaudit_spark.operators.graph import (
+            component_census_windowed,
+        )
+        from autoaudit_spark.sources import edges as edges_src
+
+        d = _events_fixture(
+            spark, tmp_path,
+            [(1, 2), (1, 2), (3, 4), (3, 4), (2, 3)],
+            "census_weak",
+        )
+        got = {
+            (r["component"], r["n_members"])
+            for r in component_census_windowed(edges_src(spark, d)).collect()
+        }
+        assert got == {(1, 2), (3, 2)}
+
+    def test_safety_bound_raises_not_truncates(self, spark, tmp_path):
+        """max_iter is the connected_components SAFETY BOUND: a budget
+        too small to prove the fixpoint must raise, never return
+        non-converged labels that would diverge from the closure
+        oracle."""
+        from autoaudit_spark.operators.graph import (
+            component_census_windowed,
+        )
+        from autoaudit_spark.sources import edges as edges_src
+
+        d = _events_fixture(
+            spark, tmp_path, [(1, 2), (1, 2)], "census_bound"
+        )
+        with pytest.raises(ValueError, match="converge"):
+            component_census_windowed(edges_src(spark, d), max_iter=0)
+
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root):
+        """Spark census vs the closure-based DuckDB builder twin on
+        real sf0.01 events — typed rows equal (measured 26 census rows:
+        a fragmented 23-component first window consolidating into one
+        150-member giant component in the three later windows)."""
+        sf = f"{sf_root}/sf0.01"
+        from autoaudit_spark.operators.graph import (
+            _windowed_component_census_sql,
+            q_windowed_component_census,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        expect = con.execute(_windowed_component_census_sql()).fetchall()
+        got = [
+            (r["window_start"], r["component"], r["n_members"])
+            for r in q_windowed_component_census(spark, sf).collect()
+        ]
+        assert got == expect
+        assert got
+        # the consolidation shape: some window holds >1 component and
+        # some window holds a giant component
+        by_w = {}
+        for w, _c, n in got:
+            by_w.setdefault(w, []).append(n)
+        assert max(len(v) for v in by_w.values()) > 1
+        assert max(n for _w, _c, n in got) >= 100

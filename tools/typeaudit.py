@@ -71,6 +71,12 @@ def _prebuilt_pairs():
         # the r14 oracle-safe HyperBall report (tri-SF bit-exact
         # standing test in test_oracle_generators.py)
         "hyperball_sketch": (g.hyperball_sketch, g._hyperball_sketch_sql),
+        # the r15 per-window component census (closure-oracled,
+        # tri-SF exact at build time; consolidation timeline)
+        "windowed_component_census": (
+            g.q_windowed_component_census,
+            g._windowed_component_census_sql,
+        ),
     }
 
 
