@@ -817,12 +817,19 @@ class TestWindowedComponentCensus:
         with pytest.raises(ValueError, match="converge"):
             component_census_windowed(edges_src(spark, d), max_iter=0)
 
-    def test_cross_engine_exact_on_real_data(self, spark, sf_root):
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf):
         """Spark census vs the closure-based DuckDB builder twin on
-        real sf0.01 events — typed rows equal (measured 26 census rows:
-        a fragmented 23-component first window consolidating into one
-        150-member giant component in the three later windows)."""
-        sf = f"{sf_root}/sf0.01"
+        real events at ALL THREE SFs (the hyperball standing-oracle
+        precedent: a registration stays a one-liner only while this
+        holds) — typed rows equal. Measured 10/26/77 census rows: a
+        fragmented first window consolidating into a giant component
+        in later windows."""
+        import os
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
         from autoaudit_spark.operators.graph import (
             _windowed_component_census_sql,
             q_windowed_component_census,
@@ -831,19 +838,21 @@ class TestWindowedComponentCensus:
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW events AS SELECT * FROM "
-            f"read_parquet('{sf}/events.parquet')"
+            f"read_parquet('{d}/events.parquet')"
         )
         expect = con.execute(_windowed_component_census_sql()).fetchall()
         got = [
             (r["window_start"], r["component"], r["n_members"])
-            for r in q_windowed_component_census(spark, sf).collect()
+            for r in q_windowed_component_census(spark, d).collect()
         ]
         assert got == expect
         assert got
-        # the consolidation shape: some window holds >1 component and
-        # some window holds a giant component
+        # the consolidation shape (sf0.01 up): some window holds >1
+        # component and some window holds a giant component
         by_w = {}
         for w, _c, n in got:
             by_w.setdefault(w, []).append(n)
-        assert max(len(v) for v in by_w.values()) > 1
-        assert max(n for _w, _c, n in got) >= 100
+        assert max(len(v) for v in by_w.values()) >= 1
+        if sf != "sf0.001":
+            assert max(len(v) for v in by_w.values()) > 1
+            assert max(n for _w, _c, n in got) >= 100
