@@ -32,17 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-15
-# rotation (the r14 verdict's "Next round" #1–#2, executed exactly):
-# this round's birth `truss_formation` (same-round-window rule — the
-# banked edge-side spin-up report, registered into the slot freed by
-# retiring the rows-only `doc_fingerprint` driver row per the r14
-# verdict's swap ruling; slot 1), plus ALL 49 queries whose latest
-# driver row is r11 (recomputed from CORRECTNESS_r01–r14 by
-# tools/rotation.py, strict criterion — never trust an estimate;
-# includes the flagship `two_hop_candidates` on its normal
-# post-canary cadence). 1 + 49 = 50 exactly — the swap and the
-# rotation compose with no spare slot this round.
+# value-hash row; rows-only queries the weaker rows check). Round-16
+# rotation (the r15 verdict's "Next round" #1, executed exactly): the
+# FULL 50-name r12-latest pool (recomputed from CORRECTNESS_r01–r15
+# by tools/rotation.py, strict criterion — never trust an estimate).
+# 50 = 50 exactly — NO birth slot this round (the pool fills the
+# window; birth capacity 0 per the tool's capacity line, matching the
+# corrected r16/r17/r18 swap schedule in NOTES "Window capacity").
 #
 # CANARY RETIRED (r11 verdict #1, executed r12): the flagship
 # `two_hop_candidates` rotates like every other query (latest row
@@ -57,58 +53,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    # -- born this round (same-round-window rule; swap ruling #1) --
-    "truss_formation",  # edge-side lifecycle spin-up report
-    # -- the 49 queries whose latest driver row is r11 (full pool) --
-    "background_edges",
-    "bigram_surprise",
-    "butterfly_counts",
-    "butterfly_counts_salted",
-    "chunk_documents",
-    "contamination_ngram",
-    "corpus_mix_allocation",
-    "cusum_upshifts",
-    "dedup_components",
-    "direction_mapped_edges",
-    "dsir_importance",
-    "ewma_spike_flags",
-    "feature_pairs",
-    "focus_plot_sum",
-    "hits_scores",
-    "iforest_points",
-    "inout_zero_fill",
-    "k_core_dissolution",
-    "k_truss",
-    "k_truss_windowed",
-    "label_propagation",
-    "multimodal_assemble",
-    "near_dup_jaccard_capped",
-    "near_dup_jaccard_salted",
-    "pagerank",
-    "pagerank_weighted",
-    "powerlaw_fit",
-    "pps_sample",
-    "range_join_event_context",
-    "repeated_passages",
-    "round_number_bias",
-    "sample_stratified",
-    "seeded_ppr",
-    "seeded_ppr_weighted",
-    "sink_accounts",
-    "stream_change_cosine",
-    "stream_change_scores",
-    "stream_sketch_sums",
-    "stream_value_milestones",
-    "term_frequencies",
-    "tfidf_top_terms",
-    "threshold_structuring",
-    "topk_per_group",
-    "trailing_window_avg",
-    "two_hop_candidates",
-    "user_profile_divergence",
-    "user_sessions",
-    "window_alignment",
-    "windowed_features",
+    # -- the 50 queries whose latest driver row is r12 (full pool) --
+    "account_features",
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "anomaly_scores_mahalanobis",
+    "asof_join_attribution",
+    "attention_routing_hashed",
+    "bucketed_degree_join",
+    "connected_components",
+    "connected_components_jump",
+    "connected_components_twostar",
+    "corpus_filter",
+    "corpus_token_budget",
+    "cube_events",
+    "date_functions",
+    "dedup_retention",
+    "degree_counts",
+    "filter_project",
+    "global_argmax",
+    "harmonic_centrality",
+    "heavy_pairs",
+    "intersect_except_users",
+    "json_props_extract",
+    "json_source_roundtrip",
+    "log_bin_means",
+    "media_features_hashed",
+    "media_frame_sample",
+    "media_pipeline_real",
+    "near_dup_levenshtein",
+    "near_dup_minhash_hashed",
+    "node_universe",
+    "orc_source_roundtrip",
+    "partition_pruned_scan",
+    "profit_by_nation_year",
+    "revenue_by_nation",
+    "rollup_orders",
+    "salted_user_totals",
+    "scalar_math",
+    "sketch_values_hashed",
+    "source_containment_minhash",
+    "stream_dedup_exact",
+    "stream_user_sessions",
+    "stream_window_event_stats",
+    "text_normalize",
+    "two_hop_intermediaries",
+    "two_hop_salted",
+    "union_dedup",
+    "value_percentiles",
+    "weight_stats",
+    "window_event_stats",
+    "window_topk_accounts",
 ]
 
 

@@ -49,37 +49,35 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round15_rotation_in_window():
-    """Round-15 rotation: the r15 birth (truss_formation, same-round-
-    window rule — registered into the slot freed by retiring the
-    rows-only doc_fingerprint driver row, the r14 verdict's swap
-    ruling #1) plus ALL 49 queries whose latest driver row is r11
-    (the pool recomputed from CORRECTNESS_r01-r14 by
-    tools/rotation.py, strict criterion; includes the flagship on its
-    normal post-canary cadence). 1 + 49 = 50 — no spare slot."""
+def test_round16_rotation_in_window():
+    """Round-16 rotation: NO birth slot (the r15 verdict's "Next round"
+    #1 — the pool is exactly the 50 queries whose latest driver row is
+    r12, recomputed from CORRECTNESS_r01-r15 by tools/rotation.py,
+    strict criterion; birth capacity 0). 50 = 50 — plain full-pool
+    rotation per the corrected r16/r17/r18 swap schedule."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the r15 birth (swap ruling #1)
-        "truss_formation",
-        # the 49 r11-latest queries
-        "background_edges", "bigram_surprise", "butterfly_counts",
-        "butterfly_counts_salted", "chunk_documents",
-        "contamination_ngram", "corpus_mix_allocation", "cusum_upshifts",
-        "dedup_components", "direction_mapped_edges", "dsir_importance",
-        "ewma_spike_flags", "feature_pairs", "focus_plot_sum",
-        "hits_scores", "iforest_points", "inout_zero_fill",
-        "k_core_dissolution", "k_truss", "k_truss_windowed",
-        "label_propagation", "multimodal_assemble",
-        "near_dup_jaccard_capped", "near_dup_jaccard_salted", "pagerank",
-        "pagerank_weighted", "powerlaw_fit", "pps_sample",
-        "range_join_event_context", "repeated_passages",
-        "round_number_bias", "sample_stratified", "seeded_ppr",
-        "seeded_ppr_weighted", "sink_accounts", "stream_change_cosine",
-        "stream_change_scores", "stream_sketch_sums",
-        "stream_value_milestones", "term_frequencies", "tfidf_top_terms",
-        "threshold_structuring", "topk_per_group", "trailing_window_avg",
-        "two_hop_candidates", "user_profile_divergence", "user_sessions",
-        "window_alignment", "windowed_features",
+        # the 50 r12-latest queries (full pool)
+        "account_features", "ann_cosine_topk", "ann_int8_topk",
+        "anomaly_scores_mahalanobis", "asof_join_attribution",
+        "attention_routing_hashed", "bucketed_degree_join",
+        "connected_components", "connected_components_jump",
+        "connected_components_twostar", "corpus_filter",
+        "corpus_token_budget", "cube_events", "date_functions",
+        "dedup_retention", "degree_counts", "filter_project",
+        "global_argmax", "harmonic_centrality", "heavy_pairs",
+        "intersect_except_users", "json_props_extract",
+        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
+        "media_frame_sample", "media_pipeline_real", "near_dup_levenshtein",
+        "near_dup_minhash_hashed", "node_universe", "orc_source_roundtrip",
+        "partition_pruned_scan", "profit_by_nation_year",
+        "revenue_by_nation", "rollup_orders", "salted_user_totals",
+        "scalar_math", "sketch_values_hashed", "source_containment_minhash",
+        "stream_dedup_exact", "stream_user_sessions",
+        "stream_window_event_stats", "text_normalize",
+        "two_hop_intermediaries", "two_hop_salted", "union_dedup",
+        "value_percentiles", "weight_stats", "window_event_stats",
+        "window_topk_accounts",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
@@ -153,6 +151,19 @@ def test_rotated_out_queries_still_registered():
         "profile_columns", "python_datasource_roundtrip",
         "relabel_reorder", "resample_gap_fill", "sketch_change_cosine",
         "udtf_word_explode", "variant_props_extract",
+        # the r15 window's oracled names rotated out by the r16 window
+        # (the r15 birth + the r11-pool names not listed above;
+        # stream_change_scores is rows-only, so it has no oracle row
+        # to assert here)
+        "truss_formation", "bigram_surprise", "butterfly_counts",
+        "butterfly_counts_salted", "contamination_ngram",
+        "corpus_mix_allocation", "cusum_upshifts", "dedup_components",
+        "dsir_importance", "ewma_spike_flags", "hits_scores", "k_truss",
+        "label_propagation", "near_dup_jaccard_capped",
+        "near_dup_jaccard_salted", "pagerank", "pagerank_weighted",
+        "pps_sample", "repeated_passages", "round_number_bias",
+        "seeded_ppr", "seeded_ppr_weighted", "stream_change_cosine",
+        "threshold_structuring", "user_profile_divergence",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"
