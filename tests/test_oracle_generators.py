@@ -852,7 +852,80 @@ class TestWindowedComponentCensus:
         by_w = {}
         for w, _c, n in got:
             by_w.setdefault(w, []).append(n)
-        assert max(len(v) for v in by_w.values()) >= 1
-        if sf != "sf0.001":
+        if sf == "sf0.001":
+            # measured build-time shape: a 10-row census spanning
+            # multiple windows, members conserved per window (every
+            # windowed node is in exactly one component, so each
+            # window's member sum equals its component-count-weighted
+            # total — at minimum, all counts positive and windows >= 2)
+            assert len(got) == 10
+            assert len(by_w) >= 2
+            assert all(n >= 1 for _w, _c, n in got)
+        else:
             assert max(len(v) for v in by_w.values()) > 1
             assert max(n for _w, _c, n in got) >= 100
+
+
+class TestSinkAccountsHighValue:
+    """r16: q_sink_accounts restricted to the high-value subgraph
+    (weight > SINK_WEIGHT_MIN) — the full-graph form was vacuous at
+    every driver SF (the r15 verdict nit: the mod-150 id space gives
+    every account an out-edge, so its green row only proved
+    empty==empty). These tests plant real sinks and pin nonvacuity on
+    the real data."""
+
+    def _fixture(self, spark, tmp_path):
+        """events whose derived HIGH-VALUE edge set has two planted
+        sinks: 2 (receives 500, sends only a low-value 10) and
+        5 (receives 450, sends nothing). 4 receives AND sends high
+        (not a sink); 7 only ever receives low value (not in the
+        high-value subgraph at all)."""
+        t0 = dt.datetime(2024, 1, 1)
+        planted = [
+            (1, 2, 500.0),  # high: 2 receives
+            (2, 3, 10.0),   # low: does NOT disqualify 2
+            (3, 4, 400.0),  # high: 4 receives...
+            (4, 5, 450.0),  # high: ...and sends, so 4 out / 5 in
+            (6, 7, 100.0),  # low: 7 never enters the subgraph
+        ]
+        rows = [
+            (n * 150 + dst, t0 + dt.timedelta(hours=n), src, "pay", w, "{}")
+            for n, (src, dst, w) in enumerate(planted)
+        ]
+        d = str(tmp_path / "sinks")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        return d
+
+    def test_planted_sinks_cross_engine(self, spark, tmp_path):
+        from autoaudit_spark.registry import ORACLES, QUERIES
+
+        d = self._fixture(spark, tmp_path)
+        got = [r["account"] for r in QUERIES["sink_accounts"](spark, d).collect()]
+        assert got == [2, 5]
+        expect = [r[0] for r in _duck(d).execute(ORACLES["sink_accounts"]).fetchall()]
+        assert got == expect
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_nonvacuous_and_exact_on_real_data(self, spark, sf_root, sf):
+        """The point of the r16 change: nonzero rows at EVERY driver SF
+        (measured 1 / 18 / 105) AND typed-row equality vs the oracle."""
+        import os
+
+        from autoaudit_spark.registry import ORACLES, QUERIES
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        expect = [r[0] for r in con.execute(ORACLES["sink_accounts"]).fetchall()]
+        got = [r["account"] for r in QUERIES["sink_accounts"](spark, d).collect()]
+        assert got == expect
+        assert len(got) >= 1
