@@ -2999,6 +2999,13 @@ def component_census_windowed(
             .limit(1)
             .count()
         )
+        # frees round 0's persist(); for checkpointed rounds it is a
+        # no-op and the superseded checkpoint blocks are freed by GC —
+        # the family discipline (see connected_components_jump), a
+        # known trade accepted at the measured ≤7-round fixpoints. The
+        # converged final round pays one superfluous checkpoint
+        # materialization; computing `changed` pre-checkpoint would
+        # instead re-execute the join plan every round — worse.
         labels.unpersist()
         labels = new_labels
         if changed == 0:

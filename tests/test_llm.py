@@ -343,16 +343,26 @@ class TestDocFingerprintRetiredKernel:
             q_doc_fingerprint_hashed,
         )
 
-        raw = {
-            r["doc_id"]: r["n_grams"]
-            for r in q_doc_fingerprint(spark, SF).collect()
-        }
+        rows = q_doc_fingerprint(spark, SF).collect()
+        raw = {r["doc_id"]: r["n_grams"] for r in rows}
         hashed = {
             r["doc_id"]: r["n_grams"]
             for r in q_doc_fingerprint_hashed(spark, SF).collect()
         }
         assert raw, "fingerprint kernel empty at sf0.001"
         assert raw == hashed
+        # r16 (r15 ADVICE): the retired driver row was the only check
+        # that ever touched the kernel's min/max fingerprint columns —
+        # pin their invariants here so a swapped min/max or dropped
+        # null-filter can't regress silently.
+        for r in rows:
+            assert r["min_hash"] is not None and r["max_hash"] is not None
+            assert r["min_hash"] <= r["max_hash"]
+            assert r["n_grams"] >= 1
+            # >1 distinct gram forces a strict spread (collision-free
+            # at fixture scale)
+            if r["n_grams"] > 1:
+                assert r["min_hash"] < r["max_hash"]
 
 
 class TestRetention:
