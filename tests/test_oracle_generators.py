@@ -929,3 +929,35 @@ class TestSinkAccountsHighValue:
         got = [r["account"] for r in QUERIES["sink_accounts"](spark, d).collect()]
         assert got == expect
         assert len(got) >= 1
+
+
+class TestIterativeTwinsTriSFStanding:
+    """r16 (r15 verdict #7): extend the census/hyperball standing
+    tri-SF cross-engine pattern to the iterative unrolled-twin family —
+    HITS (the decimal-quantized mutually-recursive pair) and seeded PPR
+    (the damped_walk kernel the whole pagerank family shares). The
+    per-round check.py sweeps certify these at rotation time; this
+    standing check keeps the oracle builders honest BETWEEN rotations
+    (a drift in either engine's unroll shows up on the next suite run,
+    not two rounds later at the next driver row)."""
+
+    @pytest.mark.parametrize("name", ["hits_scores", "seeded_ppr"])
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf, name):
+        import os
+
+        from autoaudit_spark.registry import ORACLES, QUERIES
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(ORACLES[name]).fetchall()
+        got = [tuple(r) for r in QUERIES[name](spark, d).collect()]
+        assert len(got) == len(want)
+        assert got == want
+        assert got, f"{name} vacuous at {sf}"
