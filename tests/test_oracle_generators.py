@@ -934,14 +934,18 @@ class TestSinkAccountsHighValue:
 class TestIterativeTwinsTriSFStanding:
     """r16 (r15 verdict #7): extend the census/hyperball standing
     tri-SF cross-engine pattern to the iterative unrolled-twin family —
-    HITS (the decimal-quantized mutually-recursive pair) and seeded PPR
-    (the damped_walk kernel the whole pagerank family shares). The
+    HITS (the decimal-quantized mutually-recursive pair), seeded PPR,
+    and weighted PageRank (the two registered damped_walk consumers —
+    between them every damped_walk code path: uniform vs weight-mass
+    contribution split and teleport-to-seed vs global teleport). The
     per-round check.py sweeps certify these at rotation time; this
     standing check keeps the oracle builders honest BETWEEN rotations
     (a drift in either engine's unroll shows up on the next suite run,
     not two rounds later at the next driver row)."""
 
-    @pytest.mark.parametrize("name", ["hits_scores", "seeded_ppr"])
+    @pytest.mark.parametrize(
+        "name", ["hits_scores", "seeded_ppr", "pagerank_weighted"]
+    )
     @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
     def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf, name):
         import os
