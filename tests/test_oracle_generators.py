@@ -594,13 +594,17 @@ class TestTrussLifecycle:
         assert got == expect
         assert got
 
+    @pytest.mark.parametrize("sfname", ["sf0.001", "sf0.01", "sf0.1"])
     def test_truss_persistence_cross_engine_exact_on_real_data(
-        self, spark, sf_root
+        self, spark, sf_root, sfname
     ):
         """Spark `truss_persistence` vs its DuckDB builder twin on real
-        sf0.01 events (measured histogram {1: 1449, 2: 803, 3: 27} —
-        multi-length runs, so the island arithmetic is exercised)."""
-        sf = f"{sf_root}/sf0.01"
+        events at ALL THREE SFs (r16: widened from sf0.01-only to the
+        census/hyperball standing tri-SF pattern ahead of its queued
+        r18 registration; measured 24 / 2,279 / 13,209 rows). The
+        sf0.01 histogram {1: 1449, 2: 803, 3: 27} has multi-length
+        runs, so the island arithmetic is exercised."""
+        sf = f"{sf_root}/{sfname}"
         from autoaudit_spark.operators.graph import (
             _truss_persistence_sql,
             truss_persistence,
@@ -618,7 +622,10 @@ class TestTrussLifecycle:
         ]
         assert got == expect
         assert got
-        assert len({n for *_k, n in got}) > 1
+        if sfname != "sf0.001":
+            # multi-length runs only appear from sf0.01 up (sf0.001's
+            # 24 runs are all single-window — measured {1})
+            assert len({n for *_k, n in got}) > 1
 
     def test_truss_lifecycle_identity_on_real_data(self, spark, sf_root):
         """The edge-side lifecycle identity on one shared truss
