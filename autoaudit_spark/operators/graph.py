@@ -4461,3 +4461,140 @@ def q_account_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(SUCCESSION_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Banked (pre-built, unregistered): deterministic walk-corpus generation
+# ---------------------------------------------------------------------------
+
+#: walks started per out-edge-bearing node and fixed walk depth. Depth is
+#: a PLAN constant (it sets the number of unrolled join stages in both
+#: engines), not a data-dependent fixpoint — no convergence loop, no
+#: checkpoint discipline needed (contrast the CC/peel family).
+WALKS_PER_NODE = 2
+WALK_DEPTH = 6
+#: modulus for the engine-portable walk-step hash (llm.text.HASH_P's
+#: twin): every intermediate stays < 2^63 in BIGINT math on both engines
+_WALK_P = 1000000007
+#: dst-packing radix: h * 2^31 + dst fits BIGINT (h < 1e9+7 < 2^30,
+#: dst < 2^31), so MIN over the packed key is a deterministic argmin
+#: with the dst recoverable by one modulo — no min_by/arg_min needed,
+#: and the plain MIN aggregate is map-side combinable.
+_WALK_RADIX = 2147483648
+
+
+def _walk_step_hash_sql(t: int) -> str:
+    """The portable per-candidate hash at step `t`, as DuckDB SQL over
+    columns (walk_id, dst) — byte-identical algebra to the Spark
+    expression in `walk_corpus` (same multiply/add/mod sequence, fully
+    parenthesized so both engines reduce identically)."""
+    return (
+        f"(((((walk_id * 1000003 + {t}) % {_WALK_P}) * 1000003 + dst) "
+        f"% {_WALK_P}) * 131 + 17) % {_WALK_P}"
+    )
+
+
+def _walk_corpus_sql(
+    walks_per_node: int = WALKS_PER_NODE, depth: int = WALK_DEPTH
+) -> str:
+    """Unrolled DuckDB twin of `walk_corpus`: one CTE per step (the
+    HITS/PPR unrolled-oracle pattern), each an equi-join + grouped
+    packed-MIN argmin over the shared adjacency derivation."""
+    ctes = [
+        f"""s0 AS (
+        SELECT CAST(node * {walks_per_node} + k.k AS BIGINT) AS walk_id,
+               node
+        FROM (SELECT DISTINCT src AS node FROM adj)
+        CROSS JOIN (SELECT UNNEST(range(0, {walks_per_node})) AS k) k
+    )"""
+    ]
+    for t in range(1, depth + 1):
+        ctes.append(
+            f"""s{t} AS (
+        SELECT walk_id,
+               MIN(({_walk_step_hash_sql(t)}) * {_WALK_RADIX} + dst)
+                   % {_WALK_RADIX} AS node
+        FROM s{t - 1} JOIN adj ON s{t - 1}.node = adj.src
+        GROUP BY walk_id
+    )"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(0, depth + 1)
+    ]
+    return (
+        f"{_ADJ_CTE},\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY walk_id, step"
+    )
+
+
+def walk_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    walks_per_node: int = WALKS_PER_NODE,
+    depth: int = WALK_DEPTH,
+) -> DataFrame:
+    """Walk-corpus generation (pre-built r16; registration awaits a free
+    window slot): DeepWalk/node2vec-style truncated walks over the
+    transaction graph — (walk_id, step, node), `walks_per_node` walks
+    from every out-edge-bearing node, each `depth` hops, next hop =
+    argmin over out-neighbors of an engine-portable polynomial hash of
+    (walk_id, step, candidate). The walk corpus is the input relation
+    for skip-gram graph-embedding training — the graph-side analogue of
+    the text pipeline's sequence prep (X58), and a capability the
+    reference's dense-matrix design cannot express at all.
+
+    Determinism IS the oracle story: the hash-guided next-hop is the
+    seeded-RNG-free twin of uniform sampling (the P9/J6 hash-Bernoulli
+    precedent), so the full corpus value-hashes against an unrolled
+    DuckDB twin instead of a rows-only check. At production the
+    polynomial mix swaps for xxhash64 (same plan, wider hash — the
+    doc_fingerprint_hashed discipline) and `walks_per_node` scales the
+    corpus linearly.
+
+    Scale posture (100 TB): state is one (walk_id, node) row per live
+    walk — O(N·walks_per_node), never the corpus × neighborhood
+    product; each of the `depth` stages is ONE equi-join on the
+    adjacency (shuffle keyed by node) + a grouped MIN that combines
+    map-side before the walk_id exchange. A hub src fans a sitting walk
+    out by its out-degree before the MIN collapses it — the standard
+    salted-join discipline (two_hop_salted) applies if a hub dominates;
+    walks on DISTINCT nodes never share work. Depth-bounded unrolled
+    joins, so lineage is fixed at build time — no iterative checkpoint
+    discipline needed (contrast `damped_walk`). Walks stop early at
+    sink nodes (inner join), mirrored exactly by the oracle."""
+    adj = adjacency(spark, sf_dir)
+    starts = adj.select(F.col("src").alias("node")).distinct()
+    cur = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
+        "node",
+    ).select(
+        (F.col("node") * walks_per_node + F.col("k"))
+        .cast("long")
+        .alias("walk_id"),
+        "node",
+    )
+    steps = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")]
+    for t in range(1, depth + 1):
+        h = (F.col("walk_id") * 1000003 + F.lit(t)) % _WALK_P
+        h = (h * 1000003 + F.col("dst")) % _WALK_P
+        h = (h * 131 + 17) % _WALK_P
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .groupBy("walk_id")
+            .agg(
+                (F.min(h * _WALK_RADIX + F.col("dst")) % _WALK_RADIX).alias(
+                    "node"
+                )
+            )
+        )
+        steps.append(
+            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("walk_id", "step")

@@ -972,3 +972,112 @@ class TestIterativeTwinsTriSFStanding:
         assert len(got) == len(want)
         assert got == want
         assert got, f"{name} vacuous at {sf}"
+
+
+class TestWalkCorpus:
+    """r16 banked walk-corpus generator: deterministic hash-guided
+    truncated walks (DeepWalk-style corpus prep). The cross-engine rows
+    prove Spark == DuckDB; the planted test proves BOTH engines == an
+    independent from-scratch simulation of the stated rule (argmin of
+    the portable polynomial hash over out-neighbors), so an algebra
+    slip shared by the two twins cannot hide."""
+
+    def _simulate(self, adj, walks_per_node, depth):
+        """Independent reimplementation (plain dicts, no Spark/SQL)."""
+        P, R = 1000000007, 2147483648
+        rows = []
+        for node in sorted(adj):
+            for k in range(walks_per_node):
+                w = node * walks_per_node + k
+                c = node
+                rows.append((w, 0, c))
+                for t in range(1, depth + 1):
+                    cands = adj.get(c)
+                    if not cands:
+                        break
+                    best = None
+                    for d in cands:
+                        h = (w * 1000003 + t) % P
+                        h = (h * 1000003 + d) % P
+                        h = (h * 131 + 17) % P
+                        key = h * R + d
+                        if best is None or key < best:
+                            best = key
+                    c = best % R
+                    rows.append((w, t, c))
+        return sorted(rows)
+
+    def test_planted_graph_matches_independent_simulation(
+        self, spark, tmp_path
+    ):
+        from autoaudit_spark.operators.graph import (
+            _walk_corpus_sql,
+            walk_corpus,
+        )
+
+        pairs = [(1, 2), (1, 3), (2, 1), (3, 2)]
+        d = _events_fixture(spark, tmp_path, pairs, "walks")
+        adj = {1: [2, 3], 2: [1], 3: [2]}
+        expect = self._simulate(adj, 2, 6)
+        got = [tuple(r) for r in walk_corpus(spark, d).collect()]
+        assert got == expect
+        assert len(got) == 3 * 2 * 7  # no sinks -> every walk completes
+        duck = _duck(d).execute(_walk_corpus_sql()).fetchall()
+        assert [tuple(r) for r in duck] == expect
+
+    def test_walk_stops_at_sink(self, spark, tmp_path):
+        """A walk reaching a node with no out-edges ends (inner join);
+        steps before the sink are still emitted."""
+        from autoaudit_spark.operators.graph import walk_corpus
+
+        # 1 -> 2 -> 3 (sink); walks from 3 emit only step 0
+        pairs = [(1, 2), (2, 3)]
+        d = _events_fixture(spark, tmp_path, pairs, "sink_walks")
+        got = [tuple(r) for r in walk_corpus(spark, d).collect()]
+        expect = self._simulate({1: [2], 2: [3]}, 2, 6)
+        assert got == expect
+        by_walk = {}
+        for w, t, n in got:
+            by_walk.setdefault(w, []).append((t, n))
+        # walks starting at 1: 1 -> 2 -> 3, then stop (3 steps)
+        assert [n for _t, n in sorted(by_walk[2])] == [1, 2, 3]
+        # starts are only out-edge-bearing nodes: 3 never starts a walk
+        assert set(by_walk) == {2, 3, 4, 5}
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf):
+        """Standing tri-SF check (the banked-pair pattern) + the
+        walks-follow-edges invariant on the Spark side."""
+        import os
+
+        from autoaudit_spark.operators.graph import (
+            _walk_corpus_sql,
+            walk_corpus,
+        )
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(_walk_corpus_sql()).fetchall()
+        df = walk_corpus(spark, d)
+        got = [tuple(r) for r in df.collect()]
+        assert got == want
+        assert got
+        # every consecutive (step t-1 -> t) hop is a real edge
+        from autoaudit_spark.sources import adjacency
+
+        edges = {
+            (r["src"], r["dst"]) for r in adjacency(spark, d).collect()
+        }
+        pos = {(w, t): n for w, t, n in got}
+        hops = [
+            ((pos[(w, t - 1)], n) in edges)
+            for (w, t), n in pos.items()
+            if t > 0
+        ]
+        assert hops and all(hops)

@@ -77,6 +77,9 @@ def _prebuilt_pairs():
             g.q_windowed_component_census,
             g._windowed_component_census_sql,
         ),
+        # the r16 deterministic walk-corpus generator (tri-SF exact at
+        # build time; unrolled portable-hash argmin oracle)
+        "walk_corpus": (g.walk_corpus, g._walk_corpus_sql),
     }
 
 
