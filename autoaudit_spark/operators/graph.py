@@ -4494,12 +4494,12 @@ def _walk_step_hash_sql(t: int) -> str:
     )
 
 
-def _walk_corpus_sql(
+def _walk_corpus_cte(
     walks_per_node: int = WALKS_PER_NODE, depth: int = WALK_DEPTH
 ) -> str:
-    """Unrolled DuckDB twin of `walk_corpus`: one CTE per step (the
-    HITS/PPR unrolled-oracle pattern), each an equi-join + grouped
-    packed-MIN argmin over the shared adjacency derivation."""
+    """The shared CTE chain: adj + one CTE per step + a `corpus` CTE
+    unioning them — composed by both `_walk_corpus_sql` and
+    `_walk_skipgram_sql` (the `_pq_train_cte_parts` dedup lesson)."""
     ctes = [
         f"""s0 AS (
         SELECT CAST(node * {walks_per_node} + k.k AS BIGINT) AS walk_id,
@@ -4522,13 +4522,135 @@ def _walk_corpus_sql(
         f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}"
         for t in range(0, depth + 1)
     ]
+    corpus = "corpus AS (\n        " + "\n        UNION ALL ".join(selects) + "\n    )"
+    return f"{_ADJ_CTE},\n    " + ",\n    ".join(ctes + [corpus])
+
+
+def _walk_corpus_sql(
+    walks_per_node: int = WALKS_PER_NODE, depth: int = WALK_DEPTH
+) -> str:
+    """Unrolled DuckDB twin of `walk_corpus`: one CTE per step (the
+    HITS/PPR unrolled-oracle pattern), each an equi-join + grouped
+    packed-MIN argmin over the shared adjacency derivation."""
     return (
-        f"{_ADJ_CTE},\n    "
-        + ",\n    ".join(ctes)
-        + "\n    "
-        + "\n    UNION ALL ".join(selects)
+        _walk_corpus_cte(walks_per_node, depth)
+        + "\n    SELECT walk_id, step, node FROM corpus"
         + "\n    ORDER BY walk_id, step"
     )
+
+
+#: skip-gram context radius: pairs (center, context) with
+#: 1 <= |step_center - step_context| <= window
+SKIPGRAM_WINDOW = 2
+
+
+def _walk_skipgram_sql(
+    walks_per_node: int = WALKS_PER_NODE,
+    depth: int = WALK_DEPTH,
+    window: int = SKIPGRAM_WINDOW,
+) -> str:
+    """DuckDB twin of `walk_skipgram_pairs`: the corpus CTE chain + one
+    within-walk banded self-join + grouped count."""
+    return (
+        _walk_corpus_cte(walks_per_node, depth)
+        + f"""
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM corpus a JOIN corpus b
+      ON a.walk_id = b.walk_id
+     AND b.step BETWEEN a.step - {window} AND a.step + {window}
+     AND a.step <> b.step
+    GROUP BY a.node, b.node
+    ORDER BY center, context"""
+    )
+
+
+def walk_skipgram_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    walks_per_node: int = WALKS_PER_NODE,
+    depth: int = WALK_DEPTH,
+    window: int = SKIPGRAM_WINDOW,
+) -> DataFrame:
+    """Skip-gram training-pair extraction (pre-built r16, banked with
+    `walk_corpus` — together they are the full graph-embedding data
+    prep: graph → walk corpus → (center, context, pair_cnt) co-occurrence
+    counts, the exact input relation a distributed word2vec/DeepWalk
+    trainer consumes). For every walk, every ordered pair of positions
+    within `window` steps of each other contributes one count; the
+    aggregated multiplicity (rather than one row per occurrence) is
+    what a trainer with frequency-weighted sampling wants, and it
+    collapses the output from corpus×window rows to the co-occurrence
+    support.
+
+    Scale posture (100 TB): the self-join keys on walk_id — walks are
+    bounded at `depth`+1 rows each, so the per-key fan-out is at most
+    (depth+1)·2·window regardless of graph size (no hub sensitivity:
+    hot NODES spread over many distinct walk_ids and only meet again
+    in the final grouped count, which combines map-side). One shuffle
+    for the self-join, one for the (center, context) aggregation."""
+    c = _walk_corpus_df(spark, sf_dir, walks_per_node, depth)
+    a = c.select(
+        "walk_id", F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = c.select(
+        "walk_id", F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sb") >= F.col("sa") - window)
+            & (F.col("sb") <= F.col("sa") + window)
+            & (F.col("sa") != F.col("sb"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .orderBy("center", "context")
+    )
+
+
+def _walk_corpus_df(
+    spark: SparkSession,
+    sf_dir: str,
+    walks_per_node: int,
+    depth: int,
+) -> DataFrame:
+    """Unordered corpus plan — `walk_corpus` adds the presentation
+    sort; `walk_skipgram_pairs` consumes this form directly so the
+    self-join is not built over a wasted global sort. Full semantics
+    documented on `walk_corpus` below."""
+    adj = adjacency(spark, sf_dir)
+    starts = adj.select(F.col("src").alias("node")).distinct()
+    cur = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
+        "node",
+    ).select(
+        (F.col("node") * walks_per_node + F.col("k"))
+        .cast("long")
+        .alias("walk_id"),
+        "node",
+    )
+    steps = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")]
+    for t in range(1, depth + 1):
+        h = (F.col("walk_id") * 1000003 + F.lit(t)) % _WALK_P
+        h = (h * 1000003 + F.col("dst")) % _WALK_P
+        h = (h * 131 + 17) % _WALK_P
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .groupBy("walk_id")
+            .agg(
+                (F.min(h * _WALK_RADIX + F.col("dst")) % _WALK_RADIX).alias(
+                    "node"
+                )
+            )
+        )
+        steps.append(
+            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 def walk_corpus(
@@ -4566,35 +4688,6 @@ def walk_corpus(
     joins, so lineage is fixed at build time — no iterative checkpoint
     discipline needed (contrast `damped_walk`). Walks stop early at
     sink nodes (inner join), mirrored exactly by the oracle."""
-    adj = adjacency(spark, sf_dir)
-    starts = adj.select(F.col("src").alias("node")).distinct()
-    cur = starts.select(
-        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),
-        "node",
-    ).select(
-        (F.col("node") * walks_per_node + F.col("k"))
-        .cast("long")
-        .alias("walk_id"),
-        "node",
+    return _walk_corpus_df(spark, sf_dir, walks_per_node, depth).orderBy(
+        "walk_id", "step"
     )
-    steps = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")]
-    for t in range(1, depth + 1):
-        h = (F.col("walk_id") * 1000003 + F.lit(t)) % _WALK_P
-        h = (h * 1000003 + F.col("dst")) % _WALK_P
-        h = (h * 131 + 17) % _WALK_P
-        cur = (
-            cur.join(adj, cur["node"] == adj["src"])
-            .groupBy("walk_id")
-            .agg(
-                (F.min(h * _WALK_RADIX + F.col("dst")) % _WALK_RADIX).alias(
-                    "node"
-                )
-            )
-        )
-        steps.append(
-            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
-        )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("walk_id", "step")

@@ -1081,3 +1081,75 @@ class TestWalkCorpus:
             if t > 0
         ]
         assert hops and all(hops)
+
+
+class TestWalkSkipgramPairs:
+    """r16 banked skip-gram pair extraction over the walk corpus — the
+    second stage of the graph-embedding data prep. Same proof shape as
+    TestWalkCorpus: both engines vs an independent pair count derived
+    from the independently-simulated walks."""
+
+    def _pairs_from_walks(self, rows, window=2):
+        by_walk = {}
+        for w, t, n in rows:
+            by_walk.setdefault(w, []).append((t, n))
+        cnt = {}
+        for steps in by_walk.values():
+            for ta, na in steps:
+                for tb, nb in steps:
+                    if ta != tb and abs(ta - tb) <= window:
+                        cnt[(na, nb)] = cnt.get((na, nb), 0) + 1
+        return sorted((c, x, n) for (c, x), n in cnt.items())
+
+    def test_planted_graph_matches_independent_simulation(
+        self, spark, tmp_path
+    ):
+        from autoaudit_spark.operators.graph import (
+            _walk_skipgram_sql,
+            walk_skipgram_pairs,
+        )
+
+        pairs = [(1, 2), (1, 3), (2, 1), (3, 2)]
+        d = _events_fixture(spark, tmp_path, pairs, "sg")
+        walks = TestWalkCorpus()._simulate({1: [2, 3], 2: [1], 3: [2]}, 2, 6)
+        expect = self._pairs_from_walks(walks)
+        got = [tuple(r) for r in walk_skipgram_pairs(spark, d).collect()]
+        assert got == expect
+        duck = _duck(d).execute(_walk_skipgram_sql()).fetchall()
+        assert [tuple(r) for r in duck] == expect
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf):
+        """Standing tri-SF check + the symmetry invariant (the window
+        condition is symmetric, so pair counts must be too) and the
+        mass identity vs the corpus (Σ pair_cnt = Σ per-walk in-window
+        ordered position pairs)."""
+        import os
+
+        from autoaudit_spark.operators.graph import (
+            _walk_corpus_sql,
+            _walk_skipgram_sql,
+            walk_skipgram_pairs,
+        )
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(_walk_skipgram_sql()).fetchall()
+        got = [tuple(r) for r in walk_skipgram_pairs(spark, d).collect()]
+        assert got == want
+        assert got
+        cnt = {(c, x): n for c, x, n in got}
+        assert cnt == {(x, c): n for (c, x), n in cnt.items()}
+        walks = con.execute(_walk_corpus_sql()).fetchall()
+        expect_mass = sum(
+            1
+            for c, x, n in TestWalkSkipgramPairs()._pairs_from_walks(walks)
+            for _ in range(n)
+        )
+        assert sum(cnt.values()) == expect_mass

@@ -78,8 +78,10 @@ def _prebuilt_pairs():
             g._windowed_component_census_sql,
         ),
         # the r16 deterministic walk-corpus generator (tri-SF exact at
-        # build time; unrolled portable-hash argmin oracle)
+        # build time; unrolled portable-hash argmin oracle) and its
+        # skip-gram pair-extraction companion
         "walk_corpus": (g.walk_corpus, g._walk_corpus_sql),
+        "walk_skipgram_pairs": (g.walk_skipgram_pairs, g._walk_skipgram_sql),
     }
 
 
