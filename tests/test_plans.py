@@ -716,3 +716,35 @@ class TestLifecycleKernelPlans:
         assert "BroadcastNestedLoopJoin" in p, p
         assert not re.findall(r"BroadcastNestedLoopJoin[^\n]*LeftAnti", p), p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestWalkFamilyPlans:
+    """r16 banked walk family: the plan properties that make the
+    embedding data prep scale — equi-joins only (the within-walk band
+    is a join RESIDUAL on the walk_id equi-key, never a cartesian),
+    map-side partial aggregation before every exchange, and scans
+    pruned to the two id columns the adjacency needs."""
+
+    def test_corpus_no_cartesian_and_pruned_scans(self, spark):
+        from autoaudit_spark.operators.graph import walk_corpus
+
+        p = plan(walk_corpus(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas
+        for s in schemas:
+            assert "props" not in s and "value" not in s and "ts" not in s
+
+    def test_skipgram_self_join_is_equi_on_walk_id(self, spark):
+        from autoaudit_spark.operators.graph import walk_skipgram_pairs
+
+        p = plan(walk_skipgram_pairs(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # simple mode prints the join keys inline: the banded self-join
+        # keys on walk_id (the step band rides as the join residual)
+        ps = plan(walk_skipgram_pairs(spark, SF), "simple")
+        assert re.search(r"Join \[walk_id#\d+L\], \[walk_id#\d+L\]", ps)
+        # pair counting combines map-side before the exchange
+        assert "partial_count" in ps
