@@ -32,13 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-16
-# rotation (the r15 verdict's "Next round" #1, executed exactly): the
-# FULL 50-name r12-latest pool (recomputed from CORRECTNESS_r01–r15
+# value-hash row; rows-only queries the weaker rows check). Round-17
+# rotation (the r16 verdict's "Next round" #1, executed exactly): the
+# FULL 50-name r13-latest pool (recomputed from CORRECTNESS_r01–r16
 # by tools/rotation.py, strict criterion — never trust an estimate).
 # 50 = 50 exactly — NO birth slot this round (the pool fills the
 # window; birth capacity 0 per the tool's capacity line, matching the
-# corrected r16/r17/r18 swap schedule in NOTES "Window capacity").
+# ratified r18 swap schedule in NOTES "Second retirement tranche").
 #
 # CANARY RETIRED (r11 verdict #1, executed r12): the flagship
 # `two_hop_candidates` rotates like every other query (latest row
@@ -53,57 +53,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    # -- the 50 queries whose latest driver row is r12 (full pool) --
-    "account_features",
-    "ann_cosine_topk",
-    "ann_int8_topk",
-    "anomaly_scores_mahalanobis",
-    "asof_join_attribution",
-    "attention_routing_hashed",
-    "bucketed_degree_join",
-    "connected_components",
-    "connected_components_jump",
-    "connected_components_twostar",
-    "corpus_filter",
-    "corpus_token_budget",
-    "cube_events",
-    "date_functions",
-    "dedup_retention",
-    "degree_counts",
-    "filter_project",
-    "global_argmax",
-    "harmonic_centrality",
-    "heavy_pairs",
-    "intersect_except_users",
-    "json_props_extract",
-    "json_source_roundtrip",
-    "log_bin_means",
-    "media_features_hashed",
-    "media_frame_sample",
-    "media_pipeline_real",
-    "near_dup_levenshtein",
-    "near_dup_minhash_hashed",
-    "node_universe",
-    "orc_source_roundtrip",
-    "partition_pruned_scan",
-    "profit_by_nation_year",
-    "revenue_by_nation",
-    "rollup_orders",
-    "salted_user_totals",
-    "scalar_math",
-    "sketch_values_hashed",
-    "source_containment_minhash",
-    "stream_dedup_exact",
-    "stream_user_sessions",
-    "stream_window_event_stats",
-    "text_normalize",
-    "two_hop_intermediaries",
-    "two_hop_salted",
-    "union_dedup",
-    "value_percentiles",
-    "weight_stats",
-    "window_event_stats",
-    "window_topk_accounts",
+    # -- the 50 queries whose latest driver row is r13 (full pool) --
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benford_digits",
+    "bpe_token_count",
+    "burst_detection",
+    "butterfly_counts_src",
+    "chisq_type_segment",
+    "clustering_coefficient",
+    "cohort_retention",
+    "containment_dedup",
+    "core_formation",
+    "corpus_budget_quantile",
+    "dataset_split",
+    "degree_assortativity",
+    "edge_reciprocity",
+    "embedding_centroids",
+    "event_transitions",
+    "funnel_stages",
+    "grouping_sets_events",
+    "hashing_tf",
+    "k_core",
+    "latest_snapshot",
+    "media_features_arrow",
+    "negative_edge_sample",
+    "pivot_event_matrix",
+    "repetition_metrics",
+    "robust_zscore",
+    "rolling_active_users",
+    "sequence_packing",
+    "session_concurrency",
+    "source_overlap_matrix",
+    "source_overlap_minhash",
+    "stream_funnel_stages",
+    "stream_latest_snapshot",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_upsert_sink",
+    "stream_value_histogram",
+    "temporal_cycles",
+    "text_scrub",
+    "triangle_count",
+    "truss_dissolution",
+    "two_hop_flow",
+    "two_hop_temporal",
+    "type_entropy",
+    "unigram_logprob",
+    "value_histogram",
+    "window_function_suite",
 ]
 
 

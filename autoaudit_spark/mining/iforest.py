@@ -179,7 +179,7 @@ def anomaly_scores(points: DataFrame, n_estimators: int = N_ESTIMATORS) -> DataF
     """applyInPandas per (window_start, pair_id): fit+score the group's
     2-D points. Output (window_start, account, pair_id, score)."""
 
-    def fit_score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[["x", "y"]].to_numpy(dtype=np.float64)
         # stable per-group seed → reproducible across retries/partitionings
         seed = (hash((int(key[1]), pdf["window_start"].iloc[0].value)) & 0x7FFFFFFF)

@@ -4483,6 +4483,26 @@ _WALK_P = 1000000007
 _WALK_RADIX = 2147483648
 
 
+def _walk_radix_guard(adj: DataFrame) -> DataFrame:
+    """Runtime radix guard (r16 advice): the packed argmin
+    `MIN(h*2^31 + dst) % 2^31` decodes the WRONG node on both engines
+    if dst ever reaches 2^31 — identically wrong, so the cross-engine
+    oracle cannot detect the violation. Trip loudly instead:
+    assert_true yields NULL for every conforming row (the filter passes
+    everything, results unchanged) and raises mid-job on the first
+    violating one. One JVM-side comparison per adjacency row; the
+    DuckDB twin needs no counterpart because results are unaffected."""
+    return adj.filter(
+        F.assert_true(
+            F.col("dst") < _WALK_RADIX,
+            F.lit(
+                "walk packed-argmin radix violated: dst >= 2^31; widen "
+                "_WALK_RADIX (and the oracle twin) before trusting walks"
+            ),
+        ).isNull()
+    )
+
+
 def _walk_step_hash_sql(t: int) -> str:
     """The portable per-candidate hash at step `t`, as DuckDB SQL over
     columns (walk_id, dst) — byte-identical algebra to the Spark
@@ -4619,7 +4639,7 @@ def _walk_corpus_df(
     sort; `walk_skipgram_pairs` consumes this form directly so the
     self-join is not built over a wasted global sort. Full semantics
     documented on `walk_corpus` below."""
-    adj = adjacency(spark, sf_dir)
+    adj = _walk_radix_guard(adjacency(spark, sf_dir))
     starts = adj.select(F.col("src").alias("node")).distinct()
     cur = starts.select(
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("k"),

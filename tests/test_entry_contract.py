@@ -49,35 +49,33 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round16_rotation_in_window():
-    """Round-16 rotation: NO birth slot (the r15 verdict's "Next round"
+def test_round17_rotation_in_window():
+    """Round-17 rotation: NO birth slot (the r16 verdict's "Next round"
     #1 — the pool is exactly the 50 queries whose latest driver row is
-    r12, recomputed from CORRECTNESS_r01-r15 by tools/rotation.py,
+    r13, recomputed from CORRECTNESS_r01-r16 by tools/rotation.py,
     strict criterion; birth capacity 0). 50 = 50 — plain full-pool
-    rotation per the corrected r16/r17/r18 swap schedule."""
+    rotation; the ratified r18 triple/quintuple swap lands next round."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the 50 r12-latest queries (full pool)
-        "account_features", "ann_cosine_topk", "ann_int8_topk",
-        "anomaly_scores_mahalanobis", "asof_join_attribution",
-        "attention_routing_hashed", "bucketed_degree_join",
-        "connected_components", "connected_components_jump",
-        "connected_components_twostar", "corpus_filter",
-        "corpus_token_budget", "cube_events", "date_functions",
-        "dedup_retention", "degree_counts", "filter_project",
-        "global_argmax", "harmonic_centrality", "heavy_pairs",
-        "intersect_except_users", "json_props_extract",
-        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
-        "media_frame_sample", "media_pipeline_real", "near_dup_levenshtein",
-        "near_dup_minhash_hashed", "node_universe", "orc_source_roundtrip",
-        "partition_pruned_scan", "profit_by_nation_year",
-        "revenue_by_nation", "rollup_orders", "salted_user_totals",
-        "scalar_math", "sketch_values_hashed", "source_containment_minhash",
-        "stream_dedup_exact", "stream_user_sessions",
-        "stream_window_event_stats", "text_normalize",
-        "two_hop_intermediaries", "two_hop_salted", "union_dedup",
-        "value_percentiles", "weight_stats", "window_event_stats",
-        "window_topk_accounts",
+        # the 50 r13-latest queries (full pool)
+        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
+        "benford_digits", "bpe_token_count", "burst_detection",
+        "butterfly_counts_src", "chisq_type_segment",
+        "clustering_coefficient", "cohort_retention", "containment_dedup",
+        "core_formation", "corpus_budget_quantile", "dataset_split",
+        "degree_assortativity", "edge_reciprocity", "embedding_centroids",
+        "event_transitions", "funnel_stages", "grouping_sets_events",
+        "hashing_tf", "k_core", "latest_snapshot", "media_features_arrow",
+        "negative_edge_sample", "pivot_event_matrix", "repetition_metrics",
+        "robust_zscore", "rolling_active_users", "sequence_packing",
+        "session_concurrency", "source_overlap_matrix",
+        "source_overlap_minhash", "stream_funnel_stages",
+        "stream_latest_snapshot", "stream_static_join",
+        "stream_stream_join", "stream_stream_left_join",
+        "stream_upsert_sink", "stream_value_histogram", "temporal_cycles",
+        "text_scrub", "triangle_count", "truss_dissolution",
+        "two_hop_flow", "two_hop_temporal", "type_entropy",
+        "unigram_logprob", "value_histogram", "window_function_suite",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
@@ -164,6 +162,28 @@ def test_rotated_out_queries_still_registered():
         "pps_sample", "repeated_passages", "round_number_bias",
         "seeded_ppr", "seeded_ppr_weighted", "stream_change_cosine",
         "threshold_structuring", "user_profile_divergence",
+        # the r16 window's oracled names rotated out by the r17 window
+        # (the full r12-latest pool; source_containment_minhash already
+        # sits in the r12/r13-births group above)
+        "account_features", "ann_cosine_topk", "ann_int8_topk",
+        "anomaly_scores_mahalanobis", "asof_join_attribution",
+        "attention_routing_hashed", "bucketed_degree_join",
+        "connected_components", "connected_components_jump",
+        "connected_components_twostar", "corpus_filter",
+        "corpus_token_budget", "cube_events", "date_functions",
+        "dedup_retention", "degree_counts", "filter_project",
+        "global_argmax", "harmonic_centrality", "heavy_pairs",
+        "intersect_except_users", "json_props_extract",
+        "json_source_roundtrip", "log_bin_means", "media_features_hashed",
+        "media_frame_sample", "media_pipeline_real", "near_dup_levenshtein",
+        "near_dup_minhash_hashed", "node_universe", "orc_source_roundtrip",
+        "partition_pruned_scan", "profit_by_nation_year",
+        "revenue_by_nation", "rollup_orders", "salted_user_totals",
+        "scalar_math", "sketch_values_hashed", "stream_dedup_exact",
+        "stream_user_sessions", "stream_window_event_stats",
+        "text_normalize", "two_hop_intermediaries", "two_hop_salted",
+        "union_dedup", "value_percentiles", "weight_stats",
+        "window_event_stats", "window_topk_accounts",
     ]
     for n in rotated_out:
         assert n in q and n in o, f"{n} lost registration or oracle"

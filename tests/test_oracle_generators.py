@@ -1044,6 +1044,36 @@ class TestWalkCorpus:
         # starts are only out-edge-bearing nodes: 3 never starts a walk
         assert set(by_walk) == {2, 3, 4, 5}
 
+    def test_radix_guard_trips_on_wide_dst(self, spark):
+        """r16 advice: dst >= 2^31 would make the packed argmin decode
+        the wrong node IDENTICALLY on both engines (the oracle can't
+        see it) — the runtime guard must raise loudly instead."""
+        from autoaudit_spark.operators.graph import (
+            _WALK_RADIX,
+            _walk_radix_guard,
+        )
+
+        ok = spark.createDataFrame(
+            [(1, _WALK_RADIX - 1)], "src LONG, dst LONG"
+        )
+        assert _walk_radix_guard(ok).count() == 1  # pass-through, no drop
+        bad = spark.createDataFrame([(1, _WALK_RADIX)], "src LONG, dst LONG")
+        with pytest.raises(Exception, match="radix violated"):
+            _walk_radix_guard(bad).count()
+
+    def test_real_edge_derivation_inside_radix(self, spark, sf_root):
+        """The current derivation (dst = event_id % 150) trivially fits
+        the radix — pin it on real data so a future widening of the
+        edge derivation trips THIS test even before any walk runs."""
+        from pyspark.sql import functions as F
+
+        from autoaudit_spark.operators.graph import _WALK_RADIX
+        from autoaudit_spark.sources import adjacency
+
+        d = f"{sf_root}/sf0.001"
+        mx = adjacency(spark, d).agg(F.max("dst")).collect()[0][0]
+        assert mx is not None and mx < _WALK_RADIX
+
     @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
     def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf):
         """Standing tri-SF check (the banked-pair pattern) + the

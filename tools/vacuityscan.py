@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 #: queries whose latest driver row is legitimately tiny — each is a
@@ -56,15 +57,21 @@ PENDING: dict[str, str] = {
 }
 
 
+#: strict round matcher (r16 advice): a stray file like
+#: CORRECTNESS_rXX.json must be SKIPPED, not crash the whole scan (and
+#: with it the standing test suite).
+_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+
 def latest_rows(repo: str) -> dict[str, tuple[int, int | None]]:
     """query -> (round, spark_rows) from its LATEST driver row."""
     latest: dict[str, tuple[int, int | None]] = {}
-    files = sorted(
-        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
-        key=lambda f: int(f.rsplit("_r", 1)[1].split(".")[0]),
-    )
-    for f in files:
-        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+    rounds = []
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _ROUND_RE.search(f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    for rnd, f in sorted(rounds):
         for name, rec in json.load(open(f)).items():
             latest[name] = (rnd, rec.get("spark_rows"))
     return latest
