@@ -974,6 +974,46 @@ class TestIterativeTwinsTriSFStanding:
         assert got, f"{name} vacuous at {sf}"
 
 
+class TestWindowedLifecycleTriSFStanding:
+    """r17 (r16 verdict #8): extend the standing tri-SF cross-engine
+    pattern to the REGISTERED windowed-lifecycle oracles — the family
+    with the largest unrolled-twin SQL (6-round peel CTE chains), where
+    builder drift between rotations would hurt most. Checked against
+    the live registry ORACLES (not the builder function) so a drift in
+    either the builder OR the registered snapshot shows up on the next
+    suite run, not two rounds later at the next driver row. Measured
+    shapes (r17): k_truss_windowed 24 / 3,136 / 15,895 rows;
+    core_persistence 0 / 150 / 1,373 rows — the sf0.001 core
+    persistence result is EMPTY by data (no account holds the k-core
+    threshold across consecutive windows at that scale), which is the
+    empty-result regime sf0.001 exists to exercise, so nonvacuity is
+    asserted from sf0.01 up only."""
+
+    @pytest.mark.parametrize(
+        "name", ["k_truss_windowed", "core_persistence"]
+    )
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+    def test_cross_engine_exact_on_real_data(self, spark, sf_root, sf, name):
+        import os
+
+        from autoaudit_spark.registry import ORACLES, QUERIES
+
+        d = f"{sf_root}/{sf}"
+        if not os.path.exists(f"{d}/events.parquet"):
+            pytest.skip(f"{sf} testdata absent")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(con.execute(ORACLES[name]).fetchall())
+        got = sorted(tuple(r) for r in QUERIES[name](spark, d).collect())
+        assert len(got) == len(want)
+        assert got == want
+        if not (name == "core_persistence" and sf == "sf0.001"):
+            assert got, f"{name} vacuous at {sf}"
+
+
 class TestWalkCorpus:
     """r16 banked walk-corpus generator: deterministic hash-guided
     truncated walks (DeepWalk-style corpus prep). The cross-engine rows
