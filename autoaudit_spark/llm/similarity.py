@@ -597,8 +597,15 @@ def q_near_dup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assign.withColumnsRenamed({"vec_id": "id1", "v": "v1"})
     b = assign.withColumnsRenamed({"vec_id": "id2", "v": "v2"})
     cos = cosine_sim(F.col("v1"), F.col("v2"))
+    # explicit-N repartition (r17): the within-cluster pair join does
+    # Σ n_c² cosine work from a tiny-by-bytes input — AQE's byte-based
+    # coalescing would serialize the quadratic compare into 1-2 tasks
+    # (measured +35% at sf0.1). REPARTITION_BY_NUM is exempt from
+    # coalescing, so the compare keeps cluster-wide parallelism.
+    n_parts = spark.sparkContext.defaultParallelism
     return (
-        a.join(b, ["cid"])
+        a.repartition(n_parts, "cid")
+        .join(b, ["cid"])
         .filter(F.col("id1") < F.col("id2"))
         .filter(cos >= NEAR_DUP_COS)
         .select(

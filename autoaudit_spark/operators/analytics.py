@@ -1191,6 +1191,14 @@ def q_ewma_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
+    # explicit-N repartition on the window key (r17): the {EWMA_LAGS}
+    # LAG expressions make this window stage CPU-bound per row while its
+    # input is small by bytes — AQE byte-based coalescing would shrink
+    # its parallelism (measured +35% at sf0.1). REPARTITION_BY_NUM is
+    # exempt; the window reuses the pinned hash(user_id) partitioning.
+    c = c.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = sum(
         F.coalesce(

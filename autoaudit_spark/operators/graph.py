@@ -51,7 +51,9 @@ def two_hop_counts(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFrame:
     nonzero/threshold/sort (`AA-Smurf.py:105-110`): self equi-join on the
     middle key + hash aggregate. One shuffle; scales as O(paths), not O(N²).
     """
-    a, b = adj.alias("a"), adj.alias("b")
+    # fanout_pin: path fan-out is Σ_m indeg(m)·outdeg(m) from a
+    # small-by-bytes adjacency (see fanout_pin's rationale)
+    a, b = fanout_pin(adj, "dst").alias("a"), adj.alias("b")
     return (
         a.join(b, F.col("a.dst") == F.col("b.src"))
         .groupBy(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
@@ -65,7 +67,7 @@ def two_hop_intermediaries(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFr
     """Intermediary extraction (`AA-Smurf.py:103,109`): the middle nodes m
     of each candidate pair, exploded to (src, dst, mid) rows so the DuckDB
     oracle can value-hash it (array results are only rows-checkable)."""
-    a, b = adj.alias("a"), adj.alias("b")
+    a, b = fanout_pin(adj, "dst").alias("a"), adj.alias("b")
     paths = a.join(b, F.col("a.dst") == F.col("b.src")).select(
         F.col("a.src").alias("src"),
         F.col("b.dst").alias("dst"),
@@ -82,6 +84,21 @@ def two_hop_intermediaries(adj: DataFrame, min_paths: int = MIN_PATHS) -> DataFr
         .distinct()
         .orderBy("src", "dst", "mid")
     )
+
+
+def fanout_pin(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit-N repartition on a fan-out join's key (r17): the wedge /
+    path self-joins do quadratic-in-degree reduce work from inputs that
+    are tiny BY BYTES, so AQE's byte-based partition coalescing would
+    run the whole expansion in 1-2 tasks (measured: account_succession
+    2.9 → 11.6 s at sf0.1 when its wedge join coalesced). A
+    user-specified numPartitions (REPARTITION_BY_NUM) is exempt from
+    AQE coalescing, so pinning ONE side of the join holds the whole
+    join stage at cluster parallelism — while every byte-dominated
+    shuffle in the session still coalesces adaptively. At real scale
+    the inputs exceed the advisory partition size and the pin changes
+    nothing (the join would run wide anyway)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
 
 
 def node_universe(edges_df: DataFrame) -> DataFrame:
@@ -158,10 +175,14 @@ def two_hop_counts_salted(
     over `salt_buckets` tasks at the cost of replicating side b ×buckets.
     Path counts are unchanged — every (a-edge, b-edge) pair still meets
     exactly once, in exactly one bucket."""
-    a = adj.select(
-        F.col("src"),
-        F.col("dst").alias("mid"),
-        F.pmod(F.hash("src", "dst"), F.lit(salt_buckets)).alias("salt"),
+    a = fanout_pin(
+        adj.select(
+            F.col("src"),
+            F.col("dst").alias("mid"),
+            F.pmod(F.hash("src", "dst"), F.lit(salt_buckets)).alias("salt"),
+        ),
+        "mid",
+        "salt",
     )
     b = adj.select(
         F.col("src").alias("mid"),
@@ -818,10 +839,17 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         F.col("node").alias("s"), F.col("node").alias("c")
     ).localCheckpoint()
     seen = frontier
+    # explicit-N repartition on the expansion key (r17): the frontier⋈nbr
+    # join fans out quadratically at hubs from a small-by-bytes frontier
+    # — AQE byte-based coalescing serialized the whole ball expansion
+    # into 1-2 tasks (measured 9.0 → 26.2 s at sf0.1 before this pin).
+    # REPARTITION_BY_NUM is exempt from coalescing.
+    n_parts = adj.sparkSession.sparkContext.defaultParallelism
     shell_counts: list[DataFrame] = []
     for d in range(1, depth + 1):
         cand = (
-            frontier.join(nbr, frontier.c == nbr.u)
+            frontier.repartition(n_parts, "c")
+            .join(nbr, frontier.c == nbr.u)
             .select("s", F.col("v").alias("c"))
             .distinct()
         )
@@ -2246,7 +2274,8 @@ def wedge_common_counts(nbr: DataFrame, min_common: int = MIN_PATHS) -> DataFram
     """The unsalted wedge-join core of `node_jaccard`: common-neighbor
     counts for node pairs sharing ≥ min_common neighbors. `nbr` is the
     symmetric (node, nb) neighbor relation."""
-    x, y = nbr.alias("x"), nbr.alias("y")
+    # fanout_pin: wedge reduce work is deg(nb)² from a tiny-bytes input
+    x, y = fanout_pin(nbr, "nb").alias("x"), nbr.alias("y")
     return (
         x.join(
             y,
@@ -2273,10 +2302,14 @@ def wedge_common_counts_salted(
     (x-row, y-row) wedge still meets exactly once, in exactly one
     bucket, so counts are unchanged — asserted bit-identical by
     tools/skewprobe.py on the hub fixture."""
-    x = nbr.select(
-        "node",
+    x = fanout_pin(
+        nbr.select(
+            "node",
+            "nb",
+            F.pmod(F.hash("node", "nb"), F.lit(salt_buckets)).alias("salt"),
+        ),
         "nb",
-        F.pmod(F.hash("node", "nb"), F.lit(salt_buckets)).alias("salt"),
+        "salt",
     ).alias("x")
     y = nbr.select(
         "node",
@@ -4231,7 +4264,7 @@ def q_butterfly_counts_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A/B at sf0.1 warm: 1.89–2.37 s checkpointed vs 1.95–2.80 s
     recomputed)."""
     adj = adjacency(spark, sf_dir)
-    x, y = adj.alias("x"), adj.alias("y")
+    x, y = fanout_pin(adj, "src").alias("x"), adj.alias("y")
     wdg = (
         x.join(
             y,
@@ -4318,7 +4351,7 @@ def q_butterfly_counts_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w", "src", "dst")
         .distinct()
     )
-    x, y = wadj.alias("x"), wadj.alias("y")
+    x, y = fanout_pin(wadj, "w", "src").alias("x"), wadj.alias("y")
     common = (
         x.join(
             y,

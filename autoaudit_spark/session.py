@@ -8,8 +8,39 @@ On a real 1000-executor cluster the same settings apply unchanged except
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def scratch_base() -> str | None:
+    """Fast local scratch for shuffle spill, streaming checkpoints and
+    staged test relations (r17 optimization, guide §2.1/§6: local-disk
+    bandwidth is often the tighter limit for shuffle and state-store
+    commits — put scratch on the fastest local storage available).
+
+    Resolution order:
+    - `$SPARK_GRAFT_SCRATCH` — explicit override (a cluster points this
+      at its NVMe scratch mount; streaming checkpoints that must survive
+      driver loss belong on durable storage instead and a deployment
+      sets `checkpointLocation` explicitly in its sink config);
+    - `$TMPDIR` set — respect it (tempfile already does);
+    - writable `/dev/shm` — tmpfs: measured here, HDFS-backed state
+      store commits and micro-batch metadata logs pay per-file fs
+      latency on a spinning-rust/virtio `/tmp`, and tmpfs removes it;
+    - else None (tempfile default, usually /tmp).
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if explicit:
+        os.makedirs(explicit, exist_ok=True)
+        return explicit
+    if os.environ.get("TMPDIR"):
+        return None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm/spark-graft-scratch"
+        os.makedirs(base, exist_ok=True)
+        return base
+    return None
 
 
 def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -26,19 +57,34 @@ def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    scratch = scratch_base()
+    if scratch is not None:
+        # move ALL python-side scratch (streaming checkpoints + replay
+        # dirs, staged bucketed relations) along with Spark's own
+        # spill/shuffle scratch — tempfile.mkdtemp sites pick this up
+        tempfile.tempdir = scratch
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE coalescing merges small shuffle partitions by BYTE size; our
-        # pandas-UDF stages (iforest, sketches) are CPU-bound per row, so
-        # at test scale (~MBs) it collapses them to 1 partition and
-        # serializes the forest (measured 35s -> 5.5s at sf0.01 off).
-        # On a real cluster partitions exceed the advisory size and
-        # re-enabling is free; locally the extra empty tasks cost ~ms.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # r17: AQE partition coalescing ON — the scale-correct default
+        # (guide §2.2: fewer, larger reduce partitions; locally it
+        # collapses the KB-sized per-round shuffles of the iterative
+        # graph/greedy families to 1-2 tasks instead of a fixed 32).
+        # The one CPU-bound-per-row pandas stage this used to serialize
+        # (iforest fit, the r3 measurement behind the old disable) now
+        # pins its parallelism with an explicit-N repartition, which
+        # AQE coalescing never touches (REPARTITION_BY_NUM).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set (r17, measured): `maxShuffledHashJoinLocalMapThreshold`
+        # (AQE runtime SMJ→SHJ rewrite, guide §3.1) was A/B'd at 64 MB
+        # across the iterative/lifecycle families — no row improved
+        # (hits 9.9 vs 9.1, k_core 4.0 vs 4.2, dedup_components 3.6 vs
+        # 3.5) and the hash build over the large anti-join state cost
+        # harmonic_centrality ~30% (14.2 vs 10.9 s) — so it stays at
+        # the default 0 (off).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -48,6 +94,8 @@ def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None 
         # default; read as long and convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if scratch is not None:
+        builder = builder.config("spark.local.dir", os.path.join(scratch, "local"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
