@@ -194,13 +194,41 @@ def replay_events_chunked(
     # buffered state (outer-join rows, timers) would never drain.
     # Sentinel event_ids are negative and distinct — consumers drop them
     # with `event_id >= 0` on the drained result.
-    sentinel_rows = [
-        (-1, -(i + 1), sentinel_ts, 0.0) + ((t,) if include_type else ())
-        for i, t in enumerate(sentinel_types)
-    ]
-    spark.createDataFrame(sentinel_rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(sent_dir)
+    #
+    # Built PURE-JVM from a 1-partition range (r17, guide §4): a
+    # `createDataFrame(rows).coalesce(1)` here planned a Scan
+    # ExistingRDD whose single write task evaluated defaultParallelism
+    # Python partitions SEQUENTIALLY — a measured ~5 s fixed cost per
+    # replay construction for a 1-2 row file (0.2 s this way). The
+    # timestamp literal goes through exact epoch micros (naive == UTC
+    # by the session convention), never a datetime literal, so no
+    # engine-tz conversion can shift the watermark sentinel.
+    sentinel_us = int(
+        sentinel_ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    type_cols = (
+        [
+            F.element_at(
+                F.array(*[F.lit(t) for t in sentinel_types]),
+                (F.col("id") + 1).cast("int"),
+            ).alias("event_type")
+        ]
+        if include_type
+        else []
+    )
+    (
+        spark.range(0, len(sentinel_types), 1, 1)
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (-(F.col("id") + 1)).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(sentinel_us)).alias("ts"),
+            F.lit(0.0).alias("value"),
+            *type_cols,
+        )
+        .write.mode("overwrite")
+        .parquet(sent_dir)
+    )
     src = next(f for f in os.listdir(sent_dir) if f.endswith(".parquet"))
     dst = os.path.join(replay_dir, "zz_sentinel.parquet")
     shutil.move(os.path.join(sent_dir, src), dst)
@@ -214,23 +242,79 @@ def replay_events_chunked(
     )
 
 
-def drain(sdf: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+#: advisory bytes per streaming state partition — mirrors the session's
+#: AQE `advisoryPartitionSizeInBytes` default (64 MB). AQE does not
+#: apply to streaming plans, so `stream_state_partitions` re-implements
+#: its coalescing decision for the stateful operators' shuffle.
+STREAM_ADVISORY_BYTES = 64 * 1024 * 1024
+
+
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive state-partition count for the bounded replay
+    streams (r17, guide §2.2): every stateful operator keeps ONE state
+    store instance per shuffle partition, and each micro-batch pays a
+    fixed load/commit cost per instance — measured at sf0.1, the
+    interval join's wall time is ~linear in the partition count
+    (32 → 20.5 s, 8 → 11.3 s, 2 → 9.1 s) while the join work itself is
+    tiny. A batch plan of the same shape would have its post-shuffle
+    partitions coalesced by AQE to input_bytes/advisory; AQE is
+    unavailable in streaming, so size the streaming shuffle the same
+    way from the replayed source's file size, clamped to the session's
+    scale-correct ceiling (at cluster scale the byte count, not the
+    ceiling, dominates: 100 TB / 64 MB advisory saturates any sane
+    `spark.sql.shuffle.partitions` setting). Deployments can pin it via
+    `SPARK_GRAFT_STREAM_STATE_PARTITIONS` (state partition count is
+    fixed per checkpoint lifetime, so durable production streams size
+    for PEAK throughput, not first-batch bytes)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if env:
+        return max(1, min(int(env), ceiling))
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return ceiling
+    return max(1, min(-(-nbytes // STREAM_ADVISORY_BYTES), ceiling))
+
+
+def drain(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    sf_dir: str | None = None,
+) -> DataFrame:
     """Run a streaming relation to completion (`availableNow` trigger —
     process everything queued, then stop) into a memory sink; return the
     materialized result. This is a real incremental execution, not a
     batch rewrite: state store, watermarks, and micro-batch planning all
-    engage."""
+    engage.
+
+    With `sf_dir` given, the stream runs at the scale-adaptive
+    state-partition count (`stream_state_partitions`); the session
+    setting is restored after the drain so batch queries never see the
+    narrowed value. Results are partition-count-independent (the same
+    guarantee AQE coalescing relies on for batch plans)."""
     spark = sdf.sparkSession
     ck = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if sf_dir is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stream_state_partitions(spark, sf_dir)),
+        )
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if sf_dir is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
 
 
@@ -282,6 +366,7 @@ def q_stream_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain(
         windowed_event_stats_stream(stream_events(spark, sf_dir)),
         "stream_window_event_stats",
+        sf_dir=sf_dir,
     )
     return out.orderBy("window_start", "event_type")
 
@@ -342,6 +427,7 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain(
         user_sessions_stream(stream_events(spark, sf_dir)),
         "stream_user_sessions",
+        sf_dir=sf_dir,
     )
     return out.orderBy("user_id", "session_start")
 
@@ -400,6 +486,7 @@ def q_stream_sketch_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = drain(
         sketch_sums_stream(stream_events(spark, sf_dir)),
         "stream_sketch_sums",
+        sf_dir=sf_dir,
     )
     return out.orderBy("window_start", "sketch_id")
 
@@ -538,6 +625,7 @@ def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "stream_value_milestones",
         output_mode="append",
+        sf_dir=sf_dir,
     )
     return out.orderBy("user_id", "ts_us", "event_id")
 
@@ -697,6 +785,7 @@ def q_stream_change_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_change_scores(stream, n_sketch=n_sketch),
         "stream_change_scores",
         output_mode="append",
+        sf_dir=sf_dir,
     )
     # single-stream input → one state key (stream_id 0); drop it
     return out.select(
@@ -905,6 +994,7 @@ def q_stream_change_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_change_cosine(stream, n_sketch=n_sketch),
         "stream_change_cosine",
         output_mode="append",
+        sf_dir=sf_dir,
     )
     return out.select(
         F.timestamp_micros("window_start").alias("window_start"),
@@ -940,7 +1030,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .filter(F.col("event_id") >= 0)  # drop the replay sentinel row
     )
-    out = drain(deduped, "stream_dedup_exact", output_mode="append")
+    out = drain(deduped, "stream_dedup_exact", output_mode="append", sf_dir=sf_dir)
     return out.select("user_id", "event_id", "ts", "value").orderBy("event_id")
 
 
@@ -983,7 +1073,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tot_value"),
         )
     )
-    out = drain(agg, "stream_static_join", output_mode="complete")
+    out = drain(agg, "stream_static_join", output_mode="complete", sf_dir=sf_dir)
     return out.orderBy("mktsegment")
 
 
@@ -1028,7 +1118,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
-    out = drain(joined, "stream_stream_join", output_mode="append")
+    out = drain(joined, "stream_stream_join", output_mode="append", sf_dir=sf_dir)
     # sentinel view×click self-match (user −1) drops here, post-drain
     return out.filter(F.col("view_id") >= 0).orderBy("view_id", "click_id")
 
@@ -1101,7 +1191,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 DAY")),
         "left_outer",
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
-    out = drain(joined, "stream_stream_left_join", output_mode="append")
+    out = drain(joined, "stream_stream_left_join", output_mode="append", sf_dir=sf_dir)
     # the sentinel view row drops here, post-drain (matched or not)
     return out.filter(F.col("view_id") >= 0).orderBy("view_id", "click_id")
 
@@ -1222,7 +1312,10 @@ def q_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
     )
     out = drain(
-        funnel_stream(stream), "stream_funnel_stages", output_mode="append"
+        funnel_stream(stream),
+        "stream_funnel_stages",
+        output_mode="append",
+        sf_dir=sf_dir,
     )
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "stage")
 
@@ -1266,7 +1359,7 @@ def q_stream_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max_by(row, ordkey).alias("r"))
     )
-    out = drain(agg, "stream_latest_snapshot", output_mode="complete")
+    out = drain(agg, "stream_latest_snapshot", output_mode="complete", sf_dir=sf_dir)
     return out.select(
         "user_id",
         F.col("r.event_id").alias("event_id"),
@@ -1456,7 +1549,7 @@ def q_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "None",
         )
     )
-    out = drain(updates, "stream_tws_user_totals", output_mode="update")
+    out = drain(updates, "stream_tws_user_totals", output_mode="update", sf_dir=sf_dir)
     final = (
         out.groupBy("user_id")
         .agg(
@@ -1508,5 +1601,5 @@ def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
-    out = drain(agg, "stream_value_histogram", output_mode="complete")
+    out = drain(agg, "stream_value_histogram", output_mode="complete", sf_dir=sf_dir)
     return out.orderBy("bucket")
