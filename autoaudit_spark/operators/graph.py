@@ -839,16 +839,14 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         F.col("node").alias("s"), F.col("node").alias("c")
     ).localCheckpoint()
     seen = frontier
-    # explicit-N repartition on the expansion key (r17): the frontier⋈nbr
-    # join fans out quadratically at hubs from a small-by-bytes frontier
-    # — AQE byte-based coalescing serialized the whole ball expansion
-    # into 1-2 tasks (measured 9.0 → 26.2 s at sf0.1 before this pin).
-    # REPARTITION_BY_NUM is exempt from coalescing.
-    n_parts = adj.sparkSession.sparkContext.defaultParallelism
+    # fanout_pin (r17): round 1's frontier is the node list — tiny by
+    # bytes — and the expansion join fans out quadratically at hubs, so
+    # AQE byte-based coalescing serializes the whole ball expansion
+    # (measured 9.3 s pinned vs 29.3 s unpinned at sf0.1).
     shell_counts: list[DataFrame] = []
     for d in range(1, depth + 1):
         cand = (
-            frontier.repartition(n_parts, "c")
+            fanout_pin(frontier, "c")
             .join(nbr, frontier.c == nbr.u)
             .select("s", F.col("v").alias("c"))
             .distinct()

@@ -282,6 +282,7 @@ def drain(
     name: str,
     output_mode: str = "complete",
     sf_dir: str | None = None,
+    cpu_bound: bool = False,
 ) -> DataFrame:
     """Run a streaming relation to completion (`availableNow` trigger —
     process everything queued, then stop) into a memory sink; return the
@@ -293,15 +294,28 @@ def drain(
     state-partition count (`stream_state_partitions`); the session
     setting is restored after the drain so batch queries never see the
     narrowed value. Results are partition-count-independent (the same
-    guarantee AQE coalescing relies on for batch plans)."""
+    guarantee AQE coalescing relies on for batch plans).
+
+    `cpu_bound=True` is the streaming twin of the batch explicit-N pins:
+    a per-key Python-stateful operator (applyInPandasWithState over many
+    keys) is CPU-bound per key, not per byte, so it keeps the session's
+    full parallelism instead of the byte-derived count (measured at
+    sf0.01: milestones 9.1 s at 1 partition vs 8.5 s at 32 — and the
+    gap grows with data since the Python work scales and the byte
+    sizing would stay at 1 until 64 MB). Single-key stateful streams
+    (stream_id-keyed scorers) must NOT set it — their Python work
+    cannot parallelize, so byte-sizing is strictly better (3.2 vs
+    3.8 s measured)."""
     spark = sdf.sparkSession
     ck = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if sf_dir is not None:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stream_state_partitions(spark, sf_dir)),
+        parts = (
+            int(old_sp)
+            if cpu_bound
+            else stream_state_partitions(spark, sf_dir)
         )
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -626,6 +640,7 @@ def q_stream_value_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_value_milestones",
         output_mode="append",
         sf_dir=sf_dir,
+        cpu_bound=True,  # per-USER Python state: parallelism over bytes
     )
     return out.orderBy("user_id", "ts_us", "event_id")
 
@@ -1549,7 +1564,13 @@ def q_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "None",
         )
     )
-    out = drain(updates, "stream_tws_user_totals", output_mode="update", sf_dir=sf_dir)
+    out = drain(
+        updates,
+        "stream_tws_user_totals",
+        output_mode="update",
+        sf_dir=sf_dir,
+        cpu_bound=True,  # per-USER Python state: parallelism over bytes
+    )
     final = (
         out.groupBy("user_id")
         .agg(
