@@ -835,6 +835,7 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         .persist()
     )
     nodes = node_universe(adj).persist()
+    n_nodes = nodes.count()
     frontier = nodes.select(
         F.col("node").alias("s"), F.col("node").alias("c")
     ).localCheckpoint()
@@ -857,6 +858,27 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         )
         seen = seen.union(shell)
         frontier = shell
+        if d < depth:
+            # Active-source prune (r17, guide §2.4 — don't compute what
+            # you throw away): a source whose seen-ball already covers
+            # EVERY node cannot contribute a new shell row — all its
+            # candidates anti-join away — so drop its frontier rows
+            # before the next expansion. Provably result-identical
+            # (shells are unchanged sets; a pruned source's next shell
+            # was empty by construction). On this data the distance-2
+            # ball is already the whole graph, so round 3 previously
+            # expanded ~200M candidate rows to produce an EMPTY shell
+            # (measured 12.4 s of 21.5 s total at sf0.1); the prune
+            # replaces that with a ball-count aggregate + semi-join
+            # over Σ|ball| rows. At scale this is Pregel-style
+            # vote-to-halt: completed sources leave the frontier.
+            active = (
+                seen.groupBy("s")
+                .agg(F.count("*").alias("ball"))
+                .filter(F.col("ball") < F.lit(n_nodes))
+                .select("s")
+            )
+            frontier = shell.join(active, "s", "left_semi")
     out = nodes
     for d, cnt in enumerate(shell_counts, start=1):
         out = out.join(cnt, out.node == cnt.s, "left").drop("s")

@@ -1445,6 +1445,31 @@ class TestHarmonicCentrality:
         with pytest.raises(ValueError, match="depth"):
             harmonic_centrality(adj, depth=0)
 
+    def test_active_source_prune_exact_on_mixed_components(self, spark):
+        """r17 prune regression pin: sources that cover their WHOLE
+        graph early (triangle nodes — ball complete at d=1 in the
+        clique component... here at d=2 globally) coexist with a
+        disconnected component whose sources are complete-in-component
+        but NOT globally (ball < N forever). The prune must drop the
+        former from later frontiers without perturbing any shell count,
+        and the latter's empty shells must stay empty (their frontier
+        dies naturally, not via the prune). Expected values are the
+        same hand-BFS as the star fixture."""
+        from autoaudit_spark.operators.graph import harmonic_centrality
+
+        # component A: path 0-1-2-3 (longest distance 3)
+        # component B: triangle 10-11-12 (every ball complete at d=1)
+        edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+        adj = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["n1"], r["n2"], r["n3"], r["harmonic"])
+            for r in harmonic_centrality(adj).collect()
+        }
+        assert got[0] == (1, 1, 1, 1 + 1 / 2.0 + 1 / 3.0)
+        assert got[1] == (2, 1, 0, 2 + 1 / 2.0 + 0 / 3.0)
+        assert got[10] == (2, 0, 0, 2 + 0 / 2.0 + 0 / 3.0)
+        assert len(got) == 7
+
 
 class TestHyperballQuality:
     def test_ball_estimates_track_exact_on_real_data(self, spark, sf_root):
