@@ -368,9 +368,11 @@ def connected_components(adj: DataFrame, max_iter: int = 50) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            # eager lineage truncation — labels appears twice per round
-            # (neigh + join); see pagerank note
-            .localCheckpoint()
+            # lazy lineage truncation (r17): the changed-probe count
+            # below is the materializing action — one job per round
+            # instead of checkpoint + probe; labels still appears twice
+            # per round and both consumers read the cached blocks
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -623,7 +625,8 @@ def connected_components_jump(adj: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.coalesce("jlabel", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: materialized by the changed-probe count (r17)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -727,7 +730,12 @@ def connected_components_twostar(
                 small_m.select(F.col("m").alias("a"), F.col("u").alias("b"))
             )
             .distinct()
-            .localCheckpoint()
+            # lazy: materialized by the convergence exceptAll probes
+            # (r17); e_large above stays EAGER — its first consumer at
+            # scale can be a broadcast build (small_m), and a broadcast
+            # build must never carry a half-round's shuffle work
+            # (guide §3.1 broadcast-timeout signature)
+            .localCheckpoint(eager=False)
         )
         converged = (
             e_small.exceptAll(e).isEmpty() and e.exceptAll(e_small).isEmpty()
@@ -2431,10 +2439,16 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    core = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    # lazy checkpoints (r17): each count() is the materializing action,
+    # halving the per-round job count; see truss_peel's note
+    core = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     prev_n = core.count()
     for _ in range(K_CORE_ROUNDS):
-        core = k_core_peel(sym, core, K_CORE_K).localCheckpoint()
+        core = k_core_peel(sym, core, K_CORE_K).localCheckpoint(eager=False)
         n = core.count()
         if n == prev_n:  # monotone shrink → equal count == fixpoint
             break
@@ -2511,11 +2525,17 @@ def truss_peel(
     kl = list(keys)
     prev_n = e.count()
     for _ in range(rounds):
+        # lazy checkpoint (r17, guide §1/§2: fewer job barriers): the
+        # count() on the next line is the materializing action, so the
+        # round runs as ONE job instead of an eager-checkpoint job plus
+        # a count job. Identical results — the RDD is checkpoint-marked
+        # and cached by that same count, and every later consumer reads
+        # the cached blocks exactly as before.
         e_next = (
             e.join(edge_support(e, keys), kl + ["a", "b"])
             .filter(F.col("s") >= k - 2)
             .select(*kl, "a", "b", "s")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = e_next.count()
         if n == prev_n:
@@ -2629,7 +2649,8 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("m"))
         .filter(F.col("m") >= K_CORE_MIN_MULT)
         .select("a", "b")
-        .localCheckpoint()
+        # lazy: truss_peel's opening count materializes it (r17)
+        .localCheckpoint(eager=False)
     )
     e, converged = truss_peel(e, (), K_TRUSS, TRUSS_ROUNDS)
     if converged:
@@ -2731,7 +2752,10 @@ def q_k_truss_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one site)."""
     from ..sources import edges as edges_src
 
-    e = windowed_strong_ties(edges_src(spark, sf_dir)).localCheckpoint()
+    # lazy: truss_peel's opening count materializes it (r17)
+    e = windowed_strong_ties(edges_src(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     e, converged = truss_peel(e, ("w",), K_TRUSS, WT_ROUNDS)
     if converged:
         out = e.select(
@@ -2917,10 +2941,18 @@ def k_core_windowed(
     sym = und.unionAll(
         und.select("w", F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    core = sym.select("w", F.col("a").alias("node")).distinct().localCheckpoint()
+    # lazy checkpoints (r17): each count() materializes — one job per
+    # round instead of two; see truss_peel's note
+    core = (
+        sym.select("w", F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     prev_n = core.count()
     for _ in range(rounds):
-        core = k_core_peel(sym, core, k, keys=("w",)).localCheckpoint()
+        core = k_core_peel(sym, core, k, keys=("w",)).localCheckpoint(
+            eager=False
+        )
         n = core.count()
         if n == prev_n:  # monotone shrink → equal count == fixpoint
             break
@@ -3042,8 +3074,9 @@ def component_census_windowed(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            # eager lineage truncation — labels appears twice per round
-            .localCheckpoint()
+            # lazy lineage truncation (r17): the changed-probe count
+            # materializes — one job per round
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
