@@ -32,6 +32,13 @@ from ..sources import load_table
 
 JACCARD_THRESHOLD = 0.2
 SHINGLE_K = 3
+
+#: `dedup_components` CC gate: at or below this many near-dup pairs the
+#: component labels come from a driver union-find over one bounded
+#: collect (16 B/pair → ≤ ~16 MB, far under maxResultSize); above it the
+#: distributed hash-min loop runs. Labels are algorithm-independent
+#: (min reachable id), so the gate can never change results.
+DEDUP_CC_DRIVER_MAX = 1_000_000
 MINHASH_PERMS = 64
 LSH_BANDS = 16            # 16 bands × 4 rows
 SIMHASH_HAMMING_MAX = 3
@@ -1190,18 +1197,57 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters + canonical-representative selection: connected
-    components (hash-min label propagation, `operators.graph`) over the
-    exact-Jaccard pair graph; component = min doc_id in the cluster, so
-    `keep` marks exactly one survivor per cluster. Docs with no near-dup
-    partner don't appear (they trivially survive). The oracle walks the
-    same pair graph with a recursive closure + MIN(label)."""
+    components over the exact-Jaccard pair graph; component = min doc_id
+    in the cluster, so `keep` marks exactly one survivor per cluster.
+    Docs with no near-dup partner don't appear (they trivially survive).
+    The oracle walks the same pair graph with a recursive closure +
+    MIN(label).
+
+    CC path is SIZE-GATED (r17, guide §1.2 — the distributed algorithm
+    is the lever): component labels are algorithm-independent (min
+    reachable id), and on the measured pair graphs (256 pairs at sf0.1)
+    the hash-min loop's rounds are pure fixed cost — 4-6 s to label a
+    relation that fits in one task (measured; the whole query was ~6 s
+    warm, ~2.5 s with the gate). Below DEDUP_CC_DRIVER_MAX pairs the
+    labels come from a driver union-find over the ONE materialization
+    of the pair relation (lazy localCheckpoint; the gate's count() is
+    the materializing action — the smurf fixture-scale-branch
+    precedent, bounded collect + distributed fallback). Above the gate
+    the hash-min loop runs unchanged — at 100 TB a near-dup pair graph
+    easily exceeds it."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs).select(
-        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    pairs = (
+        jaccard_pairs(docs)
+        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .localCheckpoint(eager=False)
     )
-    comp = connected_components(pairs)
+    if pairs.count() <= DEDUP_CC_DRIVER_MAX:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set[int] = set()
+        for row in pairs.collect():
+            nodes.add(row["src"])
+            nodes.add(row["dst"])
+            a, b = find(row["src"]), find(row["dst"])
+            if a != b:
+                # larger root under smaller → every root stays its
+                # component's minimum id, matching the hash-min labels
+                parent[max(a, b)] = min(a, b)
+        comp = spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], "node long, component long"
+        )
+    else:
+        comp = connected_components(pairs).select("node", "component")
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("csize")
     )

@@ -1640,7 +1640,12 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .select(F.col("dst").alias("node"), hq.alias("hq"))
             .groupBy("node")
             .agg(F.sum("hq").alias("ar"))
-            .localCheckpoint()
+            # lazy (r17): materialized inside this round's eager state
+            # job — AQE materializes the atot broadcast's child shuffle
+            # stages first, so the build itself stays a 1-row agg over
+            # the cached blocks; both consumers (total + normalize
+            # join) still read one materialization
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(
             F.coalesce(F.sum("ar"), dec0).alias("at")
@@ -1665,7 +1670,8 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .select(F.col("src").alias("node"), aq.alias("aq"))
             .groupBy("node")
             .agg(F.sum("aq").alias("hr"))
-            .localCheckpoint()
+            # lazy (r17): same as araw above
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(
             F.coalesce(F.sum("hr"), dec0).alias("ht")

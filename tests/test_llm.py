@@ -774,6 +774,28 @@ class TestRound7Births:
         assert all(r["doc_id"] == r["component"] for r in keeps)
         assert all(r["csize"] >= 2 for r in rows)
 
+    def test_dedup_components_gate_branches_agree(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """r17 size-gate pin: the driver union-find (small branch) and
+        the distributed hash-min loop (large branch) must label the
+        SAME pair graph identically — forced by flipping the gate to −1
+        so the big branch runs on data that normally takes the small
+        one."""
+        from autoaudit_spark.llm import dedup as dd
+        from autoaudit_spark.registry import QUERIES
+
+        small = sorted(
+            (r["doc_id"], r["component"], r["csize"], r["keep"])
+            for r in QUERIES["dedup_components"](spark, sf_dir).collect()
+        )
+        monkeypatch.setattr(dd, "DEDUP_CC_DRIVER_MAX", -1)
+        large = sorted(
+            (r["doc_id"], r["component"], r["csize"], r["keep"])
+            for r in QUERIES["dedup_components"](spark, sf_dir).collect()
+        )
+        assert small == large
+
 
 class TestShingleSalting:
     def test_salted_pair_counts_bit_identical_on_hot_shingle(self, spark):
