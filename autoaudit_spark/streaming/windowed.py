@@ -1326,11 +1326,29 @@ def q_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_events_chunked(
         spark, sf_dir, n_chunks=3, delay="30 days", include_type=True
     )
+    # Pre-filter to the stage types (+ the watermark sentinel's type —
+    # Catalyst pushes this filter BELOW the EventTimeWatermark node, so
+    # a filtered-out sentinel would freeze the watermark; the
+    # stream_stream_left_join sentinel_types lesson). Non-stage rows
+    # fold to a no-op in the Python state function but previously rode
+    # the per-user state buffer through every micro-batch — dropping
+    # them before the stateful operator cuts the Python/state traffic
+    # with provably identical output: the fold applies finalized rows
+    # in global (ts, event_id) order either way, and only stage-typed
+    # rows can set a stage (r17, guide §4: pass the Python boundary
+    # only the rows the function needs).
+    stream = stream.filter(
+        F.col("event_type").isin(*_FUNNEL_STAGE_TYPES, "sentinel")
+    )
     out = drain(
         funnel_stream(stream),
         "stream_funnel_stages",
         output_mode="append",
         sf_dir=sf_dir,
+        # per-USER Python state (the milestones/tws rule): byte-derived
+        # state sizing would run every user's fold in 1-2 tasks —
+        # measured 25.7 s vs ~8 s at session parallelism at sf0.1 (r17)
+        cpu_bound=True,
     )
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "stage")
 
