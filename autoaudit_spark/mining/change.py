@@ -362,7 +362,7 @@ def q_attention_routing_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounts, past positions — is cross-engine exact."""
     from pyspark.sql.window import Window
 
-    from .iforest import _points, shared_maha_scores
+    from .iforest import shared_maha_scores, shared_points
     from .sketch import hashed_sketch_parts
 
     vals, chosen = hashed_sketch_parts(spark, sf_dir, sketch_num=64)
@@ -432,7 +432,7 @@ def q_attention_routing_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wt).cast("long"))
         .filter(F.col("rk") <= 3)
     )
-    pts = _points(spark, sf_dir)
+    pts = shared_points(spark, sf_dir)
     wp = Window.partitionBy("account", "pair_id").orderBy(
         F.col("window_start").desc()
     )

@@ -267,6 +267,25 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iforest_points(account_features(edges(spark, sf_dir), window=True))
 
 
+def shared_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cache of the (window, account, pair, x, y) points
+    relation (r17) — the same justification as `shared_maha_scores`
+    below, one level up the pipeline: THREE suite consumers (the
+    Mahalanobis build, the iforest fit, and the stage-4 routing twins'
+    past-position aggregate) each re-ran the windowed-feature pipeline
+    (~3-5 s at sf0.1) to rebuild identical points. Same cardinality
+    class as the scores cache (windows × accounts × 66), persisted
+    MEMORY_AND_DISK so a real deployment spills instead of OOMing."""
+    from ..session_cache import session_bucket
+
+    per_session = session_bucket(spark, "iforest_points")
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = _points(spark, sf_dir).persist()
+        per_session[sf_dir] = df
+    return df
+
+
 # session-scoped cache of the persisted Mahalanobis scores relation —
 # three suite queries (anomaly_scores_mahalanobis, focus_plot_sum,
 # sketch_values_hashed) and the T3 skeleton all consume the same
@@ -284,7 +303,7 @@ def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = session_bucket(spark, "maha_scores")
     df = per_session.get(sf_dir)
     if df is None:
-        df = mahalanobis_scores(_points(spark, sf_dir)).persist()
+        df = mahalanobis_scores(shared_points(spark, sf_dir)).persist()
         per_session[sf_dir] = df
     return df
 
@@ -300,7 +319,7 @@ def q_anomaly_scores_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seed the emitted scores DIFFER from rounds 1–2. That is safe
     precisely because this query is rows-only checked — never value-hash
     compare its output against pre-r3 captures."""
-    return anomaly_scores(_points(spark, sf_dir)).orderBy(
+    return anomaly_scores(shared_points(spark, sf_dir)).orderBy(
         "window_start", "pair_id", "account"
     )
 
