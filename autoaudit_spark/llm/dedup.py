@@ -913,16 +913,56 @@ _COMPONENT_CTE = """
 QUALITY_MIN = 0.6
 
 
-def retention_components(docs: DataFrame) -> DataFrame:
-    """(node, component, rounds_used) over the exact-Jaccard near-dup
-    pair graph — hash-min label propagation (O(diameter) rounds, one
-    join + one aggregate per round; see operators/graph.py:176).
-    Consumers select the columns they need; rounds_used rides along."""
+def pair_graph_components(pairs: DataFrame) -> DataFrame:
+    """(node, component) labels for a near-dup pair relation
+    (src, dst), SIZE-GATED (r17, guide §1.2 — the distributed algorithm
+    is the lever): component labels are algorithm-independent (min
+    reachable id), and on the measured pair graphs (256 pairs at sf0.1)
+    the distributed hash-min loop spent 4-6 s of per-round fixed cost
+    labeling a relation that fits in one task. At or below
+    DEDUP_CC_DRIVER_MAX pairs the labels come from a driver union-find
+    over ONE bounded collect of the lazily-checkpointed pair relation
+    (the smurf fixture-scale-branch precedent: explicit gate constant,
+    distributed fallback); above it the hash-min loop runs unchanged —
+    at 100 TB a near-dup pair graph easily exceeds the gate. Branch
+    parity is pinned by test_dedup_components_gate_branches_agree."""
+    spark = pairs.sparkSession
+    pairs = pairs.localCheckpoint(eager=False)
+    if pairs.count() <= DEDUP_CC_DRIVER_MAX:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set[int] = set()
+        for row in pairs.collect():
+            nodes.add(row["src"])
+            nodes.add(row["dst"])
+            a, b = find(row["src"]), find(row["dst"])
+            if a != b:
+                # larger root under smaller → every root stays its
+                # component's minimum id, matching the hash-min labels
+                parent[max(a, b)] = min(a, b)
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], "node long, component long"
+        )
     from ..operators.graph import connected_components
 
-    pairs = jaccard_pairs(docs)
-    return connected_components(
-        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    return connected_components(pairs).select("node", "component")
+
+
+def retention_components(docs: DataFrame) -> DataFrame:
+    """(node, component) over the exact-Jaccard near-dup pair graph —
+    the size-gated labeling (`pair_graph_components`)."""
+    return pair_graph_components(
+        jaccard_pairs(docs).select(
+            F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+        )
     )
 
 
@@ -1201,53 +1241,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the cluster, so `keep` marks exactly one survivor per cluster.
     Docs with no near-dup partner don't appear (they trivially survive).
     The oracle walks the same pair graph with a recursive closure +
-    MIN(label).
-
-    CC path is SIZE-GATED (r17, guide §1.2 — the distributed algorithm
-    is the lever): component labels are algorithm-independent (min
-    reachable id), and on the measured pair graphs (256 pairs at sf0.1)
-    the hash-min loop's rounds are pure fixed cost — 4-6 s to label a
-    relation that fits in one task (measured; the whole query was ~6 s
-    warm, ~2.5 s with the gate). Below DEDUP_CC_DRIVER_MAX pairs the
-    labels come from a driver union-find over the ONE materialization
-    of the pair relation (lazy localCheckpoint; the gate's count() is
-    the materializing action — the smurf fixture-scale-branch
-    precedent, bounded collect + distributed fallback). Above the gate
-    the hash-min loop runs unchanged — at 100 TB a near-dup pair graph
-    easily exceeds it."""
-    from ..operators.graph import connected_components
-
+    MIN(label). Labeling is the size-gated `pair_graph_components`
+    (r17): measured 5.9 → 2.2 s warm at sf0.1 for this query."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        jaccard_pairs(docs)
-        .select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-        .localCheckpoint(eager=False)
-    )
-    if pairs.count() <= DEDUP_CC_DRIVER_MAX:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        nodes: set[int] = set()
-        for row in pairs.collect():
-            nodes.add(row["src"])
-            nodes.add(row["dst"])
-            a, b = find(row["src"]), find(row["dst"])
-            if a != b:
-                # larger root under smaller → every root stays its
-                # component's minimum id, matching the hash-min labels
-                parent[max(a, b)] = min(a, b)
-        comp = spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], "node long, component long"
-        )
-    else:
-        comp = connected_components(pairs).select("node", "component")
+    comp = retention_components(docs)
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("csize")
     )
