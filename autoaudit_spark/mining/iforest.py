@@ -212,7 +212,7 @@ def anomaly_scores(points: DataFrame, n_estimators: int = N_ESTIMATORS) -> DataF
     )
 
 
-def mahalanobis_scores(points: DataFrame) -> DataFrame:
+def mahalanobis_scores(points: DataFrame, input_materialized: bool = False) -> DataFrame:
     """Deterministic alternate scorer, same operator shape: squared 2-D
     Mahalanobis distance of each point from its (window, pair) group —
     pure column expressions over grouped moments (oracle-checkable).
@@ -224,8 +224,12 @@ def mahalanobis_scores(points: DataFrame) -> DataFrame:
     join — the fact table is never shuffled or sorted. The alternatives
     both lose at 100 TB: groupBy+join without the persist runs the whole
     upstream feature pipeline twice, and an analytic window function
-    sort-shuffles every point row."""
-    pts = points.persist()
+    sort-shuffles every point row.
+
+    `input_materialized=True` skips the internal persist: callers passing
+    an already-checkpointed/persisted relation (`shared_points`) would
+    otherwise store the same rows twice (r18)."""
+    pts = points if input_materialized else points.persist()
     # x/y are 8dp-exact → DECIMAL(18,8) captures them losslessly and the
     # decimal SUM is exact and summation-order-independent in both
     # engines (a 6dp round of the double sum is NOT: a moment landing on
@@ -274,14 +278,28 @@ def shared_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mahalanobis build, the iforest fit, and the stage-4 routing twins'
     past-position aggregate) each re-ran the windowed-feature pipeline
     (~3-5 s at sf0.1) to rebuild identical points. Same cardinality
-    class as the scores cache (windows × accounts × 66), persisted
-    MEMORY_AND_DISK so a real deployment spills instead of OOMing."""
+    class as the scores cache (windows × accounts × 66), materialized
+    MEMORY_AND_DISK (localCheckpoint's default level) so a real
+    deployment spills instead of OOMing.
+
+    localCheckpoint, not persist (r18, guide §5/§3.3): a persisted
+    relation keeps its full LOGICAL plan, so every consumer's query
+    plan nests the whole feature pipeline and Catalyst re-analyzes it
+    per query — the maha-family explain dumps ran 400-5400 lines and
+    the first run of each consumer paid seconds of driver
+    plan-analysis + codegen on already-cached data. The checkpoint
+    truncates the lineage to an RDD leaf: identical rows, identical
+    storage level, O(1)-depth consumer plans. Trade (documented at
+    damped_walk too): the materialized blocks are not fault-tolerant —
+    an executor loss forces the query to fail/rerun instead of
+    recomputing partitions; on a durable cluster swap for checkpoint()
+    if that matters."""
     from ..session_cache import session_bucket
 
     per_session = session_bucket(spark, "iforest_points")
     df = per_session.get(sf_dir)
     if df is None:
-        df = _points(spark, sf_dir).persist()
+        df = _points(spark, sf_dir).localCheckpoint()
         per_session[sf_dir] = df
     return df
 
@@ -303,7 +321,13 @@ def shared_maha_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = session_bucket(spark, "maha_scores")
     df = per_session.get(sf_dir)
     if df is None:
-        df = mahalanobis_scores(shared_points(spark, sf_dir)).persist()
+        # localCheckpoint for the same plan-truncation reason as
+        # shared_points above; input_materialized because the points
+        # relation is already checkpointed (persisting it again inside
+        # mahalanobis_scores would store the rows twice)
+        df = mahalanobis_scores(
+            shared_points(spark, sf_dir), input_materialized=True
+        ).localCheckpoint()
         per_session[sf_dir] = df
     return df
 

@@ -201,7 +201,11 @@ def hashed_sketch_parts(
     key = (sf_dir, sketch_num)
     if key not in per_session:
         vals, chosen = _sketch_values_hashed_impl(spark, sf_dir, sketch_num)
-        per_session[key] = (vals.persist(), chosen)
+        # localCheckpoint (r18): the dense relation is W×sketch_num rows —
+        # tiny — and its consumers (this query's orderBy, the T3 skeleton,
+        # attention_routing_hashed) get an RDD-leaf plan instead of the
+        # full nested pipeline (guide §5 lineage / §3.3 plan cost)
+        per_session[key] = (vals.localCheckpoint(), chosen)
     return per_session[key]
 
 
@@ -241,27 +245,32 @@ def _sketch_values_hashed_impl(
     stream consumes (windowed sketch sums)."""
     from .iforest import shared_maha_scores
 
-    # scores come from the session-shared persisted relation (the same
+    # scores come from the session-shared checkpointed relation (the same
     # one anomaly_scores_mahalanobis/focus_plot_sum materialize) — the
     # decimal projection on top is a cheap narrow map over the cache
     sc6 = shared_maha_scores(spark, sf_dir).withColumn(
         "sd", F.col("score").cast("decimal(18,6)")
     )
     zero = F.lit(0).cast("decimal(38,6)")
+    # localCheckpoint, not persist (r18, guide §5/§3.3): sums/members are
+    # read by every greedy round AND the final vals join; persisted they
+    # keep the full maha-pipeline logical plan, so each of the 3 eager
+    # greedy rounds re-analyzed a full nested tree and the final dense
+    # plan ran 2048 explain lines (plans/r18/sketch_values_hashed_before).
+    # The checkpoint truncates each to an RDD leaf — identical rows, same
+    # MEMORY_AND_DISK level, round-local plans.
     sums = (
         sc6.groupBy("account", "pair_id")
         .agg(F.sum("sd").cast("decimal(38,6)").alias("s"))
-        .persist()
+        .localCheckpoint()
     )
     accounts = sums.select("account").distinct()
     sk = spark.range(sketch_num).select(F.col("id").alias("sketch_id"))
     cols = spark.range(PN).select(F.col("id").alias("pair_id"))
-    # persisted: every greedy round and the final vals join read it —
-    # without this the distinct+crossJoin re-executes once per round
     members = (
         accounts.crossJoin(sk)
         .filter(_member_pred(F.col("account"), F.col("sketch_id")))
-        .persist()
+        .localCheckpoint()
     )
     cands = sk.crossJoin(cols).filter(
         _cand_pred(F.col("pair_id"), F.col("sketch_id"))
