@@ -1612,93 +1612,142 @@ def hits_scores(adj: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     and without materialization the second consumer re-runs the edge
     join — measured at sf0.1: 19.3 -> 15.4 s warm (checkpointing the
     cheap `half` join relation as well was measured SLOWER, 17.0 s,
-    and reverted)."""
+    and reverted).
+
+    r18 restructure (guide §2.4 — remove shuffles outright): the old
+    loop joined each half-step's contributions back onto the FULL node
+    universe (two node-keyed SortMergeJoins per round) before the next
+    contribution join. Both are provably redundant inside the loop: a
+    node absent from araw has a = coalesce(NULL,0)/at = 0, whose
+    quantized contribution to every downstream sum is exactly 0 (and
+    decimal sums are exact, so summing-in zeros equals omitting them);
+    a node with no out-edges never matches the next a-contribution
+    join at all. So each round now normalizes araw/hraw IN PLACE (a
+    narrow projection over the already-grouped relation) and only the
+    FINAL select left-joins the node universe to zero-fill — per-node
+    expressions (coalesce(x,dec0)::double / tot::double) are
+    UNCHANGED, so every emitted value is bit-identical (oracle-exact,
+    A/B-verified at sf0.001/0.01/0.1). Two SMJs and the full-width
+    state checkpoint per round become one out-edge-nodes-sized
+    checkpoint per round."""
     if iters < 1:
         # r8 ADVICE: iters=0 would return the unnormalized init state
         # AND leak the persisted init_state handle (the unpersist lives
         # in the loop body) — reject loudly, harmonic's depth guard.
         raise ValueError("hits_scores needs iters >= 1")
-    nodes = node_universe(adj).persist()
+    # adj is consumed TWICE PER ROUND (the a-contribution join by src and
+    # the h-contribution join by dst) plus once for the node universe —
+    # 2·iters+1 executions of the events-scan + distinct without this
+    # persist (r18; damped_walk has persisted its `trans` twin since r7,
+    # HITS was the outlier). Unpersisted with `nodes` at the end.
+    adj = adj.persist()
+    # node universe: checkpointed, not persisted — it is read by the
+    # n-count here and ONCE more by the final zero-fill select, which
+    # must stay valid after adj is unpersisted below
+    nodes = node_universe(adj).localCheckpoint()
     n = nodes.count()
     dec0 = F.lit(0).cast("decimal(18,12)")
-    state = nodes.select(
-        "node",
-        F.lit(0.0).alias("a"),
-        F.lit(1.0 / n).alias("h"),
-        F.lit(0.0).alias("prev_a"),
-    ).persist()
-    # the initial state is read by three round-1 jobs (araw checkpoint,
-    # hraw checkpoint, state checkpoint) — persisted for those, then
-    # released once the first localCheckpoint supersedes it (r7 ADVICE:
-    # the overwritten handle leaked one cache entry per invocation),
-    # matching damped_walk's per-round unpersist discipline
-    init_state = state
-    for _ in range(iters):
+    # carried round state: the normalized hub relation restricted to
+    # nodes WITH OUT-EDGES — the only rows the a-contribution join can
+    # match. Initial h = 1/n uniform (the old full-universe init
+    # restricted to the rows the first join consumed).
+    hn = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0 / n).alias("h"))
+        .localCheckpoint()
+    )
+    araw = atot = hraw = htot = None
+    prev_araw = prev_atot = None
+    for rnd in range(iters):
+        last = rnd == iters - 1
+        # the FINAL round's residual needs the previous round's
+        # authority relation — keep the handles (already materialized
+        # by that round's checkpoint job; no extra work)
+        prev_araw, prev_atot = araw, atot
         hq = F.col("h").cast("decimal(18,12)")
         araw = (
-            adj.join(state, adj.src == state.node)
+            adj.join(hn, adj.src == hn.node)
             .select(F.col("dst").alias("node"), hq.alias("hq"))
             .groupBy("node")
             .agg(F.sum("hq").alias("ar"))
-            # lazy (r17): materialized inside this round's eager state
-            # job — AQE materializes the atot broadcast's child shuffle
-            # stages first, so the build itself stays a 1-row agg over
-            # the cached blocks; both consumers (total + normalize
-            # join) still read one materialization
+            # lazy (r17): materialized inside this round's eager
+            # checkpoint job — both consumers (total + in-place
+            # normalize) read one materialization
             .localCheckpoint(eager=False)
         )
         atot = araw.agg(
             F.coalesce(F.sum("ar"), dec0).alias("at")
         )
-        half = (
-            state.select("node", F.col("a").alias("pa"), "h")
-            .join(araw, "node", "left")
-            .join(F.broadcast(atot))
-            .select(
-                "node",
-                "pa",
-                (
-                    F.coalesce(F.col("ar"), dec0).cast("double")
-                    / F.col("at").cast("double")
-                ).alias("a"),
-                "h",
-            )
+        # in-place normalize (r18): the same pinned decimal→double cast
+        # pair per node as the old universe-joined `half`, minus the
+        # SortMergeJoin — a node absent here carried an exact 0 there,
+        # which cannot change any downstream decimal sum
+        anorm = araw.join(F.broadcast(atot)).select(
+            "node",
+            (
+                F.coalesce(F.col("ar"), dec0).cast("double")
+                / F.col("at").cast("double")
+            ).alias("a"),
         )
         aq = F.col("a").cast("decimal(18,12)")
         hraw = (
-            adj.join(half, adj.dst == half.node)
+            adj.join(anorm, adj.dst == anorm.node)
             .select(F.col("src").alias("node"), aq.alias("aq"))
             .groupBy("node")
             .agg(F.sum("aq").alias("hr"))
-            # lazy (r17): same as araw above
-            .localCheckpoint(eager=False)
+            # eager on the last round (it is the round barrier then);
+            # lazy otherwise — materialized by hn's checkpoint job
+            .localCheckpoint(eager=last)
         )
         htot = hraw.agg(
             F.coalesce(F.sum("hr"), dec0).alias("ht")
         )
-        state = (
-            half.select("node", "pa", "a")
-            .join(hraw, "node", "left")
-            .join(F.broadcast(htot))
-            .select(
-                "node",
-                "a",
-                (
-                    F.coalesce(F.col("hr"), dec0).cast("double")
-                    / F.col("ht").cast("double")
-                ).alias("h"),
-                F.col("pa").alias("prev_a"),
-            )
-        ).localCheckpoint()
-        if init_state is not None:
-            init_state.unpersist()
-            init_state = None
-    nodes.unpersist()
-    return state.select(
+        if not last:
+            hn = (
+                hraw.join(F.broadcast(htot)).select(
+                    "node",
+                    (
+                        F.coalesce(F.col("hr"), dec0).cast("double")
+                        / F.col("ht").cast("double")
+                    ).alias("h"),
+                )
+            ).localCheckpoint()
+    adj.unpersist()
+    # ONE zero-fill pass over the node universe replaces the two
+    # per-round universe joins: a/h/prev_a for every node, absent
+    # contribution rows coalesced to the exact-0 the old per-round
+    # state carried
+    res = (
+        nodes.join(araw, "node", "left")
+        .join(F.broadcast(atot))
+        .join(hraw, "node", "left")
+        .join(F.broadcast(htot))
+    )
+    if prev_araw is not None:
+        res = res.join(
+            prev_araw.withColumnRenamed("ar", "arp"), "node", "left"
+        ).join(F.broadcast(prev_atot.withColumnRenamed("at", "atp")))
+        prev_a = (
+            F.coalesce(F.col("arp"), dec0).cast("double")
+            / F.col("atp").cast("double")
+        )
+    else:
+        # iters == 1: the residual compares against the all-zero init
+        prev_a = F.lit(0.0)
+    a_col = (
+        F.coalesce(F.col("ar"), dec0).cast("double")
+        / F.col("at").cast("double")
+    )
+    h_col = (
+        F.coalesce(F.col("hr"), dec0).cast("double")
+        / F.col("ht").cast("double")
+    )
+    return res.select(
         "node",
-        F.round("a", 8).alias("authority"),
-        F.round("h", 8).alias("hub"),
-        F.round(F.abs(F.col("a") - F.col("prev_a")), 8).alias("residual"),
+        F.round(a_col, 8).alias("authority"),
+        F.round(h_col, 8).alias("hub"),
+        F.round(F.abs(a_col - prev_a), 8).alias("residual"),
     )
 
 
