@@ -136,14 +136,16 @@ def compute_mdl(
 
 def ranks_for_order(order: list[int], n: int) -> np.ndarray:
     """Full permutation: explicit order first, then residual node ids
-    ascending (`AA-Smurf.py:57-58`). Returns pos[node] = rank."""
+    ascending (`AA-Smurf.py:57-58`). Returns pos[node] = rank.
+    Residual assignment vectorized (r18): flatnonzero is already
+    ascending-node order, so the residual ranks are one arange —
+    the old per-node Python loop was O(n) per call and this function
+    runs once per candidate evaluation in the greedy loop."""
     pos = np.empty(n, dtype=np.int64)
     seen = np.zeros(n, dtype=bool)
     for r, node in enumerate(order):
         pos[node] = r
         seen[node] = True
-    r = len(order)
-    for node in np.flatnonzero(~seen):
-        pos[node] = r
-        r += 1
+    rest = np.flatnonzero(~seen)
+    pos[rest] = len(order) + np.arange(len(rest), dtype=np.int64)
     return pos

@@ -563,9 +563,9 @@ def smurf_pipeline(
     if distribute is None:
         distribute = n_edges > DISTRIBUTE_EDGE_THRESHOLD
     candidates = _candidate_list(adj, max_candidates)
-    nodes_ix, n = _node_index(spark, adj, n_nodes)
 
     if distribute:
+        nodes_ix, n = _node_index(spark, adj, n_nodes)
         # candidate node ids → indices via a small lookup (O(cands × k))
         involved = sorted({x for (i, j), mids in candidates for x in (i, j, *mids)})
         ix_map = {
@@ -595,8 +595,27 @@ def smurf_pipeline(
         adj.unpersist()
         return result, rank_df
 
-    # fixture-scale driver path: collect COO + node universe
-    node_ids = [r["node"] for r in nodes_ix.orderBy("ix").collect()]
+    # fixture-scale driver path: collect COO + node universe. The
+    # node→ix map is just the ascending-id order, so ONE ordered collect
+    # of the universe replaces _node_index's zipWithIndex + persist +
+    # count + re-collect job chain (r18 — measured ~0.6 s of pure job
+    # overhead per run at sf0.1; the distributed branch above still
+    # builds the relation form it joins with)
+    if n_nodes is not None:
+        node_ids: list[int] = list(range(n_nodes))
+        n = n_nodes
+    else:
+        node_ids = [
+            r["node"]
+            for r in (
+                adj.select(F.col("src").alias("node"))
+                .union(adj.select(F.col("dst")))
+                .distinct()
+                .orderBy("node")
+                .collect()
+            )
+        ]
+        n = len(node_ids)
     id_to_ix = {v: i for i, v in enumerate(node_ids)}
     pdf = adj.toPandas()
     adj.unpersist()
