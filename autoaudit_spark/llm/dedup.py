@@ -926,9 +926,21 @@ def pair_graph_components(pairs: DataFrame) -> DataFrame:
     distributed fallback); above it the hash-min loop runs unchanged —
     at 100 TB a near-dup pair graph easily exceeds the gate. Branch
     parity is pinned by test_dedup_components_gate_branches_agree."""
+    import numpy as np
+    import pandas as pd
+
     spark = pairs.sparkSession
     pairs = pairs.localCheckpoint(eager=False)
     if pairs.count() <= DEDUP_CC_DRIVER_MAX:
+        # Arrow collect (r17 ADVICE): toPandas transfers two int64
+        # columns (16 B/pair of driver heap, ~16 MB at the gate), where
+        # collect() built a Python Row object per pair — hundreds of MB
+        # at the gate boundary, unbounded by spark.driver.memory. The
+        # remaining driver state is the union-find dict + the node
+        # array: O(nodes) ints, ≤2M entries at the gate (~150 MB worst
+        # case) — that, not the serialized pairs, is now the quantity
+        # the gate bounds.
+        pdf = pairs.select("src", "dst").toPandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -939,18 +951,26 @@ def pair_graph_components(pairs: DataFrame) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        nodes: set[int] = set()
-        for row in pairs.collect():
-            nodes.add(row["src"])
-            nodes.add(row["dst"])
-            a, b = find(row["src"]), find(row["dst"])
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            a, b = find(int(s)), find(int(d))
             if a != b:
                 # larger root under smaller → every root stays its
                 # component's minimum id, matching the hash-min labels
                 parent[max(a, b)] = min(a, b)
-        return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], "node long, component long"
+        nodes = np.unique(
+            np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
         )
+        if len(nodes) == 0:
+            return spark.createDataFrame([], "node long, component long")
+        out = pd.DataFrame(
+            {
+                "node": nodes.astype("int64"),
+                "component": np.array(
+                    [find(int(x)) for x in nodes], dtype="int64"
+                ),
+            }
+        )
+        return spark.createDataFrame(out, "node long, component long")
     from ..operators.graph import connected_components
 
     return connected_components(pairs).select("node", "component")
@@ -964,6 +984,30 @@ def retention_components(docs: DataFrame) -> DataFrame:
             F.col("doc1").alias("src"), F.col("doc2").alias("dst")
         )
     )
+
+
+def shared_retention_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cache of the retention-family component labels
+    (r18, the r17 deferred item): dedup_components, dedup_retention and
+    corpus_filter each rebuilt the identical jaccard pair graph (~2.3 s
+    of shingle self-join per call at sf0.1) and re-labeled it. One
+    labeling per (session, sf_dir), checkpointed (the labels relation is
+    near-dup-bounded — tiny next to the corpus at any scale); the same
+    `session_bucket` pattern as iforest.shared_points. The cache key
+    also carries the CC size gate so the branch-parity test's gate flip
+    (tests/test_llm.py::test_dedup_components_gate_branches_agree)
+    still exercises both labeling branches instead of hitting the
+    cache."""
+    from ..session_cache import session_bucket
+
+    per_session = session_bucket(spark, "retention_components")
+    key = (sf_dir, DEDUP_CC_DRIVER_MAX)
+    df = per_session.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = retention_components(docs).localCheckpoint()
+        per_session[key] = df
+    return df
 
 
 @query(
@@ -992,7 +1036,9 @@ def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the pair graph (tiny vs the corpus) enters the iterative part;
     documents join it by one broadcast-size left join."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = retention_components(docs).withColumnRenamed("node", "doc_id")
+    comp = shared_retention_components(spark, sf_dir).withColumnRenamed(
+        "node", "doc_id"
+    )
     csize = comp.groupBy(F.col("component").alias("canonical_doc_id")).agg(
         F.count("*").alias("csz")
     )
@@ -1036,7 +1082,9 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import quality_metrics
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = retention_components(docs).withColumnRenamed("node", "doc_id")
+    comp = shared_retention_components(spark, sf_dir).withColumnRenamed(
+        "node", "doc_id"
+    )
     return (
         quality_metrics(docs)
         .join(comp, "doc_id", "left")
@@ -1243,8 +1291,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle walks the same pair graph with a recursive closure +
     MIN(label). Labeling is the size-gated `pair_graph_components`
     (r17): measured 5.9 → 2.2 s warm at sf0.1 for this query."""
-    docs = load_table(spark, sf_dir, "documents")
-    comp = retention_components(docs)
+    comp = shared_retention_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("csize")
     )
