@@ -47,6 +47,14 @@ from ..registry import query
 WINDOW, SLIDE = "14 days", "7 days"
 SESSION_GAP = "1 hour"
 
+#: event_type of the default replay watermark sentinel. Shared constant
+#: (r17 ADVICE): any consumer that FILTERS by type below a stateful
+#: operator must keep this type (Catalyst pushes the filter below
+#: EventTimeWatermark — a dropped sentinel freezes the watermark and
+#: strands buffered state), so the filter literal and the
+#: `replay_events_chunked` default must never drift apart.
+DEFAULT_SENTINEL_TYPE = "sentinel"
+
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files: int | None = None) -> DataFrame:
     """`events` as an unbounded source: parquet file replay with the same
@@ -107,7 +115,7 @@ def replay_events_chunked(
     shuffle_seed: int | None = None,
     duplicate: bool = False,
     include_type: bool = False,
-    sentinel_types: tuple[str, ...] = ("sentinel",),
+    sentinel_types: tuple[str, ...] = (DEFAULT_SENTINEL_TYPE,),
 ) -> DataFrame:
     """`events` as a MULTI-micro-batch source: the table split into
     `n_chunks` files replayed one per trigger (maxFilesPerTrigger=1),
@@ -1338,7 +1346,7 @@ def q_stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows can set a stage (r17, guide §4: pass the Python boundary
     # only the rows the function needs).
     stream = stream.filter(
-        F.col("event_type").isin(*_FUNNEL_STAGE_TYPES, "sentinel")
+        F.col("event_type").isin(*_FUNNEL_STAGE_TYPES, DEFAULT_SENTINEL_TYPE)
     )
     out = drain(
         funnel_stream(stream),
