@@ -598,6 +598,12 @@ def value_milestones_stream(events: DataFrame, delay: str = "30 days") -> DataFr
 
     return (
         events.withWatermark("ts", delay)
+        # ts itself must survive to the stateful operator: event-time
+        # timeout REQUIRES the watermark-tagged column in the child
+        # output (projecting it away raises "Watermark must be
+        # specified..." — tried r18, the §4 column-slimming lever does
+        # not exist here; the remaining columns are exactly what the
+        # fold reads)
         .select(
             "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"), "value"
         )
