@@ -32,13 +32,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # _PRIORITY is the curated window, ROTATED each round so that every
 # registered query eventually earns a driver row (oracled queries a
-# value-hash row; rows-only queries the weaker rows check). Round-17
-# rotation (the r16 verdict's "Next round" #1, executed exactly): the
-# FULL 50-name r13-latest pool (recomputed from CORRECTNESS_r01–r16
-# by tools/rotation.py, strict criterion — never trust an estimate).
-# 50 = 50 exactly — NO birth slot this round (the pool fills the
-# window; birth capacity 0 per the tool's capacity line, matching the
-# ratified r18 swap schedule in NOTES "Second retirement tranche").
+# value-hash row; rows-only queries the weaker rows check). Round-18
+# rotation (optimization round — the r17 verdict's "Next round" #6,
+# executed): the window certifies every query whose ENGINE PATH was
+# rewritten in r17/r18 (the 12 names leading the list: the r17
+# semantics-preserving rewrites the verdict queued for driver
+# certification, plus this round's lineage-truncation and
+# retention-sharing consumers), then fills with the r14-stale pool
+# from tools/rotation.py in tool order. 11 pool names did not fit and
+# are owed FIRST in the r19 window (recorded in NOTES "Round-19
+# rotation debt"): approx_distinct_stats, bernoulli_sample,
+# csv_source_roundtrip, dow_seasonality, hash_reservoir_sample,
+# morton_order_key, profile_columns, python_datasource_roundtrip,
+# resample_gap_fill, udtf_word_explode, variant_props_extract — all
+# untouched utility queries with full oracles.
 #
 # CANARY RETIRED (r11 verdict #1, executed r12): the flagship
 # `two_hop_candidates` rotates like every other query (latest row
@@ -53,57 +60,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # it is born, so it gets its driver row immediately and the r3/r4 debt
 # spiral cannot recur.
 _PRIORITY: list[str] = [
-    # -- the 50 queries whose latest driver row is r13 (full pool) --
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "benford_digits",
-    "bpe_token_count",
-    "burst_detection",
-    "butterfly_counts_src",
-    "chisq_type_segment",
-    "clustering_coefficient",
-    "cohort_retention",
-    "containment_dedup",
-    "core_formation",
-    "corpus_budget_quantile",
-    "dataset_split",
-    "degree_assortativity",
-    "edge_reciprocity",
-    "embedding_centroids",
-    "event_transitions",
-    "funnel_stages",
-    "grouping_sets_events",
-    "hashing_tf",
-    "k_core",
-    "latest_snapshot",
-    "media_features_arrow",
-    "negative_edge_sample",
-    "pivot_event_matrix",
-    "repetition_metrics",
-    "robust_zscore",
-    "rolling_active_users",
-    "sequence_packing",
-    "session_concurrency",
-    "source_overlap_matrix",
-    "source_overlap_minhash",
-    "stream_funnel_stages",
-    "stream_latest_snapshot",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_upsert_sink",
-    "stream_value_histogram",
-    "temporal_cycles",
-    "text_scrub",
-    "triangle_count",
-    "truss_dissolution",
-    "two_hop_flow",
-    "two_hop_temporal",
-    "type_entropy",
-    "unigram_logprob",
-    "value_histogram",
-    "window_function_suite",
+    # -- r17/r18 rewrite certification (verdict #6 + this round's
+    #    touched paths) --
+    "dedup_components",
+    "dedup_retention",
+    "corpus_filter",
+    "hits_scores",
+    "harmonic_centrality",
+    "k_truss",
+    "k_truss_windowed",
+    "connected_components_twostar",
+    "anomaly_scores_mahalanobis",
+    "focus_plot_sum",
+    "sketch_values_hashed",
+    "attention_routing_hashed",
+    # -- the r14-stale pool (tools/rotation.py order; 38 of 49 fit) --
+    "account_succession",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_scores_iforest",
+    "asof_join_nearest",
+    "asof_join_within",
+    "attention_routing",
+    "butterfly_counts_windowed",
+    "change_scores",
+    "core_persistence",
+    "decayed_user_value",
+    "dedup_exact",
+    "doc_fingerprint_hashed",
+    "event_runs",
+    "grouped_percentiles",
+    "injection_recovery_eval",
+    "k_core_windowed",
+    "lang_id",
+    "media_features",
+    "media_resize",
+    "near_dup_embedding",
+    "near_dup_embedding_ivf",
+    "near_dup_jaccard",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "near_dup_simhash_hashed",
+    "node_jaccard",
+    "node_jaccard_salted",
+    "pricing_summary",
+    "quality_scores",
+    "relabel_reorder",
+    "sketch_change_cosine",
+    "sketch_values",
+    "smurf_blocks",
+    "smurf_injection_edges",
+    "smurf_injection_labels",
+    "source_containment_matrix",
+    "token_stats",
 ]
 
 

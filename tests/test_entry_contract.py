@@ -49,33 +49,25 @@ def test_priority_names_exist():
     assert not missing, f"_PRIORITY names not registered: {missing}"
 
 
-def test_round17_rotation_in_window():
-    """Round-17 rotation: NO birth slot (the r16 verdict's "Next round"
-    #1 — the pool is exactly the 50 queries whose latest driver row is
-    r13, recomputed from CORRECTNESS_r01-r16 by tools/rotation.py,
-    strict criterion; birth capacity 0). 50 = 50 — plain full-pool
-    rotation; the ratified r18 triple/quintuple swap lands next round."""
+def test_round18_rotation_in_window():
+    """Round-18 rotation (optimization round, r17 verdict #6): the
+    window leads with the queries whose engine paths were rewritten in
+    r17/r18 — the driver must certify the semantics-preservation claims
+    — then fills with the r14-stale pool (tools/rotation.py). The 11
+    deferred pool names are owed first in r19 (NOTES "Round-19
+    rotation debt")."""
     q = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_have = [
-        # the 50 r13-latest queries (full pool)
-        "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
-        "benford_digits", "bpe_token_count", "burst_detection",
-        "butterfly_counts_src", "chisq_type_segment",
-        "clustering_coefficient", "cohort_retention", "containment_dedup",
-        "core_formation", "corpus_budget_quantile", "dataset_split",
-        "degree_assortativity", "edge_reciprocity", "embedding_centroids",
-        "event_transitions", "funnel_stages", "grouping_sets_events",
-        "hashing_tf", "k_core", "latest_snapshot", "media_features_arrow",
-        "negative_edge_sample", "pivot_event_matrix", "repetition_metrics",
-        "robust_zscore", "rolling_active_users", "sequence_packing",
-        "session_concurrency", "source_overlap_matrix",
-        "source_overlap_minhash", "stream_funnel_stages",
-        "stream_latest_snapshot", "stream_static_join",
-        "stream_stream_join", "stream_stream_left_join",
-        "stream_upsert_sink", "stream_value_histogram", "temporal_cycles",
-        "text_scrub", "triangle_count", "truss_dissolution",
-        "two_hop_flow", "two_hop_temporal", "type_entropy",
-        "unigram_logprob", "value_histogram", "window_function_suite",
+        # r17 rewrites the verdict queued for certification
+        "dedup_components", "harmonic_centrality", "k_truss",
+        "k_truss_windowed", "hits_scores", "connected_components_twostar",
+        "dedup_retention", "corpus_filter",
+        # r18-touched paths (lineage truncation, retention sharing,
+        # smurf driver branch)
+        "anomaly_scores_mahalanobis", "focus_plot_sum",
+        "sketch_values_hashed", "attention_routing_hashed",
+        "anomaly_scores_iforest", "smurf_blocks", "attention_routing",
+        "sketch_values", "near_dup_minhash_lsh",
     ]
     missing = [n for n in must_have if n not in q]
     assert not missing, f"outside driver window: {missing}"
