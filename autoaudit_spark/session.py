@@ -73,6 +73,16 @@ def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # The preloading daemon module below must be importable by the python
+    # worker processes the JVM spawns; sys.path edits in the driver do not
+    # propagate, so put the package root on the inherited PYTHONPATH before
+    # the JVM launches (first getOrCreate).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     scratch = scratch_base()
     if scratch is not None:
         # move ALL python-side scratch (streaming checkpoints + replay
@@ -103,6 +113,16 @@ def get_spark(app_name: str = "autoaudit_spark", shuffle_partitions: int | None 
         # the default 0 (off).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r18 (guide §4.5 at the process level): Spark reaps idle Python
+        # workers after a HARD-CODED 1 minute (PythonWorkerFactory
+        # .IDLE_WORKER_TIMEOUT_NS), so in a mixed suite every Python stage
+        # that follows >60 s of JVM-only work re-forks its whole worker
+        # pool and each fresh worker re-imports numpy/pandas/pyarrow
+        # (~40-100 s aggregate worker CPU for 32 workers, 2-4x wall on the
+        # first applyInPandas stage after a gap — measured on
+        # anomaly_scores_iforest). The preloading daemon imports the
+        # numeric stack ONCE; forked workers inherit it copy-on-write.
+        .config("spark.python.daemon.module", "autoaudit_spark.pydaemon")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
