@@ -848,6 +848,21 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         F.col("node").alias("s"), F.col("node").alias("c")
     ).localCheckpoint()
     seen = frontier
+    # Ball-size ledger for the all-complete early exit below: the
+    # checkpointed shells are materialized, so their counts are cheap
+    # block scans (~0.15 s each), not recomputation. NOTE (r18, measured
+    # rejections): two structural rewrites of this loop were implemented,
+    # verified bit-identical, and REVERTED on interleaved A/B evidence —
+    # (a) replacing round 1 with a direct copy of `nbr` (the d=1 shell
+    # equals the neighbor relation) regressed 6.3 → 9.5 s because the
+    # copy's checkpoint partitioning (64 cache partitions vs the distinct
+    # exchange's AQE-coalesced 1) bloated every downstream stage, and
+    # because feeding the copy made Catalyst push the anti-join BELOW the
+    # round-2 distinct (53M raw-row anti probes instead of 2.25M —
+    # 172 s vs 39 s of stage CPU); (b) fusing distinct + anti-join into
+    # one flagged sided-union aggregation measured parity at best once
+    # (a) was fixed. The r17 shape stays; only the ledger exit is new.
+    ball_total = n_nodes
     # fanout_pin (r17): round 1's frontier is the node list — tiny by
     # bytes — and the expansion join fans out quadratically at hubs, so
     # AQE byte-based coalescing serializes the whole ball expansion
@@ -866,6 +881,16 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         )
         seen = seen.union(shell)
         frontier = shell
+        ball_total += shell.count()
+        # All-complete early exit (r18): Σ_s |ball(s)| == N² means every
+        # source's ball already covers every node — every later shell is
+        # empty by construction, so the remaining rounds would only pay
+        # expansion/anti-join/checkpoint machinery to materialize empty
+        # relations (measured 1.15 s for the empty round 3 at sf0.1,
+        # where the distance-2 ball is the whole graph). The per-source
+        # prune below covers the partial case; this covers the total one.
+        if ball_total >= n_nodes * n_nodes:
+            break
         if d < depth:
             # Active-source prune (r17, guide §2.4 — don't compute what
             # you throw away): a source whose seen-ball already covers
@@ -873,12 +898,7 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
             # candidates anti-join away — so drop its frontier rows
             # before the next expansion. Provably result-identical
             # (shells are unchanged sets; a pruned source's next shell
-            # was empty by construction). On this data the distance-2
-            # ball is already the whole graph, so round 3 previously
-            # expanded ~200M candidate rows to produce an EMPTY shell
-            # (measured 12.4 s of 21.5 s total at sf0.1); the prune
-            # replaces that with a ball-count aggregate + semi-join
-            # over Σ|ball| rows. At scale this is Pregel-style
+            # was empty by construction). At scale this is Pregel-style
             # vote-to-halt: completed sources leave the frontier.
             active = (
                 seen.groupBy("s")
@@ -893,6 +913,11 @@ def harmonic_centrality(adj: DataFrame, depth: int = HARMONIC_DEPTH) -> DataFram
         out = out.withColumn(
             f"n{d}", F.coalesce(F.col(f"n{d}"), F.lit(0)).cast("long")
         )
+    # shells skipped by the all-complete early exit are empty by
+    # construction — their counts are an exact literal 0 (the same value
+    # the coalesce above would have produced from an empty aggregate)
+    for d in range(len(shell_counts) + 1, depth + 1):
+        out = out.withColumn(f"n{d}", F.lit(0).cast("long"))
     harmonic = F.col("n1").cast("double")
     for d in range(2, depth + 1):
         harmonic = harmonic + F.col(f"n{d}").cast("double") / F.lit(float(d))
