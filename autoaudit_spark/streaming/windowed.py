@@ -138,7 +138,18 @@ def replay_events_chunked(
         ["event_type"] if include_type else []
     )
     ev = load_table(spark, sf_dir, "events").select(*cols)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # (min, max) event time per (session, sf_dir) — every replay
+    # construction (13 streaming queries + their sentinel margins) needs
+    # the same two scalars; one aggregate job per session instead of one
+    # per replay (r18, the shared_points session-bucket pattern).
+    from ..session_cache import session_bucket
+
+    span_cache = session_bucket(spark, "events_ts_span")
+    span = span_cache.get(sf_dir)
+    if span is None:
+        span = ev.agg(F.min("ts"), F.max("ts")).first()
+        span_cache[sf_dir] = span
+    lo, hi = span
     span_us = max(
         1, int((hi - lo).total_seconds() * 1_000_000) + 1
     )
