@@ -129,8 +129,29 @@ def adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static binary directed graph: DISTINCT (src, dst) — the sparse COO
     form of the reference's dense adjacency matrix (`AA-Smurf.py:190`).
     Never materializes N×N; at 100 TB the dense form is impossible.
-    """
-    return edges(spark, sf_dir).select("src", "dst").distinct()
+
+    Session-scoped persist (r18, the shared_points pattern): this
+    relation is the shared input of the entire graph family (~29 call
+    sites, ~25 HEADLINE rows) and was re-derived — scan + distinct
+    exchange, ~0.5-0.8 s per evaluation at sf0.1 — inside every
+    consumer's plan, usually twice per query (node universe + neighbor
+    relation sides). One persisted build per (session, sf_dir); the
+    build cost is paid inside the FIRST consumer's own execution, never
+    across bench/oracle runs (in-memory only, dies with the session).
+    persist() rather than localCheckpoint deliberately: the logical
+    plan is two operators (scan, distinct), so there is no re-analysis
+    cost to truncate (the r17 maha lesson does not apply), and keeping
+    the plan lets consumers' scans stay visible for column-pruning
+    checks. MEMORY_AND_DISK by default, so a real deployment spills
+    instead of OOMing on a corpus-sized edge set."""
+    from ..session_cache import session_bucket
+
+    bucket = session_bucket(spark, "adjacency")
+    df = bucket.get(sf_dir)
+    if df is None:
+        df = edges(spark, sf_dir).select("src", "dst").distinct().persist()
+        bucket[sf_dir] = df
+    return df
 
 
 def load_csv_edges(

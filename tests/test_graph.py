@@ -1504,3 +1504,38 @@ class TestHyperballQuality:
         ]
         assert statistics.median(rel) < 0.2
         assert max(rel) < 0.4
+
+
+class TestAdjacencySessionCache:
+    """r18: `adjacency()` materializes once per (session, sf_dir) — the
+    shared_points pattern applied to the graph family's shared input."""
+
+    def test_same_session_same_sf_returns_cached_relation(self, spark, sf_root):
+        from autoaudit_spark.session_cache import session_bucket
+        from autoaudit_spark.sources import adjacency
+
+        sf = f"{sf_root}/sf0.001"
+        a = adjacency(spark, sf)
+        b = adjacency(spark, sf)
+        assert a is b  # one persisted build per (session, sf_dir)
+        assert session_bucket(spark, "adjacency")[sf] is a
+        assert a.storageLevel.useMemory  # persisted, spillable
+
+    def test_cached_rows_equal_uncached_derivation(self, spark, sf_root):
+        from autoaudit_spark.sources import adjacency, edges
+
+        sf = f"{sf_root}/sf0.001"
+        cached = {(r["src"], r["dst"]) for r in adjacency(spark, sf).collect()}
+        fresh = {
+            (r["src"], r["dst"])
+            for r in edges(spark, sf).select("src", "dst").distinct().collect()
+        }
+        assert cached == fresh and len(cached) > 0
+
+    def test_distinct_sf_dirs_get_distinct_entries(self, spark, sf_root):
+        from autoaudit_spark.sources import adjacency
+
+        a = adjacency(spark, f"{sf_root}/sf0.001")
+        b = adjacency(spark, f"{sf_root}/sf0.01")
+        assert a is not b
+        assert a.count() != b.count()
